@@ -1,0 +1,39 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Central table loader for the driver's parquet test tables
+  * (see /root/repo/TESTDATA.md). Every query reads through here so the
+  * parquet scan options stay consistent (vectorized reader, pushdown).
+  *
+  * At 100 TB these tables would be partitioned directories instead of
+  * single files; `spark.read.parquet` handles both transparently, and
+  * all downstream operators rely only on column pruning + predicate
+  * pushdown (visible in `.explain("formatted")` as ReadSchema /
+  * PushedFilters), never on physical layout.
+  */
+object Tables {
+  def load(spark: SparkSession, sfDir: String, name: String): DataFrame =
+    spark.read.parquet(s"$sfDir/$name.parquet")
+
+  def lineitem(spark: SparkSession, sfDir: String): DataFrame = load(spark, sfDir, "lineitem")
+  def orders(spark: SparkSession, sfDir: String): DataFrame = load(spark, sfDir, "orders")
+  def customer(spark: SparkSession, sfDir: String): DataFrame = load(spark, sfDir, "customer")
+  def supplier(spark: SparkSession, sfDir: String): DataFrame = load(spark, sfDir, "supplier")
+  def part(spark: SparkSession, sfDir: String): DataFrame = load(spark, sfDir, "part")
+  def nation(spark: SparkSession, sfDir: String): DataFrame = load(spark, sfDir, "nation")
+  def region(spark: SparkSession, sfDir: String): DataFrame = load(spark, sfDir, "region")
+  def documents(spark: SparkSession, sfDir: String): DataFrame = load(spark, sfDir, "documents")
+  def embeddings(spark: SparkSession, sfDir: String): DataFrame = load(spark, sfDir, "embeddings")
+
+  /** `events.ts` is nanosecond-precision parquet; Spark's TimestampType
+    * is microseconds. We standardize on *millisecond* precision for all
+    * event-time logic (the reference's native unit — Flink event time is
+    * epoch millis, `sources/TaxiRideSource.scala:116`), truncating on
+    * read so Spark and the DuckDB oracle agree bit-for-bit.
+    */
+  def events(spark: SparkSession, sfDir: String): DataFrame =
+    load(spark, sfDir, "events")
+      .withColumn("ts", date_trunc("millisecond", col("ts")))
+}

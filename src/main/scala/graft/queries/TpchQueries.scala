@@ -1,0 +1,181 @@
+package graft.queries
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Relational aggregation + join queries over the TPC-H-ish driver
+  * tables. These exercise the batch engine spine the reference's
+  * pipelines reduce to (scan → filter → project → shuffle → agg), plus
+  * the join surface the reference lacks but any engine user needs
+  * (SURVEY.md §2.1 "Joins: absent").
+  *
+  * Oracle-parity rules used throughout:
+  *  - double aggregations go through DECIMAL(18,4) so the sum is exact
+  *    and order-independent, then cast back to DOUBLE — Spark partial
+  *    aggregation order and DuckDB's order then cannot diverge;
+  *  - every computed column is aliased identically in the Spark plan
+  *    and the oracle SQL (driver hash sorts columns by name).
+  */
+object TpchQueries {
+
+  /** Exact, order-insensitive sum of a double column: sum in decimal,
+    * return double. Codegen-friendly (no UDF).
+    */
+  private def dsum(c: org.apache.spark.sql.Column) =
+    sum(c.cast("decimal(18,4)")).cast("double")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // TPC-H Q1 shape: the canonical scan→filter→partial-agg→final-agg
+    // pipeline. Filter + projection reach the parquet scan via Catalyst.
+    "q1_pricing_summary" -> ((s, dir) => {
+      Tables.lineitem(s, dir)
+        .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          dsum(col("l_quantity")).as("sum_qty"),
+          dsum(col("l_extendedprice")).as("sum_base_price"),
+          dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("sum_disc_price"),
+          count(lit(1)).as("count_order"))
+    }),
+
+    // Broadcast-join chain: orders ⋈ customer ⋈ nation ⋈ region.
+    // customer/nation/region are dimension-sized → Spark auto-broadcasts
+    // (and we hint it explicitly so the plan survives a 100× fact-table
+    // scale-up without flipping to sort-merge).
+    "q3_join_agg" -> ((s, dir) => {
+      val orders = Tables.orders(s, dir)
+      val cust = Tables.customer(s, dir)
+      val nation = Tables.nation(s, dir)
+      orders
+        .join(broadcast(cust), orders("o_custkey") === cust("c_custkey"))
+        .join(broadcast(nation), cust("c_nationkey") === nation("n_nationkey"))
+        .groupBy(col("n_name"), col("c_mktsegment"))
+        .agg(
+          dsum(col("o_totalprice")).as("total_price"),
+          count(lit(1)).as("n_orders"))
+    }),
+
+    // Fact-fact join (lineitem ⋈ orders on orderkey): the one genuinely
+    // shuffling join at scale. Both sides hash-partition on the key;
+    // AQE handles skew. Filter on o_orderstatus pushes below the join.
+    "q4_lineitem_orders" -> ((s, dir) => {
+      val li = Tables.lineitem(s, dir)
+      val orders = Tables.orders(s, dir).filter(col("o_orderstatus") === lit("F"))
+      li.join(orders, li("l_orderkey") === orders("o_orderkey"))
+        .groupBy(col("o_orderpriority"))
+        .agg(
+          count(lit(1)).as("n_lines"),
+          dsum(col("l_extendedprice")).as("revenue"))
+    }),
+
+    // Semi/anti join surface: customers with and without orders.
+    "q5_semi_anti" -> ((s, dir) => {
+      val cust = Tables.customer(s, dir)
+      val orders = Tables.orders(s, dir).select(col("o_custkey"))
+      val withO = cust.join(orders, cust("c_custkey") === orders("o_custkey"), "left_semi")
+        .select(lit("with_orders").as("bucket"), col("c_acctbal"))
+      val withoutO = cust.join(orders, cust("c_custkey") === orders("o_custkey"), "left_anti")
+        .select(lit("no_orders").as("bucket"), col("c_acctbal"))
+      withO.unionAll(withoutO)
+        .groupBy(col("bucket"))
+        .agg(count(lit(1)).as("n_cust"), dsum(col("c_acctbal")).as("sum_bal"))
+    }),
+
+    // Top-k per group via window function (rank over partition) — the
+    // reference delegates ranking to Kibana (SURVEY §2.1); we implement
+    // it natively. Window partitions by returnflag → single shuffle.
+    "q6_topk_per_group" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val li = Tables.lineitem(s, dir)
+      val byOrder = li.groupBy(col("l_returnflag"), col("l_orderkey"))
+        .agg(dsum(col("l_extendedprice")).as("order_rev"))
+      val w = Window.partitionBy(col("l_returnflag"))
+        .orderBy(col("order_rev").desc, col("l_orderkey").asc)
+      byOrder.withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") <= 5)
+        .select(col("l_returnflag"), col("l_orderkey"), col("order_rev"), col("rnk"))
+    }),
+
+    // Grouping sets / rollup: free in Catalyst, absent in the reference
+    // (SURVEY §2.1 "Aggregations").
+    "q7_rollup" -> ((s, dir) => {
+      Tables.lineitem(s, dir)
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(dsum(col("l_quantity")).as("sum_qty"), count(lit(1)).as("n"))
+        .select(
+          coalesce(col("l_returnflag"), lit("ALL")).as("returnflag"),
+          coalesce(col("l_linestatus"), lit("ALL")).as("linestatus"),
+          col("sum_qty"), col("n"))
+    }),
+
+    // Distinct aggregation + exact distinct counting.
+    "q8_distinct_agg" -> ((s, dir) => {
+      Tables.lineitem(s, dir)
+        .groupBy(col("l_returnflag"))
+        .agg(
+          countDistinct(col("l_partkey")).as("n_parts"),
+          countDistinct(col("l_suppkey")).as("n_supps"),
+          count(lit(1)).as("n_rows"))
+    })
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "q1_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_base_price,
+        |  CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS sum_disc_price,
+        |  COUNT(*) AS count_order
+        |FROM lineitem
+        |WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+        |GROUP BY l_returnflag, l_linestatus""".stripMargin,
+    "q3_join_agg" ->
+      """SELECT n_name, c_mktsegment,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total_price,
+        |  COUNT(*) AS n_orders
+        |FROM orders
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY n_name, c_mktsegment""".stripMargin,
+    "q4_lineitem_orders" ->
+      """SELECT o_orderpriority,
+        |  COUNT(*) AS n_lines,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE o_orderstatus = 'F'
+        |GROUP BY o_orderpriority""".stripMargin,
+    "q5_semi_anti" ->
+      """SELECT bucket, COUNT(*) AS n_cust,
+        |  CAST(SUM(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE) AS sum_bal
+        |FROM (
+        |  SELECT 'with_orders' AS bucket, c_acctbal FROM customer
+        |    WHERE c_custkey IN (SELECT o_custkey FROM orders)
+        |  UNION ALL
+        |  SELECT 'no_orders' AS bucket, c_acctbal FROM customer
+        |    WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+        |) GROUP BY bucket""".stripMargin,
+    "q6_topk_per_group" ->
+      """SELECT l_returnflag, l_orderkey, order_rev, rnk FROM (
+        |  SELECT l_returnflag, l_orderkey, order_rev,
+        |    ROW_NUMBER() OVER (PARTITION BY l_returnflag
+        |                       ORDER BY order_rev DESC, l_orderkey ASC) AS rnk
+        |  FROM (
+        |    SELECT l_returnflag, l_orderkey,
+        |      CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS order_rev
+        |    FROM lineitem GROUP BY l_returnflag, l_orderkey)
+        |) WHERE rnk <= 5""".stripMargin,
+    "q7_rollup" ->
+      """SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,
+        |  COALESCE(l_linestatus, 'ALL') AS linestatus,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+        |  COUNT(*) AS n
+        |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)""".stripMargin,
+    "q8_distinct_agg" ->
+      """SELECT l_returnflag,
+        |  COUNT(DISTINCT l_partkey) AS n_parts,
+        |  COUNT(DISTINCT l_suppkey) AS n_supps,
+        |  COUNT(*) AS n_rows
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin
+  )
+}
