@@ -14,7 +14,13 @@ object SparkEntry {
   private val registries: Seq[QueryRegistry] = Seq(
     QueryRegistry(
       _root_.graft.queries.TpchQueries.queries,
-      _root_.graft.queries.TpchQueries.oracleSql)
+      _root_.graft.queries.TpchQueries.oracleSql),
+    QueryRegistry(
+      _root_.graft.queries.TaxiQueries.queries,
+      _root_.graft.queries.TaxiQueries.oracleSql),
+    QueryRegistry(
+      _root_.graft.queries.StreamingQueries.queries,
+      _root_.graft.queries.StreamingQueries.oracleSql)
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -28,12 +28,17 @@ object Tables {
   def embeddings(spark: SparkSession, sfDir: String): DataFrame = load(spark, sfDir, "embeddings")
 
   /** `events.ts` is nanosecond-precision parquet; Spark's TimestampType
-    * is microseconds. We standardize on *millisecond* precision for all
-    * event-time logic (the reference's native unit — Flink event time is
-    * epoch millis, `sources/TaxiRideSource.scala:116`), truncating on
-    * read so Spark and the DuckDB oracle agree bit-for-bit.
+    * is microseconds and Spark 4.x rejects TIMESTAMP(NANOS) columns
+    * outright (PARQUET_TYPE_ILLEGAL). We read the column as raw Long
+    * nanos (`spark.sql.legacy.parquet.nanosAsLong`) and standardize on
+    * *millisecond* precision for all event-time logic — the reference's
+    * native unit (Flink event time is epoch millis,
+    * `sources/TaxiRideSource.scala:116`) — via exact integer division,
+    * so Spark and the DuckDB oracle agree bit-for-bit.
     */
-  def events(spark: SparkSession, sfDir: String): DataFrame =
+  def events(spark: SparkSession, sfDir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     load(spark, sfDir, "events")
-      .withColumn("ts", date_trunc("millisecond", col("ts")))
+      .withColumn("ts", timestamp_millis(expr("ts div 1000000")))
+  }
 }

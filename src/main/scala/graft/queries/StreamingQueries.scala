@@ -1,0 +1,115 @@
+package graft.queries
+
+import java.nio.file.Files
+import java.util.UUID
+
+import graft.streaming._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The reference's streaming pipelines run *as streams* (MemoryStream
+  * replay in serving order with the reference's bounded-Gaussian
+  * out-of-order delay, seed 7452) and verified against the same DuckDB
+  * oracles as their batch twins — proving the event-time/watermark
+  * machinery converges to batch semantics on out-of-order input, which
+  * is the reference's headline guarantee (`README.md:64-65`).
+  */
+object StreamingQueries {
+
+  private val MaxDelayMs = 60000L // reference maxDelaySecs = 60
+
+  /** A far-future sentinel that advances the watermark past every real
+    * pane so Append-mode results flush. It must *survive all filters*
+    * to reach the watermark operator: Catalyst pushes the bbox/END
+    * filters below the EventTimeWatermark node (they don't reference
+    * `ts`), so an out-of-bbox sentinel would be dropped before it could
+    * advance event time. It therefore rides in-bbox with passengers = 0
+    * — it cannot change any sum — and its own zero-count panes are
+    * removed by the `cnt > 0` post-filter on the results.
+    */
+  private def withSentinel(events: Seq[RideEvent]): Seq[RideEvent] = {
+    val maxT = events.map(_.tMs).max
+    events :+ RideEvent(-1L, maxT + 7200000L, isStart = false, -74.0, 40.75, 0)
+  }
+
+  private def checkpoint(): String =
+    Files.createTempDirectory("graft-ckpt-").toString
+
+  /** O9 streaming: Update mode + keyed upsert sink (O14). */
+  def totalStream(spark: SparkSession, sfDir: String): DataFrame = {
+    val rides = TaxiReplay.ridesFromEvents(spark, sfDir).collect().toSeq
+    val ordered = TaxiReplay.servingOrder(rides, MaxDelayMs)
+    val (ms, df) = TaxiReplay.memoryStream(spark)
+    val sink = new KeyedUpsertSink(Seq("cell"))
+    val q = TaxiPipelines.totalArrivalCount(df)
+      .writeStream.outputMode("update")
+      .option("checkpointLocation", checkpoint())
+      .foreachBatch(sink.upsert _)
+      .start()
+    try TaxiReplay.feedInBatches(ms, ordered, 8, () => q.processAllAvailable())
+    finally q.stop()
+    sink.toDF(spark)
+  }
+
+  /** O10 streaming: Append mode — rows emitted only when the watermark
+    * passes window end (Flink's default event-time trigger).
+    */
+  def slidingStream(spark: SparkSession, sfDir: String): DataFrame = {
+    val rides = TaxiReplay.ridesFromEvents(spark, sfDir).collect().toSeq
+    val ordered = withSentinel(TaxiReplay.servingOrder(rides, MaxDelayMs))
+    val (ms, df) = TaxiReplay.memoryStream(spark)
+    val name = "sliding_" + UUID.randomUUID().toString.replace("-", "")
+    val q = TaxiPipelines.slidingArrivalCount(df)
+      .writeStream.outputMode("append")
+      .option("checkpointLocation", checkpoint())
+      .format("memory").queryName(name)
+      .start()
+    try {
+      TaxiReplay.feedInBatches(ms, ordered, 8, () => q.processAllAvailable())
+      // one empty batch so watermark-driven final emission runs
+      q.processAllAvailable()
+    } finally q.stop()
+    spark.table(name).filter(col("cnt") > 0)
+  }
+
+  /** O11 streaming: early-firing count trigger via
+    * flatMapGroupsWithState. Only the watermark-driven *final* fires
+    * are oracle-checked (they must equal the plain sliding counts);
+    * early-fire prefix invariants are property-tested in ScalaTest.
+    */
+  def earlyStream(spark: SparkSession, sfDir: String, threshold: Int = 50): DataFrame = {
+    import spark.implicits._
+    val rides = TaxiReplay.ridesFromEvents(spark, sfDir).collect().toSeq
+    val ordered = withSentinel(TaxiReplay.servingOrder(rides, MaxDelayMs))
+    val (ms, df) = TaxiReplay.memoryStream(spark)
+    val cells = TaxiPipelines.cellEvents(df, "60 seconds")
+      .select(col("cell"), col("ts"), col("passengers"))
+      .as[CellEvent]
+    val name = "early_" + UUID.randomUUID().toString.replace("-", "")
+    val q = TaxiPipelines.earlyArrivalCount(cells, threshold)
+      .writeStream.outputMode("append")
+      .option("checkpointLocation", checkpoint())
+      .format("memory").queryName(name)
+      .start()
+    try {
+      TaxiReplay.feedInBatches(ms, ordered, 8, () => q.processAllAvailable())
+      q.processAllAvailable()
+    } finally q.stop()
+    spark.table(name)
+      .filter(col("isFinal") && col("cnt") > 0)
+      .select(col("cell"), col("wEndMs").as("w_end_ms"), col("cnt"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "taxi_total_stream" -> (totalStream _),
+    "taxi_sliding_stream" -> (slidingStream _),
+    "taxi_early_stream" -> ((s, d) => earlyStream(s, d))
+  )
+
+  /** Streaming results must converge to the batch oracles. */
+  val oracleSql: Map[String, String] = Map(
+    "taxi_total_stream" -> TaxiQueries.oracleSql("taxi_total_count"),
+    "taxi_sliding_stream" -> TaxiQueries.oracleSql("taxi_sliding_count"),
+    "taxi_early_stream" -> TaxiQueries.slidingNoCentersSql
+  )
+}

@@ -1,0 +1,161 @@
+package graft.queries
+
+import graft.Tables
+import graft.geo.NycGeo
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The reference's three taxi pipelines (SURVEY.md §2 O4–O12, O15) in
+  * batch form, oracle-checked. The reference's taxi data file is absent
+  * from its clone, so the pipelines run over a deterministic "rides"
+  * view derived from the driver's `events` table: lon/lat/passenger
+  * fields are pure integer arithmetic on event columns, computable
+  * identically by Spark and DuckDB. The *streaming* forms of the same
+  * pipelines live in `graft.streaming` and are equivalence-tested
+  * against these batch plans in ScalaTest (SURVEY.md §5.1).
+  *
+  * Event time is epoch milliseconds throughout (`t_ms`), matching the
+  * reference's native unit (Flink event time, `TaxiRideSource.scala:116`)
+  * and sidestepping ns-vs-µs parquet timestamp mismatches.
+  */
+object TaxiQueries {
+
+  /** Deterministic rides view over `events`:
+    *   rideId = event_id, t_ms = epoch ms, isStart = even event_id,
+    *   lon/lat = bounded integer lattice inside the NYC bbox,
+    *   passengers = 1..4.
+    * A fraction of points (user_id % 350 == 349 → lon east of −73.7)
+    * falls OUTSIDE the bbox so the O5 filter is actually exercised.
+    */
+  private def rides(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir).select(
+      col("event_id").as("rideId"),
+      unix_millis(col("ts")).as("t_ms"),
+      (col("event_id") % 2 === 0).as("isStart"),
+      (lit(-74.05) + (col("user_id") % 360) * lit(0.001)).as("lon"),
+      (lit(40.5) + (col("event_id") % 520) * lit(0.001)).as("lat"),
+      (col("event_id") % 4 + 1).cast("int").as("passengers"))
+
+  private val ridesSql: String =
+    """SELECT event_id AS rideId,
+      |       epoch_ms(date_trunc('millisecond', ts)) AS t_ms,
+      |       (event_id % 2 = 0) AS isStart,
+      |       -74.05::DOUBLE + (user_id % 360) * 0.001::DOUBLE AS lon,
+      |       40.5::DOUBLE + (event_id % 520) * 0.001::DOUBLE AS lat,
+      |       CAST(event_id % 4 + 1 AS INT) AS passengers
+      |FROM events""".stripMargin
+
+  /** Shared prefix of all three pipelines: END events, in-NYC, cell id
+    * (reference O4 → O5 → O6/O7). Filters sit before the shuffle;
+    * Catalyst pushes them into the parquet scan.
+    */
+  private def cellEvents(s: SparkSession, dir: String): DataFrame =
+    rides(s, dir)
+      .filter(!col("isStart"))
+      .filter(NycGeo.isInNYC(col("lon"), col("lat")))
+      .select(
+        NycGeo.gridCell(col("lon"), col("lat")).as("cell"),
+        col("rideId"), col("t_ms"), col("passengers"))
+
+  private val cellEventsSql: String =
+    s"""SELECT ${NycGeo.Sql.gridCell} AS cell, rideId, t_ms, passengers
+       |FROM ($ridesSql)
+       |WHERE NOT isStart AND ${NycGeo.Sql.isInNYC}""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // O9 TotalArrivalCount, final-state form: per cell, last event time
+    // + running passenger total + cell center (O12). One shuffle on
+    // `cell` (bounded key space: 100k cells — SURVEY §6).
+    "taxi_total_count" -> ((s, dir) => {
+      cellEvents(s, dir)
+        .groupBy(col("cell"))
+        .agg(max(col("t_ms")).as("last_t_ms"), sum(col("passengers")).as("cnt"))
+        .select(
+          col("cell"), col("last_t_ms"), col("cnt"),
+          NycGeo.cellCenterLon(col("cell")).as("center_lon"),
+          NycGeo.cellCenterLat(col("cell")).as("center_lat"))
+    }),
+
+    // O9 exact per-event emission (running fold): batch window-function
+    // form — running sum per cell ordered by (t_ms, rideId).
+    "taxi_running_count" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("cell"))
+        .orderBy(col("t_ms"), col("rideId"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      cellEvents(s, dir)
+        .select(col("cell"), col("rideId"), col("t_ms"),
+          sum(col("passengers")).over(w).as("running_cnt"))
+    }),
+
+    // O10 SlidingArrivalCount: 15-min window / 5-min slide per cell.
+    // Spark's `window()` explodes each event into its 3 overlapping
+    // panes and pre-aggregates map-side before the shuffle.
+    "taxi_sliding_count" -> ((s, dir) => {
+      cellEvents(s, dir)
+        .withColumn("ts", timestamp_millis(col("t_ms")))
+        .groupBy(window(col("ts"), "15 minutes", "5 minutes"), col("cell"))
+        .agg(sum(col("passengers")).as("cnt"))
+        .select(
+          col("cell"),
+          unix_millis(col("window.end")).as("w_end_ms"),
+          col("cnt"),
+          NycGeo.cellCenterLon(col("cell")).as("center_lon"),
+          NycGeo.cellCenterLat(col("cell")).as("center_lat"))
+    }),
+
+    // O15 trip→event ETL: one input row becomes a START and an END
+    // event via explode(array(...)) — the awk script's 1→2 expansion
+    // (`convertTrips.sh:35`) as a single narrow Spark stage, no shuffle.
+    "taxi_etl_explode" -> ((s, dir) => {
+      val r = rides(s, dir).filter(col("isStart"))
+      r.select(
+        col("rideId"),
+        explode(array(
+          struct(col("t_ms").as("t_ms"), lit("START").as("tag")),
+          struct((col("t_ms") + (col("passengers") * lit(60000L))).as("t_ms"),
+            lit("END").as("tag")))).as("ev"))
+        .select(col("rideId"), col("ev.t_ms").as("t_ms"), col("ev.tag").as("tag"))
+    })
+  )
+
+  /** Sliding-window counts without the center columns — shared by the
+    * early-trigger streaming oracle (final fires carry no centers).
+    */
+  val slidingNoCentersSql: String =
+    s"""SELECT cell, bs + 300000 * (o + 1) AS w_end_ms,
+       |  CAST(SUM(passengers) AS BIGINT) AS cnt
+       |FROM (SELECT cell, passengers, t_ms - t_ms % 300000 AS bs
+       |      FROM ($cellEventsSql))
+       |CROSS JOIN (VALUES (0), (1), (2)) AS offs(o)
+       |GROUP BY cell, w_end_ms""".stripMargin
+
+  val oracleSql: Map[String, String] = Map(
+    "taxi_total_count" ->
+      s"""SELECT cell, MAX(t_ms) AS last_t_ms, CAST(SUM(passengers) AS BIGINT) AS cnt,
+         |  ${NycGeo.Sql.cellCenterLon("cell")} AS center_lon,
+         |  ${NycGeo.Sql.cellCenterLat("cell")} AS center_lat
+         |FROM ($cellEventsSql)
+         |GROUP BY cell""".stripMargin,
+    "taxi_running_count" ->
+      s"""SELECT cell, rideId, t_ms,
+         |  CAST(SUM(passengers) OVER (PARTITION BY cell ORDER BY t_ms, rideId
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS running_cnt
+         |FROM ($cellEventsSql)""".stripMargin,
+    "taxi_sliding_count" ->
+      s"""SELECT cell,
+         |  bs + 300000 * (o + 1) AS w_end_ms,
+         |  CAST(SUM(passengers) AS BIGINT) AS cnt,
+         |  ${NycGeo.Sql.cellCenterLon("cell")} AS center_lon,
+         |  ${NycGeo.Sql.cellCenterLat("cell")} AS center_lat
+         |FROM (SELECT cell, passengers, t_ms - t_ms % 300000 AS bs
+         |      FROM ($cellEventsSql))
+         |CROSS JOIN (VALUES (0), (1), (2)) AS offs(o)
+         |GROUP BY cell, w_end_ms""".stripMargin,
+    "taxi_etl_explode" ->
+      s"""WITH r AS (SELECT * FROM ($ridesSql) WHERE isStart)
+         |SELECT rideId, t_ms, 'START' AS tag FROM r
+         |UNION ALL
+         |SELECT rideId, t_ms + passengers * 60000 AS t_ms, 'END' AS tag FROM r""".stripMargin
+  )
+}

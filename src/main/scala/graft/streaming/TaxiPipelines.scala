@@ -1,0 +1,144 @@
+package graft.streaming
+
+import graft.geo.NycGeo
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** The reference's three streaming pipelines on Structured Streaming.
+  *
+  * All three share the prefix: watermark → END-filter → NYC bbox →
+  * grid-cell projection (reference O2-O7). The watermark is declared
+  * *before* the filters so any event — even one the bbox filter drops —
+  * advances event time, mirroring the reference where watermarks are a
+  * property of the source, not of the filtered stream
+  * (`sources/TaxiRideSource.scala:139-163`).
+  */
+object TaxiPipelines {
+
+  val WindowSizeMs: Long = 15 * 60 * 1000L
+  val WindowSlideMs: Long = 5 * 60 * 1000L
+
+  /** Shared pipeline prefix. `stream` needs columns
+    * (rideId, ts: timestamp, isStart, lon, lat, passengers).
+    */
+  def cellEvents(stream: DataFrame, watermarkDelay: String): DataFrame =
+    stream
+      .withWatermark("ts", watermarkDelay)
+      .filter(!col("isStart"))
+      .filter(NycGeo.isInNYC(col("lon"), col("lat")))
+      .select(
+        NycGeo.gridCell(col("lon"), col("lat")).as("cell"),
+        col("ts"),
+        col("passengers"))
+
+  /** O9 TotalArrivalCount: running per-cell totals, unbounded keyed
+    * state, Update output mode. Spark emits per micro-batch rather than
+    * per record; the keyed idempotent upsert sink (O14) makes the two
+    * observationally equivalent (SURVEY.md §7 decision log).
+    */
+  def totalArrivalCount(stream: DataFrame, watermarkDelay: String = "60 seconds"): DataFrame =
+    cellEvents(stream, watermarkDelay)
+      .groupBy(col("cell"))
+      .agg(max(unix_millis(col("ts"))).as("last_t_ms"), sum(col("passengers")).as("cnt"))
+      .select(
+        col("cell"), col("last_t_ms"), col("cnt"),
+        NycGeo.cellCenterLon(col("cell")).as("center_lon"),
+        NycGeo.cellCenterLat(col("cell")).as("center_lat"))
+
+  /** O10 SlidingArrivalCount: 15-min/5-min sliding event-time window,
+    * Append mode — one row per (window, cell) when the watermark passes
+    * window end, exactly Flink's default event-time trigger.
+    */
+  def slidingArrivalCount(stream: DataFrame, watermarkDelay: String = "60 seconds"): DataFrame =
+    cellEvents(stream, watermarkDelay)
+      .groupBy(window(col("ts"), "15 minutes", "5 minutes"), col("cell"))
+      .agg(sum(col("passengers")).as("cnt"))
+      .select(
+        col("cell"),
+        unix_millis(col("window.end")).as("w_end_ms"),
+        col("cnt"),
+        NycGeo.cellCenterLon(col("cell")).as("center_lon"),
+        NycGeo.cellCenterLat(col("cell")).as("center_lat"))
+
+  /** The 3 sliding panes (as window-end millis) containing event time
+    * `tMs` — what Flink's `SlidingEventTimeWindows.assignWindows` does
+    * for 15/5 windows.
+    */
+  def windowEndsFor(tMs: Long): Seq[Long] = {
+    val bucketStart = tMs - Math.floorMod(tMs, WindowSlideMs)
+    (1L to (WindowSizeMs / WindowSlideMs)).map(k => bucketStart + k * WindowSlideMs)
+  }
+
+  /** O11 EarlyArrivalCount: sliding window with an early-firing count
+    * trigger — the reference's `EarlyCountTrigger`
+    * (`examples/EarlyArrivalCount.scala:117-160`) as a
+    * `flatMapGroupsWithState` state machine.
+    *
+    * Per (cell, window) pane we track (totalCnt, cntSinceLastFire):
+    *  - each event adds its passenger count to every pane it falls in;
+    *  - when cntSinceLastFire ≥ threshold → emit the pane's *full
+    *    current sum* (Flink `FIRE`: window contents are not purged,
+    *    `:133-141`) and reset the since-fire counter;
+    *  - when the watermark passes a pane's window end → emit the final
+    *    sum and purge the pane (`FIRE_AND_PURGE`, `:144-151`).
+    *
+    * State is keyed by cell, holding a map windowEnd → counters; panes
+    * are purged on final fire, so state size per key is bounded by
+    * (windowSize/slide) live panes — same bound as the reference's
+    * per-pane trigger state.
+    */
+  def earlyArrivalCount(
+      events: Dataset[CellEvent],
+      threshold: Int): Dataset[WindowCount] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.cell)
+      .flatMapGroupsWithState[Map[Long, (Long, Long)], WindowCount](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(
+        earlyTriggerFn(threshold))
+  }
+
+  /** The per-key state transition. Public for direct unit testing. */
+  def earlyTriggerFn(threshold: Int)(
+      cell: Int,
+      events: Iterator[CellEvent],
+      state: GroupState[Map[Long, (Long, Long)]]): Iterator[WindowCount] = {
+    val watermark = if (state.getCurrentWatermarkMs() > 0) state.getCurrentWatermarkMs() else Long.MinValue
+    val out = scala.collection.mutable.ListBuffer.empty[WindowCount]
+    var panes = state.getOption.getOrElse(Map.empty[Long, (Long, Long)])
+
+    if (state.hasTimedOut) {
+      // watermark passed ≥1 pane's window end → final fire + purge
+      val (expired, live) = panes.partition { case (wEnd, _) => wEnd <= watermark }
+      expired.toSeq.sortBy(_._1).foreach { case (wEnd, (sum, _)) =>
+        out += WindowCount(cell, wEnd, sum, isFinal = true)
+      }
+      panes = live
+    } else {
+      events.foreach { e =>
+        windowEndsFor(e.tMs).foreach { wEnd =>
+          if (wEnd > watermark) { // late panes are dropped (Flink 0.10 default)
+            val (sum, since) = panes.getOrElse(wEnd, (0L, 0L))
+            val newSum = sum + e.passengers
+            val newSince = since + e.passengers
+            if (newSince >= threshold) {
+              out += WindowCount(cell, wEnd, newSum, isFinal = false)
+              panes += wEnd -> ((newSum, 0L))
+            } else {
+              panes += wEnd -> ((newSum, newSince))
+            }
+          }
+        }
+      }
+    }
+
+    if (panes.isEmpty) state.remove()
+    else {
+      state.update(panes)
+      // wake up when the watermark passes the earliest live pane
+      state.setTimeoutTimestamp(panes.keys.min)
+    }
+    out.iterator
+  }
+}

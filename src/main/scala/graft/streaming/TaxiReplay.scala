@@ -1,0 +1,118 @@
+package graft.streaming
+
+import scala.util.Random
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+/** Replay harness: re-creates the reference's event-time replay source
+  * (`sources/TaxiRideSource.scala:53-263`) on Structured Streaming.
+  *
+  * The reference source is a single-threaded reader that (a) paces
+  * emission at `servingStart + (eventTime − dataStart)/speedFactor`,
+  * (b) optionally delays each event by a bounded Gaussian to simulate
+  * out-of-order delivery (seeded, `:175`), and (c) emits watermarks no
+  * event can violate. In Spark the three concerns split cleanly:
+  *
+  *  - *ordering/delay* → a deterministic pre-shuffle of the batch rows
+  *    by `tMs + boundedGaussianDelay(seed)` (serving order);
+  *  - *watermarks* → `withWatermark(ts, maxDelay)` downstream — the
+  *    same no-drop bound as the reference's `t − maxDelay − 1`
+  *    (`:195`, SURVEY.md §7 decision log);
+  *  - *pacing* → the driver thread feeding `MemoryStream` batch-by-
+  *    batch (unpaced in tests via `processAllAvailable`).
+  *
+  * MemoryStream collects rows on the driver, which is fine for the
+  * replay *harness* (the reference source is equally single-node); the
+  * production-scale streaming ingress is a file/Kafka source — see
+  * `FileStreamReplay` below for the file-based variant.
+  */
+object TaxiReplay {
+
+  /** Deterministic rides view over the driver's `events` table —
+    * identical projection to `TaxiQueries.rides` (kept in sync by the
+    * streaming-equivalence spec).
+    */
+  def ridesFromEvents(spark: SparkSession, sfDir: String): Dataset[RideEvent] = {
+    import spark.implicits._
+    Tables.events(spark, sfDir).select(
+      col("event_id").as("rideId"),
+      unix_millis(col("ts")).as("tMs"),
+      (col("event_id") % 2 === 0).as("isStart"),
+      (lit(-74.05) + (col("user_id") % 360) * lit(0.001)).as("lon"),
+      (lit(40.5) + (col("event_id") % 520) * lit(0.001)).as("lat"),
+      (col("event_id") % 4 + 1).cast("int").as("passengers"))
+      .as[RideEvent]
+  }
+
+  /** Bounded-Gaussian serving delay in [0, maxDelayMs], σ = maxDelay/2
+    * — the reference's out-of-order model
+    * (`sources/TaxiRideSource.scala:270-277`, seed 7452 at `:175`).
+    */
+  def boundedGaussianDelay(rnd: Random, maxDelayMs: Long): Long = {
+    if (maxDelayMs <= 0) return 0L
+    var d = (rnd.nextGaussian() * (maxDelayMs / 2)).toLong
+    while (d < 0 || d > maxDelayMs) d = (rnd.nextGaussian() * (maxDelayMs / 2)).toLong
+    d
+  }
+
+  /** Serving order: sort by (tMs + delay) with rideId tiebreak. With
+    * maxDelayMs = 0 this is the reference's ordered replay path
+    * (`:97-168`); otherwise the unordered path (`:171-263`).
+    */
+  def servingOrder(events: Seq[RideEvent], maxDelayMs: Long, seed: Long = 7452L): Seq[RideEvent] = {
+    val rnd = new Random(seed)
+    events.sortBy(e => (e.tMs, e.rideId))
+      .map(e => (e.tMs + boundedGaussianDelay(rnd, maxDelayMs), e.rideId, e))
+      .sortBy(t => (t._1, t._2)).map(_._3)
+  }
+
+  /** Feed `events` into a MemoryStream in `nBatches` micro-batches in
+    * serving order; the watermark advances between batches exactly as
+    * the reference's periodic watermarks advance with serving time.
+    * Returns the stream handle + the streaming DataFrame (with a
+    * proper event-time `ts` column) to build pipelines on.
+    */
+  def memoryStream(spark: SparkSession): (MemoryStream[RideEvent], DataFrame) = {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ms = MemoryStream[RideEvent]
+    val df = ms.toDF().withColumn("ts", timestamp_millis(col("tMs")))
+    (ms, df)
+  }
+
+  def feedInBatches(
+      ms: MemoryStream[RideEvent],
+      events: Seq[RideEvent],
+      nBatches: Int,
+      process: () => Unit): Unit = {
+    val size = math.max(1, math.ceil(events.size.toDouble / nBatches).toInt)
+    events.grouped(size).foreach { batch =>
+      ms.addData(batch)
+      process()
+    }
+  }
+
+  /** Pacing for live demo replay (reference `toServingTime`,
+    * `sources/TaxiRideSource.scala:265-268`): wall-clock sleep between
+    * batches compressed by `speedFactor` (600× in the demos,
+    * `examples/TotalArrivalCount.scala:47`). Test code never calls
+    * this; the demo `main` does.
+    */
+  def replayPaced(
+      ms: MemoryStream[RideEvent],
+      events: Seq[RideEvent],
+      speedFactor: Double,
+      batchMs: Long = 1000L): Unit = {
+    if (events.isEmpty) return
+    val t0 = events.head.tMs
+    events.groupBy(e => (e.tMs - t0) / math.max(1L, (batchMs * speedFactor).toLong))
+      .toSeq.sortBy(_._1)
+      .foreach { case (_, batch) =>
+        ms.addData(batch.sortBy(e => (e.tMs, e.rideId)))
+        Thread.sleep(batchMs)
+      }
+  }
+}
