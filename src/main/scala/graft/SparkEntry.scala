@@ -20,7 +20,19 @@ object SparkEntry {
       _root_.graft.queries.TaxiQueries.oracleSql),
     QueryRegistry(
       _root_.graft.queries.StreamingQueries.queries,
-      _root_.graft.queries.StreamingQueries.oracleSql)
+      _root_.graft.queries.StreamingQueries.oracleSql),
+    QueryRegistry(
+      _root_.graft.queries.TextQueries.queries,
+      _root_.graft.queries.TextQueries.oracleSql),
+    QueryRegistry(
+      _root_.graft.queries.DedupQueries.queries,
+      _root_.graft.queries.DedupQueries.oracleSql),
+    QueryRegistry(
+      _root_.graft.queries.SimilarityQueries.queries,
+      _root_.graft.queries.SimilarityQueries.oracleSql),
+    QueryRegistry(
+      _root_.graft.queries.MultimodalQueries.queries,
+      _root_.graft.queries.MultimodalQueries.oracleSql)
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -1,0 +1,60 @@
+package graft.functions
+
+import graft.functions.expressions.DotProductFloat
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Vector math over `array<float>` embedding columns
+  * (SURVEY.md §2.2). The hot path — Σ a_i·b_i — is a native codegen
+  * Catalyst expression (`DotProductFloat`); Spark's higher-order
+  * functions are interpreted and dominate similarity profiles
+  * otherwise. Arithmetic is double-widened per element with a fixed
+  * left-to-right summation order so Spark and the DuckDB `Sql`
+  * mirrors produce bit-identical results.
+  *
+  * Query-shape rule for 100 TB: precompute `norm` once per vector
+  * *before* any join (it's O(dim) per row), so each candidate pair
+  * costs exactly one dot product.
+  */
+object VectorFunctions {
+
+  /** Σ a_i·b_i in double precision, index order (codegen'd). */
+  def dot(a: Column, b: Column): Column = DotProductFloat(a, b)
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  /** Cosine from raw vectors — for one-shot use. Inside joins, prefer
+    * `dot(a, b) / (normA * normB)` with precomputed norm columns.
+    */
+  def cosine(a: Column, b: Column): Column =
+    dot(a, b) / (norm(a) * norm(b))
+
+  /** Random-hyperplane LSH bucket id: k sign bits of dot products with
+    * deterministic integer-lattice hyperplanes
+    * w(h, j) = ((h*31 + j*17) mod 7) − 3 (j is 1-based). Integer
+    * weights make the bucket computable identically in the SQL oracle;
+    * the sign of a double dot product flips only within ~1e-12 of 0.
+    */
+  def lshBucket(a: Column, dim: Int, k: Int): Column = {
+    val bits = (0 until k).map { h =>
+      val plane = array((1 to dim).map(j => lit((((h * 31 + j * 17) % 7) - 3).toFloat)): _*)
+      when(dot(a, plane) > 0, lit(1L << h)).otherwise(lit(0L))
+    }
+    bits.reduce(_ + _)
+  }
+
+  object Sql {
+    def dot(a: String, b: String, dim: Int): String =
+      s"list_reduce(list_prepend(0.0::DOUBLE, " +
+        s"[$a[i]::DOUBLE * $b[i]::DOUBLE for i in range(1, ${dim + 1})]), (acc, v) -> acc + v)"
+    def norm(a: String, dim: Int): String = s"sqrt(${dot(a, a, dim)})"
+    def cosine(a: String, b: String, dim: Int): String =
+      s"${dot(a, b, dim)} / (${norm(a, dim)} * ${norm(b, dim)})"
+    def lshBucket(a: String, dim: Int, k: Int): String =
+      (0 until k).map { h =>
+        val d = s"list_reduce(list_prepend(0.0::DOUBLE, " +
+          s"[$a[i]::DOUBLE * ((($h*31 + i*17) % 7 - 3))::DOUBLE for i in range(1, ${dim + 1})]), (acc, v) -> acc + v)"
+        s"(CASE WHEN $d > 0 THEN ${1L << h} ELSE 0 END)"
+      }.mkString("(", " + ", ")")
+  }
+}

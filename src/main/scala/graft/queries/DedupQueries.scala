@@ -1,0 +1,222 @@
+package graft.queries
+
+import graft.Tables
+import graft.functions.{MinHash, TextFunctions, VectorFunctions}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators over `documents` / `embeddings`
+  * (SURVEY.md §2.2, driver north star): exact, MinHash+LSH, SimHash,
+  * n-gram Jaccard, embedding-cosine near-dup. Every variant avoids the
+  * O(n²) all-pairs trap — pairs are only materialized inside small
+  * buckets (LSH band, source, label), which is the property that
+  * survives a 100 TB corpus.
+  */
+object DedupQueries {
+
+  private val Dim = 64 // embedding dimensionality of the driver tables
+
+  /** doc_id + 16 minhash signature columns.
+    *
+    * Shape note: the shingle-hash array is a named projection
+    * referenced by all 16 signature expressions; CollapseProject
+    * deliberately does NOT inline multi-referenced non-cheap
+    * projections, so the md5 shingling runs once per document and the
+    * 16 array passes work over the materialized array. (An
+    * explode + 16-min-aggregates formulation was measured 16× slower
+    * at sf0.1 — the shuffle and per-row agg overhead dwarf the array
+    * passes.) No shuffle at all in this form.
+    */
+  private def minhashSigs(s: SparkSession, dir: String): DataFrame = {
+    val withHashes = Tables.documents(s, dir)
+      .select(col("doc_id"), MinHash.shingleHashes("text").as("hs"))
+    val sigCols = (0 until MinHash.NumHashes).map(i => MinHash.sig(col("hs"), i).as(s"sig$i"))
+    withHashes.select(col("doc_id") +: sigCols: _*)
+  }
+
+  private def minhashSigsSql: String = {
+    val sigs = (0 until MinHash.NumHashes)
+      .map(i => s"${MinHash.Sql.sig("hs", i)} AS sig$i").mkString(",\n  ")
+    s"""SELECT doc_id, $sigs
+       |FROM (SELECT doc_id, ${MinHash.Sql.shingleHashes("text")} AS hs FROM documents)""".stripMargin
+  }
+
+  /** doc_id, band index, band hash — the LSH bucketing relation. */
+  private def minhashBands(s: SparkSession, dir: String): DataFrame = {
+    val sigs = minhashSigs(s, dir)
+    val sigCols = (0 until MinHash.NumHashes).map(i => col(s"sig$i"))
+    val bands = (0 until MinHash.NumBands).map(b =>
+      struct(lit(b).as("band"), MinHash.bandHash(sigCols, b).as("bhash")))
+    sigs.select(col("doc_id"), explode(array(bands: _*)).as("bb"))
+      .select(col("doc_id"), col("bb.band").as("band"), col("bb.bhash").as("bhash"))
+  }
+
+  private def minhashBandsSql: String = {
+    def bandExpr(b: Int): String = {
+      val cols = (b * MinHash.BandSize until (b + 1) * MinHash.BandSize).map(i => s"sig$i")
+      s"SELECT doc_id, $b AS band, md5(concat_ws(',', ${cols.mkString(", ")})) AS bhash FROM sigs"
+    }
+    s"""WITH sigs AS ($minhashSigsSql)
+       |${(0 until MinHash.NumBands).map(bandExpr).mkString("\n", "\nUNION ALL\n", "")}""".stripMargin
+  }
+
+  /** Distinct, SORTED 3-char shingle array — n-gram Jaccard's set,
+    * pre-sorted once per document so per-pair intersection is a
+    * codegen'd two-pointer merge (SortedIntersectSize).
+    */
+  private def trigrams(textCol: String): org.apache.spark.sql.Column =
+    expr(s"""array_sort(array_distinct(transform(
+            |  sequence(1, greatest(length($textCol) - 2, 1)),
+            |  i -> substring($textCol, i, 3))))""".stripMargin)
+
+  private def trigramsSql(text: String): String =
+    s"list_distinct([substring($text, i, 3) for i in range(1, greatest(length($text) - 2, 1) + 1)])"
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Exact dedup: hash-groupBy on content. At scale: group on
+    // md5(text) (fixed-width shuffle key) instead of raw text.
+    "dedup_exact" -> ((s, dir) => {
+      Tables.documents(s, dir)
+        .groupBy(md5(col("text")).as("content_key"))
+        .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
+        .filter(col("n_copies") > 1)
+    }),
+
+    // Per-doc minhash signature (first 4 values exported; the full 16
+    // feed the band relation below).
+    "dedup_minhash_sig" -> ((s, dir) =>
+      minhashSigs(s, dir).select(col("doc_id"), col("sig0"), col("sig1"), col("sig2"), col("sig3"))),
+
+    // LSH candidate pairs → verified by trigram Jaccard ≥ 0.6.
+    // Pair generation is groupBy(band bucket) → collect_list →
+    // in-bucket pair expansion: ONE pass over the signature relation
+    // and one shuffle keyed on band hash. (A bands-self-join computes
+    // the whole signature pipeline twice and shuffles both sides.)
+    // Bucket sizes are bounded by LSH design, so the local expansion
+    // is small — the property that makes this shape hold at 100 TB.
+    "dedup_minhash_pairs" -> ((s, dir) => {
+      val bands = minhashBands(s, dir)
+      val cand = bands
+        .groupBy(col("band"), col("bhash"))
+        .agg(collect_list(col("doc_id")).as("ids"))
+        .filter(size(col("ids")) > 1)
+        .select(explode(expr(
+          """flatten(transform(ids, (x, i) ->
+            |  transform(slice(ids, i + 2, size(ids) - i - 1), y ->
+            |    struct(least(x, y) AS a, greatest(x, y) AS b))))""".stripMargin)).as("p"))
+        .select(col("p.a").as("doc_a"), col("p.b").as("doc_b"))
+        .distinct()
+      val docs = Tables.documents(s, dir).select(col("doc_id"), trigrams("text").as("tg"))
+        .withColumn("sz", size(col("tg")))
+      cand
+        .join(docs.as("da"), col("doc_a") === col("da.doc_id"))
+        .join(docs.as("db"), col("doc_b") === col("db.doc_id"))
+        .withColumn("inter",
+          graft.functions.expressions.SortedIntersectSize(col("da.tg"), col("db.tg")))
+        .withColumn("jaccard",
+          col("inter").cast("double") / (col("da.sz") + col("db.sz") - col("inter")))
+        .filter(col("jaccard") >= 0.6)
+        .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 6).as("jac"))
+    }),
+
+    // 16-bit SimHash per doc: explode tokens once, 16 bit-sums, fold
+    // into the fingerprint. One shuffle on doc_id.
+    "dedup_simhash" -> ((s, dir) => {
+      val tok = Tables.documents(s, dir)
+        .select(col("doc_id"), explode(TextFunctions.tokens(col("text"))).as("t"))
+        .withColumn("h", TextFunctions.tokenHash(col("t")))
+      val bitSums = (0 until 16).map(b =>
+        sum(shiftright(col("h"), b) % 2 * 2 - 1).as(s"s$b"))
+      val fp = (0 until 16).map(b =>
+        when(col(s"s$b") > 0, lit(1L << b)).otherwise(lit(0L))).reduce(_ + _)
+      tok.groupBy(col("doc_id"))
+        .agg(bitSums.head, bitSums.tail: _*)
+        .select(col("doc_id"), fp.as("simhash"))
+    }),
+
+    // n-gram Jaccard near-dup, bucketed by source (at scale: any
+    // coarse partition key or LSH band keeps pairs bounded).
+    // Per-pair cost is a single array_intersect: |A∪B| is derived from
+    // precomputed set sizes (|A|+|B|−|A∩B|), and a size-ratio prefilter
+    // in the join condition discards pairs that cannot reach the
+    // threshold (jac ≥ 0.5 needs 3·min(|A|,|B|) ≥ |A|+|B|) before any
+    // array work.
+    "dedup_ngram_jaccard" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+        .select(col("doc_id"), col("source"), trigrams("text").as("tg"))
+        .withColumn("sz", size(col("tg")))
+      docs.as("a").join(docs.as("b"),
+          col("a.source") === col("b.source") && col("a.doc_id") < col("b.doc_id") &&
+            least(col("a.sz"), col("b.sz")) * 3 >= col("a.sz") + col("b.sz"))
+        .withColumn("inter",
+          graft.functions.expressions.SortedIntersectSize(col("a.tg"), col("b.tg")))
+        .withColumn("jaccard",
+          col("inter").cast("double") / (col("a.sz") + col("b.sz") - col("inter")))
+        .filter(col("jaccard") >= 0.5)
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+          round(col("jaccard"), 6).as("jac"))
+    }),
+
+    // Embedding-cosine near-dup within label buckets. Norms are
+    // precomputed per vector before the join — each pair costs one
+    // codegen'd dot product.
+    "dedup_embedding_pairs" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+        .withColumn("nrm", VectorFunctions.norm(col("embedding")))
+      emb.as("a").join(emb.as("b"),
+          col("a.label") === col("b.label") && col("a.vec_id") < col("b.vec_id"))
+        .withColumn("cos",
+          VectorFunctions.dot(col("a.embedding"), col("b.embedding")) /
+            (col("a.nrm") * col("b.nrm")))
+        .filter(col("cos") >= 0.3)
+        .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"),
+          round(col("cos"), 6).as("cos_r"))
+    })
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "dedup_exact" ->
+      """SELECT md5(text) AS content_key, MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
+        |FROM documents GROUP BY md5(text) HAVING COUNT(*) > 1""".stripMargin,
+    "dedup_minhash_sig" ->
+      s"""SELECT doc_id, sig0, sig1, sig2, sig3 FROM ($minhashSigsSql)""",
+    "dedup_minhash_pairs" ->
+      s"""WITH bands AS ($minhashBandsSql),
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM bands a JOIN bands b
+         |    ON a.band = b.band AND a.bhash = b.bhash AND a.doc_id < b.doc_id),
+         |tg AS (SELECT doc_id, ${trigramsSql("text")} AS tg FROM documents)
+         |SELECT doc_a, doc_b,
+         |  ROUND(len(list_intersect(da.tg, db.tg))::DOUBLE /
+         |        len(list_distinct(list_concat(da.tg, db.tg))), 6) AS jac
+         |FROM cand JOIN tg da ON doc_a = da.doc_id JOIN tg db ON doc_b = db.doc_id
+         |WHERE len(list_intersect(da.tg, db.tg))::DOUBLE /
+         |      len(list_distinct(list_concat(da.tg, db.tg))) >= 0.6""".stripMargin,
+    "dedup_simhash" ->
+      s"""WITH tok AS (
+         |  SELECT doc_id, ${TextFunctions.Sql.tokenHash("t")} AS h
+         |  FROM (SELECT doc_id, unnest(${TextFunctions.Sql.tokens("text")}) AS t FROM documents)),
+         |sums AS (
+         |  SELECT doc_id,
+         |    ${(0 until 16).map(b => s"SUM((h >> $b) % 2 * 2 - 1) AS s$b").mkString(",\n    ")}
+         |  FROM tok GROUP BY doc_id)
+         |SELECT doc_id,
+         |  CAST(${(0 until 16).map(b => s"(CASE WHEN s$b > 0 THEN ${1L << b} ELSE 0 END)").mkString(" + ")} AS BIGINT) AS simhash
+         |FROM sums""".stripMargin,
+    "dedup_ngram_jaccard" ->
+      s"""WITH tg AS (SELECT doc_id, source, ${trigramsSql("text")} AS tg FROM documents)
+         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |  ROUND(len(list_intersect(a.tg, b.tg))::DOUBLE /
+         |        len(list_distinct(list_concat(a.tg, b.tg))), 6) AS jac
+         |FROM tg a JOIN tg b ON a.source = b.source AND a.doc_id < b.doc_id
+         |WHERE len(list_intersect(a.tg, b.tg))::DOUBLE /
+         |      len(list_distinct(list_concat(a.tg, b.tg))) >= 0.5""".stripMargin,
+    "dedup_embedding_pairs" ->
+      s"""SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         |  ROUND(${VectorFunctions.Sql.cosine("a.embedding", "b.embedding", Dim)}, 6) AS cos_r
+         |FROM embeddings a JOIN embeddings b
+         |  ON a.label = b.label AND a.vec_id < b.vec_id
+         |WHERE ${VectorFunctions.Sql.cosine("a.embedding", "b.embedding", Dim)} >= 0.3""".stripMargin
+  )
+}

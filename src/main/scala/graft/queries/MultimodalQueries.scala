@@ -1,0 +1,55 @@
+package graft.queries
+
+import graft.multimodal.Multimodal
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Oracle-checkable slice of the multimodal pipeline: the byte-level
+  * metadata (sizes, digests, kind routing, stub-decoded dimensions)
+  * is recomputable by DuckDB from the same `documents` rows, so the
+  * binary plumbing — encode → partition-parallel decode → project —
+  * is driver-verified end-to-end even though the codecs are stubs.
+  */
+object MultimodalQueries {
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Binary payload metadata: byte length + md5 digest per media row.
+    "multimodal_meta" -> ((s, dir) => {
+      Multimodal.mediaFromDocuments(s, dir).select(
+        col("media_id"), col("kind"),
+        length(col("payload")).cast("bigint").as("n_bytes"),
+        md5(col("payload")).as("digest"))
+    }),
+
+    // Stub image decode through the typed mapPartitions stage.
+    "multimodal_image_meta" -> ((s, dir) =>
+      Multimodal.decodeImages(Multimodal.mediaFromDocuments(s, dir)).toDF()),
+
+    // Stub video frame sampling (1→N expansion).
+    "multimodal_frames" -> ((s, dir) =>
+      Multimodal.sampleVideoFrames(Multimodal.mediaFromDocuments(s, dir)).toDF())
+  )
+
+  private val kindSql =
+    "(['image', 'audio', 'video'])[CAST(doc_id % 3 + 1 AS INT)]"
+
+  val oracleSql: Map[String, String] = Map(
+    "multimodal_meta" ->
+      s"""SELECT doc_id AS media_id, $kindSql AS kind,
+         |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+         |  md5(text) AS digest
+         |FROM documents""".stripMargin,
+    "multimodal_image_meta" ->
+      s"""SELECT doc_id AS media_id,
+         |  CAST(16 + octet_length(encode(text)) % 64 AS INT) AS width,
+         |  CAST(16 + (octet_length(encode(text)) // 64) % 64 AS INT) AS height,
+         |  CAST(CASE WHEN octet_length(encode(text)) % 2 = 0 THEN 3 ELSE 1 END AS INT) AS channels,
+         |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
+         |FROM documents WHERE $kindSql = 'image'""".stripMargin,
+    "multimodal_frames" ->
+      s"""SELECT doc_id AS media_id, CAST(f AS INT) AS frame_idx,
+         |  CAST(greatest(octet_length(encode(text)) // 8, 1) AS BIGINT) AS frame_bytes
+         |FROM documents, (VALUES (0), (2), (4), (6)) AS fr(f)
+         |WHERE $kindSql = 'video'""".stripMargin
+  )
+}

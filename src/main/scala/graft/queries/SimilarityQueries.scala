@@ -1,0 +1,101 @@
+package graft.queries
+
+import graft.Tables
+import graft.functions.VectorFunctions
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Approximate-nearest-neighbor search over the `embeddings` table
+  * (SURVEY.md §2.2): brute-force cosine top-k as the exact baseline,
+  * and a random-hyperplane-LSH bucketed variant as the scale path.
+  *
+  * Scale shape: the query set is always the *small* side — broadcast
+  * it, score partition-parallel against the corpus, take per-query
+  * top-k with a window (or per-partition top-k + merge when k·|Q| is
+  * large). The LSH variant replaces the full corpus scan per query
+  * with a bucket-equi-join: shuffle on bucket id, score only within
+  * buckets — the same shape IVF takes with learned centroids instead
+  * of hyperplanes.
+  */
+object SimilarityQueries {
+
+  private val Dim = 64
+  private val K = 10
+  private val LshBits = 8
+
+  /** Every 50th vector is a query — deterministic on both engines.
+    * Norms ride along so each scored pair costs one dot product.
+    */
+  private def corpus(s: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(s, dir)
+      .withColumn("nrm", VectorFunctions.norm(col("embedding")))
+
+  private def queriesOf(emb: DataFrame): DataFrame =
+    emb.filter(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
+        col("nrm").as("q_nrm"))
+
+  private def cosCol = VectorFunctions.dot(col("q_emb"), col("embedding")) /
+    (col("q_nrm") * col("nrm"))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Exact top-k: broadcast queries × corpus, rank by (cos desc, id).
+    "knn_brute" -> ((s, dir) => {
+      val emb = corpus(s, dir)
+      val q = queriesOf(emb)
+      val w = Window.partitionBy(col("query_id"))
+        .orderBy(col("cos").desc, col("vec_id").asc)
+      broadcast(q).join(emb, col("query_id") =!= col("vec_id"))
+        .withColumn("cos", cosCol)
+        .withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") <= K)
+        .select(col("query_id"), col("vec_id").as("neighbor_id"), col("rnk"),
+          round(col("cos"), 6).as("cos_r"))
+    }),
+
+    // LSH ANN: score only within the query's hyperplane bucket.
+    "knn_lsh" -> ((s, dir) => {
+      val emb = corpus(s, dir)
+        .withColumn("bucket", VectorFunctions.lshBucket(col("embedding"), Dim, LshBits))
+      val q = queriesOf(emb)
+        .withColumn("bucket", VectorFunctions.lshBucket(col("q_emb"), Dim, LshBits))
+      val w = Window.partitionBy(col("query_id"))
+        .orderBy(col("cos").desc, col("vec_id").asc)
+      broadcast(q).join(emb, Seq("bucket"))
+        .filter(col("query_id") =!= col("vec_id"))
+        .withColumn("cos", cosCol)
+        .withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") <= K)
+        .select(col("query_id"), col("vec_id").as("neighbor_id"), col("rnk"),
+          round(col("cos"), 6).as("cos_r"))
+    })
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "knn_brute" ->
+      s"""SELECT query_id, neighbor_id, rnk, cos_r FROM (
+         |  SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+         |    ROW_NUMBER() OVER (PARTITION BY q.vec_id
+         |      ORDER BY ${VectorFunctions.Sql.cosine("q.embedding", "e.embedding", Dim)} DESC,
+         |               e.vec_id ASC) AS rnk,
+         |    ROUND(${VectorFunctions.Sql.cosine("q.embedding", "e.embedding", Dim)}, 6) AS cos_r
+         |  FROM embeddings q JOIN embeddings e ON q.vec_id != e.vec_id
+         |  WHERE q.vec_id % 50 = 0
+         |) WHERE rnk <= $K""".stripMargin,
+    "knn_lsh" ->
+      s"""WITH b AS (
+         |  SELECT vec_id, embedding,
+         |    ${VectorFunctions.Sql.lshBucket("embedding", Dim, LshBits)} AS bucket
+         |  FROM embeddings)
+         |SELECT query_id, neighbor_id, rnk, cos_r FROM (
+         |  SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+         |    ROW_NUMBER() OVER (PARTITION BY q.vec_id
+         |      ORDER BY ${VectorFunctions.Sql.cosine("q.embedding", "e.embedding", Dim)} DESC,
+         |               e.vec_id ASC) AS rnk,
+         |    ROUND(${VectorFunctions.Sql.cosine("q.embedding", "e.embedding", Dim)}, 6) AS cos_r
+         |  FROM (SELECT vec_id, embedding, bucket FROM b WHERE vec_id % 50 = 0) q
+         |  JOIN b e ON q.bucket = e.bucket AND q.vec_id != e.vec_id
+         |) WHERE rnk <= $K""".stripMargin
+  )
+}

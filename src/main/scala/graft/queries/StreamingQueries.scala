@@ -46,7 +46,7 @@ object StreamingQueries {
       .option("checkpointLocation", checkpoint())
       .foreachBatch(sink.upsert _)
       .start()
-    try TaxiReplay.feedInBatches(ms, ordered, 8, () => q.processAllAvailable())
+    try TaxiReplay.feedInBatches(ms, ordered, 4, () => q.processAllAvailable())
     finally q.stop()
     sink.toDF(spark)
   }
@@ -65,7 +65,7 @@ object StreamingQueries {
       .format("memory").queryName(name)
       .start()
     try {
-      TaxiReplay.feedInBatches(ms, ordered, 8, () => q.processAllAvailable())
+      TaxiReplay.feedInBatches(ms, ordered, 4, () => q.processAllAvailable())
       // one empty batch so watermark-driven final emission runs
       q.processAllAvailable()
     } finally q.stop()
@@ -92,7 +92,7 @@ object StreamingQueries {
       .format("memory").queryName(name)
       .start()
     try {
-      TaxiReplay.feedInBatches(ms, ordered, 8, () => q.processAllAvailable())
+      TaxiReplay.feedInBatches(ms, ordered, 4, () => q.processAllAvailable())
       q.processAllAvailable()
     } finally q.stop()
     spark.table(name)

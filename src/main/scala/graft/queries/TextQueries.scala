@@ -1,0 +1,95 @@
+package graft.queries
+
+import graft.Tables
+import graft.functions.TextFunctions._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis queries over the `documents` table (SURVEY.md §2.2 /
+  * driver north star): per-document stats, quality scoring, language
+  * ID, fingerprints, corpus token frequencies. All are narrow
+  * projections + one aggregation at most — the 100 TB shape is a
+  * single scan with codegen'd expressions, shuffling only the final
+  * small aggregates.
+  */
+object TextQueries {
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Per-doc token/char/punct stats: pure map, no shuffle.
+    "text_stats" -> ((s, dir) => {
+      Tables.documents(s, dir).select(
+        col("doc_id"),
+        length(col("text")).as("n_chars_actual"),
+        tokenCount(col("text")).as("n_tokens"),
+        punctCount(col("text")).as("n_punct"),
+        (length(col("text")).cast("double") / tokenCount(col("text"))).as("chars_per_token"))
+    }),
+
+    // Quality scoring: stopword ratio + bucketing.
+    "text_quality" -> ((s, dir) => {
+      val sw = stopwordRatio(col("text"))
+      Tables.documents(s, dir).select(
+        col("doc_id"),
+        sw.as("stopword_ratio"),
+        when(sw >= 0.2, "high").when(sw >= 0.05, "mid").otherwise("low").as("quality_bucket"))
+    }),
+
+    // Heuristic language ID vs the labeled lang column.
+    "text_lang_id" -> ((s, dir) => {
+      Tables.documents(s, dir).select(
+        col("doc_id"),
+        col("lang"),
+        langId(col("text")).as("predicted_lang"),
+        langScore(col("text"), "en").cast("int").as("score_en"))
+    }),
+
+    // Order-sensitive rolling-hash fingerprint per doc.
+    "text_fingerprint" -> ((s, dir) => {
+      Tables.documents(s, dir).select(
+        col("doc_id"),
+        fingerprint(col("text")).as("fp"))
+    }),
+
+    // Corpus token frequencies, top 50: explode → two-phase count
+    // (map-side partial agg before the shuffle), then a tiny top-k.
+    "text_token_freq" -> ((s, dir) => {
+      Tables.documents(s, dir)
+        .select(explode(tokens(col("text"))).as("token"))
+        .groupBy(col("token"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("token"))
+        .limit(50)
+    })
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "text_stats" ->
+      s"""SELECT doc_id,
+         |  length(text) AS n_chars_actual,
+         |  ${Sql.tokenCount("text")} AS n_tokens,
+         |  ${Sql.punctCount("text")} AS n_punct,
+         |  length(text)::DOUBLE / ${Sql.tokenCount("text")} AS chars_per_token
+         |FROM documents""".stripMargin,
+    "text_quality" ->
+      s"""SELECT doc_id,
+         |  ${Sql.stopwordRatio("text")} AS stopword_ratio,
+         |  CASE WHEN ${Sql.stopwordRatio("text")} >= 0.2 THEN 'high'
+         |       WHEN ${Sql.stopwordRatio("text")} >= 0.05 THEN 'mid'
+         |       ELSE 'low' END AS quality_bucket
+         |FROM documents""".stripMargin,
+    "text_lang_id" ->
+      s"""SELECT doc_id, lang,
+         |  ${Sql.langId("text")} AS predicted_lang,
+         |  CAST(${Sql.langScore("text", "en")} AS INT) AS score_en
+         |FROM documents""".stripMargin,
+    "text_fingerprint" ->
+      s"""SELECT doc_id, ${Sql.fingerprint("text")} AS fp
+         |FROM documents""".stripMargin,
+    "text_token_freq" ->
+      s"""SELECT token, COUNT(*) AS n
+         |FROM (SELECT unnest(${Sql.tokens("text")}) AS token FROM documents)
+         |GROUP BY token
+         |ORDER BY n DESC, token
+         |LIMIT 50""".stripMargin
+  )
+}
