@@ -32,7 +32,10 @@ object SparkEntry {
       _root_.graft.queries.SimilarityQueries.oracleSql),
     QueryRegistry(
       _root_.graft.queries.MultimodalQueries.queries,
-      _root_.graft.queries.MultimodalQueries.oracleSql)
+      _root_.graft.queries.MultimodalQueries.oracleSql),
+    QueryRegistry(
+      _root_.graft.queries.EventQueries.queries,
+      _root_.graft.queries.EventQueries.oracleSql)
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

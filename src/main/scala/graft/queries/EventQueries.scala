@@ -1,0 +1,76 @@
+package graft.queries
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Event-stream analytics over the `events` table: sessionization
+  * (session windows — the reference README markets them but no demo
+  * uses them, SURVEY.md §2.1 "Streaming"), and per-type user stats
+  * (exact + approximate distinct counting).
+  */
+object EventQueries {
+
+  private val GapMs = 1800000L // 30-minute session gap
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Sessionization via session_window: per (user, session) the
+    // start, last-event time, event count and exact value sum. One
+    // shuffle on user_id; session merging is state-local.
+    "events_sessionize" -> ((s, dir) => {
+      Tables.events(s, dir)
+        .groupBy(col("user_id"), session_window(col("ts"), "30 minutes").as("sw"))
+        .agg(
+          count(lit(1)).as("n_events"),
+          max(unix_millis(col("ts"))).as("last_t_ms"),
+          sum(col("value").cast("decimal(18,4)")).cast("double").as("sum_value"))
+        .select(
+          col("user_id"),
+          unix_millis(col("sw.start")).as("session_start_ms"),
+          col("last_t_ms"), col("n_events"), col("sum_value"))
+    }),
+
+    // Per-event-type user stats: exact distinct users (oracle-checked)
+    // + counts. approx_count_distinct (HLL) is the 100 TB variant —
+    // same plan shape, sketch merge instead of distinct shuffle; it is
+    // exercised in ScalaTest (approx values differ per engine, so the
+    // oracle checks the exact column).
+    "events_user_stats" -> ((s, dir) => {
+      Tables.events(s, dir)
+        .groupBy(col("event_type"))
+        .agg(
+          countDistinct(col("user_id")).as("n_users"),
+          count(lit(1)).as("n_events"),
+          sum(col("value").cast("decimal(18,4)")).cast("double").as("sum_value"))
+    })
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    // Gap-based session reconstruction: new session when the gap from
+    // the previous event is ≥ 30 min (session_window intervals are
+    // half-open, so exactly-at-gap starts a new session).
+    "events_sessionize" ->
+      s"""WITH e AS (
+         |  SELECT user_id, epoch_ms(date_trunc('millisecond', ts)) AS t_ms, value
+         |  FROM events),
+         |marked AS (
+         |  SELECT *, CASE WHEN lag(t_ms) OVER w IS NULL
+         |                   OR t_ms - lag(t_ms) OVER w >= $GapMs
+         |                 THEN 1 ELSE 0 END AS new_s
+         |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY t_ms)),
+         |sess AS (
+         |  SELECT *, SUM(new_s) OVER (PARTITION BY user_id ORDER BY t_ms
+         |    ROWS UNBOUNDED PRECEDING) AS sid
+         |  FROM marked)
+         |SELECT user_id, MIN(t_ms) AS session_start_ms, MAX(t_ms) AS last_t_ms,
+         |  COUNT(*) AS n_events,
+         |  CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+         |FROM sess GROUP BY user_id, sid""".stripMargin,
+    "events_user_stats" ->
+      """SELECT event_type,
+        |  COUNT(DISTINCT user_id) AS n_users,
+        |  COUNT(*) AS n_events,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY event_type""".stripMargin
+  )
+}

@@ -100,16 +100,55 @@ object StreamingQueries {
       .select(col("cell"), col("wEndMs").as("w_end_ms"), col("cnt"))
   }
 
+  /** Stream-stream interval join: START and END events of a ride meet
+    * on pair_id within a ±1 h event-time bound. Both sides carry the
+    * watermark; the time-range condition lets Spark expire join state
+    * — without it, stream-stream join state grows forever (the 100 TB
+    * failure mode). Inner-join matches emit as they arrive, so no
+    * flush sentinel is needed.
+    */
+  def durationStream(spark: SparkSession, sfDir: String): DataFrame = {
+    val rides = TaxiReplay.ridesFromEvents(spark, sfDir).collect().toSeq
+    val ordered = TaxiReplay.servingOrder(rides, MaxDelayMs)
+    val (ms, df) = TaxiReplay.memoryStream(spark)
+    val wm = df.withWatermark("ts", "60 seconds")
+    val starts = wm.filter(col("isStart"))
+      .select(expr("rideId div 2").as("pair_s"), col("ts").as("ts_start"))
+    val ends = wm.filter(!col("isStart"))
+      .select(expr("rideId div 2").as("pair_e"), col("ts").as("ts_end"))
+    val name = "dur_" + UUID.randomUUID().toString.replace("-", "")
+    val q = starts.join(ends,
+        col("pair_s") === col("pair_e") &&
+          col("ts_end").between(
+            col("ts_start") - expr("INTERVAL 1 HOUR"),
+            col("ts_start") + expr("INTERVAL 1 HOUR")))
+      .select(col("pair_s").as("pair_id"),
+        unix_millis(col("ts_start")).as("t_start"),
+        unix_millis(col("ts_end")).as("t_end"),
+        (unix_millis(col("ts_end")) - unix_millis(col("ts_start"))).as("duration_ms"))
+      .writeStream.outputMode("append")
+      .option("checkpointLocation", checkpoint())
+      .format("memory").queryName(name)
+      .start()
+    try {
+      TaxiReplay.feedInBatches(ms, ordered, 4, () => q.processAllAvailable())
+      q.processAllAvailable()
+    } finally q.stop()
+    spark.table(name)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "taxi_total_stream" -> (totalStream _),
     "taxi_sliding_stream" -> (slidingStream _),
-    "taxi_early_stream" -> ((s, d) => earlyStream(s, d))
+    "taxi_early_stream" -> ((s, d) => earlyStream(s, d)),
+    "taxi_duration_stream" -> (durationStream _)
   )
 
   /** Streaming results must converge to the batch oracles. */
   val oracleSql: Map[String, String] = Map(
     "taxi_total_stream" -> TaxiQueries.oracleSql("taxi_total_count"),
     "taxi_sliding_stream" -> TaxiQueries.oracleSql("taxi_sliding_count"),
-    "taxi_early_stream" -> TaxiQueries.slidingNoCentersSql
+    "taxi_early_stream" -> TaxiQueries.slidingNoCentersSql,
+    "taxi_duration_stream" -> TaxiQueries.rideDurationSql
   )
 }

@@ -104,6 +104,24 @@ object TaxiQueries {
           NycGeo.cellCenterLat(col("cell")).as("center_lat"))
     }),
 
+    // The latent ride-duration interval join (SURVEY.md §2.1 "Joins"):
+    // START and END events of a ride pair on pair_id within a ±1 h
+    // event-time bound. Batch form of the stream-stream interval join
+    // in StreamingQueries. Equi-join on pair_id → single shuffle,
+    // AQE-handled; the time bound is the state-cleanup contract in the
+    // streaming twin.
+    "taxi_ride_duration" -> ((s, dir) => {
+      val r = rides(s, dir)
+      val starts = r.filter(col("isStart"))
+        .select(expr("rideId div 2").as("pair_id"), col("t_ms").as("t_start"))
+      val ends = r.filter(!col("isStart"))
+        .select(expr("rideId div 2").as("pair_id"), col("t_ms").as("t_end"))
+      starts.join(ends, Seq("pair_id"))
+        .filter(col("t_end").between(col("t_start") - 3600000L, col("t_start") + 3600000L))
+        .select(col("pair_id"), col("t_start"), col("t_end"),
+          (col("t_end") - col("t_start")).as("duration_ms"))
+    }),
+
     // O15 trip→event ETL: one input row becomes a START and an END
     // event via explode(array(...)) — the awk script's 1→2 expansion
     // (`convertTrips.sh:35`) as a single narrow Spark stage, no shuffle.
@@ -118,6 +136,18 @@ object TaxiQueries {
         .select(col("rideId"), col("ev.t_ms").as("t_ms"), col("ev.tag").as("tag"))
     })
   )
+
+  /** Ride-duration interval-join oracle — shared by the batch query
+    * and the stream-stream-join query (identical result contract).
+    */
+  val rideDurationSql: String =
+    s"""WITH r AS ($ridesSql)
+       |SELECT s.rideId // 2 AS pair_id, s.t_ms AS t_start, e.t_ms AS t_end,
+       |  e.t_ms - s.t_ms AS duration_ms
+       |FROM (SELECT * FROM r WHERE isStart) s
+       |JOIN (SELECT * FROM r WHERE NOT isStart) e
+       |  ON s.rideId // 2 = e.rideId // 2
+       | AND e.t_ms BETWEEN s.t_ms - 3600000 AND s.t_ms + 3600000""".stripMargin
 
   /** Sliding-window counts without the center columns — shared by the
     * early-trigger streaming oracle (final fires carry no centers).
@@ -152,6 +182,7 @@ object TaxiQueries {
          |      FROM ($cellEventsSql))
          |CROSS JOIN (VALUES (0), (1), (2)) AS offs(o)
          |GROUP BY cell, w_end_ms""".stripMargin,
+    "taxi_ride_duration" -> rideDurationSql,
     "taxi_etl_explode" ->
       s"""WITH r AS (SELECT * FROM ($ridesSql) WHERE isStart)
          |SELECT rideId, t_ms, 'START' AS tag FROM r

@@ -1,0 +1,95 @@
+package graft
+
+import graft.functions.{TextFunctions, VectorFunctions}
+import graft.functions.expressions.{DotProductFloat, SortedIntersectSize}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Property tests for the text/vector function libraries, incl. the
+  * custom codegen expressions vs their interpreted references.
+  */
+class FunctionsSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+
+  test("DotProductFloat equals interpreted HOF dot product exactly") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(1)
+    val rows = Seq.fill(200)((
+      Array.fill(64)(rnd.nextFloat() * 2 - 1),
+      Array.fill(64)(rnd.nextFloat() * 2 - 1)))
+    val df = rows.toDF("a", "b")
+    val hof = aggregate(
+      transform(sequence(lit(1), lit(64)),
+        i => element_at(col("a"), i).cast("double") * element_at(col("b"), i).cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+    val diff = df.select((DotProductFloat(col("a"), col("b")) - hof).as("d"))
+      .filter(col("d") =!= 0.0).count()
+    assert(diff == 0) // bit-identical, not approximately equal
+  }
+
+  test("SortedIntersectSize equals size(array_intersect) on sorted distinct arrays") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(2)
+    val vocab = (1 to 40).map(i => s"tok$i")
+    val rows = Seq.fill(300)((
+      rnd.shuffle(vocab).take(rnd.nextInt(20) + 1),
+      rnd.shuffle(vocab).take(rnd.nextInt(20) + 1)))
+    val df = rows.toDF("a", "b")
+      .select(array_sort(array_distinct(col("a"))).as("a"),
+        array_sort(array_distinct(col("b"))).as("b"))
+    val mismatch = df.select(
+      (SortedIntersectSize(col("a"), col("b")) =!=
+        size(array_intersect(col("a"), col("b")))).as("m"))
+      .filter(col("m")).count()
+    assert(mismatch == 0)
+  }
+
+  test("SortedIntersectSize handles empty and identical arrays") {
+    import spark.implicits._
+    val df = Seq(
+      (Seq.empty[String], Seq("a", "b")),
+      (Seq("a", "b", "c"), Seq("a", "b", "c")),
+      (Seq("a"), Seq.empty[String])).toDF("a", "b")
+    val got = df.select(SortedIntersectSize(col("a"), col("b"))).as[Int].collect().toSeq
+    assert(got == Seq(0, 3, 0))
+  }
+
+  test("langId picks the language with the most marker hits") {
+    import spark.implicits._
+    val df = Seq(
+      "the cat of the house and a dog",
+      "der hund und die katze ist da",
+      "el perro y la casa es grande",
+      "xyzzy qwerty asdf").toDF("text")
+    val got = df.select(TextFunctions.langId(col("text"))).as[String].collect().toSeq
+    assert(got == Seq("en", "de", "es", "und"))
+  }
+
+  test("fingerprint is order-sensitive and deterministic") {
+    import spark.implicits._
+    val df = Seq("a b c", "a b c", "c b a").toDF("text")
+    val fps = df.select(TextFunctions.fingerprint(col("text"))).as[Long].collect()
+    assert(fps(0) == fps(1))
+    assert(fps(0) != fps(2))
+  }
+
+  test("lshBucket groups identical vectors and is stable") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(3)
+    val v = Array.fill(64)(rnd.nextFloat())
+    val df = Seq(v, v, v.map(x => -x)).toDF("e")
+    val buckets = df.select(VectorFunctions.lshBucket(col("e"), 64, 8)).as[Long].collect()
+    assert(buckets(0) == buckets(1))
+    assert(buckets(0) != buckets(2)) // negation flips every sign bit
+    assert(buckets.forall(b => b >= 0 && b < 256))
+  }
+
+  test("approx_count_distinct tracks exact distinct within rsd bounds") {
+    val ev = Tables.events(spark, "/root/testdata/sf0.01")
+    val row = ev.agg(
+      countDistinct(col("user_id")).as("exact"),
+      approx_count_distinct(col("user_id"), 0.05).as("approx")).head()
+    val (exact, approx) = (row.getLong(0), row.getLong(1))
+    assert(math.abs(approx - exact).toDouble / exact < 0.15)
+  }
+}
