@@ -109,6 +109,27 @@ object TpchQueries {
           col("sum_qty"), col("n"))
     }),
 
+    // Date-function surface: truncate order dates to month buckets.
+    "q9_orders_by_month" -> ((s, dir) => {
+      Tables.orders(s, dir)
+        .groupBy(
+          year(col("o_orderdate")).as("y"),
+          month(col("o_orderdate")).as("m"))
+        .agg(count(lit(1)).as("n_orders"), dsum(col("o_totalprice")).as("revenue"))
+    }),
+
+    // Exact interpolated percentiles (both engines: linear
+    // interpolation at (n−1)·p). The 100 TB variant is
+    // approx_percentile (t-digest-style sketch merge).
+    "q10_quantiles" -> ((s, dir) => {
+      Tables.lineitem(s, dir)
+        .groupBy(col("l_returnflag"))
+        .agg(
+          percentile(col("l_extendedprice"), lit(0.5)).as("p50"),
+          percentile(col("l_extendedprice"), lit(0.95)).as("p95"),
+          count(lit(1)).as("n"))
+    }),
+
     // Distinct aggregation + exact distinct counting.
     "q8_distinct_agg" -> ((s, dir) => {
       Tables.lineitem(s, dir)
@@ -171,6 +192,17 @@ object TpchQueries {
         |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
         |  COUNT(*) AS n
         |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)""".stripMargin,
+    "q9_orders_by_month" ->
+      """SELECT EXTRACT(YEAR FROM o_orderdate) AS y, EXTRACT(MONTH FROM o_orderdate) AS m,
+        |  COUNT(*) AS n_orders,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+        |FROM orders GROUP BY y, m""".stripMargin,
+    "q10_quantiles" ->
+      """SELECT l_returnflag,
+        |  quantile_cont(l_extendedprice, 0.5) AS p50,
+        |  quantile_cont(l_extendedprice, 0.95) AS p95,
+        |  COUNT(*) AS n
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
     "q8_distinct_agg" ->
       """SELECT l_returnflag,
         |  COUNT(DISTINCT l_partkey) AS n_parts,
