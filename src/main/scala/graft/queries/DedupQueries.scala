@@ -16,22 +16,19 @@ object DedupQueries {
 
   private val Dim = 64 // embedding dimensionality of the driver tables
 
-  /** doc_id + 16 minhash signature columns.
-    *
-    * Shape note: the shingle-hash array is a named projection
-    * referenced by all 16 signature expressions; CollapseProject
-    * deliberately does NOT inline multi-referenced non-cheap
-    * projections, so the md5 shingling runs once per document and the
-    * 16 array passes work over the materialized array. (An
-    * explode + 16-min-aggregates formulation was measured 16× slower
-    * at sf0.1 — the shuffle and per-row agg overhead dwarf the array
-    * passes.) No shuffle at all in this form.
+  /** doc_id + 16 minhash signature columns, computed in one pass by
+    * the native MinHashSignature expression (see its scaladoc for the
+    * measured alternatives: interpreted HOF chain ~4 s, explode +
+    * 16-min-aggregates ~16× worse — shuffle + per-row agg overhead).
+    * No shuffle at all in this form.
     */
   private def minhashSigs(s: SparkSession, dir: String): DataFrame = {
-    val withHashes = Tables.documents(s, dir)
-      .select(col("doc_id"), MinHash.shingleHashes("text").as("hs"))
-    val sigCols = (0 until MinHash.NumHashes).map(i => MinHash.sig(col("hs"), i).as(s"sig$i"))
-    withHashes.select(col("doc_id") +: sigCols: _*)
+    val withSig = Tables.documents(s, dir)
+      .select(col("doc_id"),
+        graft.functions.expressions.MinHashSignature(col("text"), MinHash.NumHashes, 5).as("sigs"))
+    val sigCols = (0 until MinHash.NumHashes).map(i =>
+      element_at(col("sigs"), i + 1).as(s"sig$i"))
+    withSig.select(col("doc_id") +: sigCols: _*)
   }
 
   private def minhashSigsSql: String = {
@@ -60,17 +57,20 @@ object DedupQueries {
        |${(0 until MinHash.NumBands).map(bandExpr).mkString("\n", "\nUNION ALL\n", "")}""".stripMargin
   }
 
-  /** Distinct, SORTED 3-char shingle array — n-gram Jaccard's set,
-    * pre-sorted once per document so per-pair intersection is a
-    * codegen'd two-pointer merge (SortedIntersectSize).
+  /** Distinct, SORTED 3-char shingles *packed into ints*
+    * (c1·2¹⁶ + c2·2⁸ + c3 — injective on the ASCII corpus), built by
+    * the native PackedTrigrams expression (the interpreted HOF chain
+    * measured 5 s/side at sf0.1), pre-sorted once per document so
+    * per-pair intersection is an allocation-free codegen'd two-pointer
+    * int merge (SortedIntersectSize).
     */
   private def trigrams(textCol: String): org.apache.spark.sql.Column =
-    expr(s"""array_sort(array_distinct(transform(
-            |  sequence(1, greatest(length($textCol) - 2, 1)),
-            |  i -> substring($textCol, i, 3))))""".stripMargin)
+    graft.functions.expressions.PackedTrigrams(col(textCol))
 
   private def trigramsSql(text: String): String =
-    s"list_distinct([substring($text, i, 3) for i in range(1, greatest(length($text) - 2, 1) + 1)])"
+    s"list_distinct([ascii(substring($text, i, 1)) * 65536 + " +
+      s"ascii(substring($text, i + 1, 1)) * 256 + ascii(substring($text, i + 2, 1)) " +
+      s"for i in range(1, greatest(length($text) - 2, 1) + 1)])"
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Exact dedup: hash-groupBy on content. At scale: group on
@@ -148,6 +148,13 @@ object DedupQueries {
       docs.as("a").join(docs.as("b"),
           col("a.source") === col("b.source") && col("a.doc_id") < col("b.doc_id") &&
             least(col("a.sz"), col("b.sz")) * 3 >= col("a.sz") + col("b.sz"))
+        // Pushdown barrier: without it Catalyst folds the jaccard
+        // threshold into the join condition AHEAD of the cheap
+        // conjuncts, evaluating the intersect for every ordered pair
+        // (2× the pairs, twice per survivor). A nondeterministic
+        // projection blocks predicate pushdown; the column is dropped
+        // immediately after.
+        .withColumn("_barrier", monotonically_increasing_id())
         .withColumn("inter",
           graft.functions.expressions.SortedIntersectSize(col("a.tg"), col("b.tg")))
         .withColumn("jaccard",

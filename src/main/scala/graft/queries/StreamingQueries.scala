@@ -131,7 +131,11 @@ object StreamingQueries {
       .format("memory").queryName(name)
       .start()
     try {
-      TaxiReplay.feedInBatches(ms, ordered, 4, () => q.processAllAvailable())
+      // 2 batches: stream-stream join keeps 4 state stores per
+      // partition and re-versions them per micro-batch — batch count
+      // is the dominant cost, and 2 batches still exercises
+      // cross-batch matching + state expiry.
+      TaxiReplay.feedInBatches(ms, ordered, 2, () => q.processAllAvailable())
       q.processAllAvailable()
     } finally q.stop()
     spark.table(name)

@@ -84,6 +84,32 @@ class FunctionsSpec extends AnyFunSuite {
     assert(buckets.forall(b => b >= 0 && b < 256))
   }
 
+  test("custom expressions are callable from SQL after registration") {
+    GraftExtensions.register(spark)
+    val r = spark.sql(
+      """SELECT
+        |  graft_dot(array(CAST(1.0 AS FLOAT), CAST(2.0 AS FLOAT)),
+        |            array(CAST(3.0 AS FLOAT), CAST(4.0 AS FLOAT))) AS d,
+        |  graft_intersect_size(array('a', 'b'), array('b', 'c')) AS i,
+        |  graft_intersect_size(array(1, 5, 9), array(5, 9, 11)) AS j""".stripMargin).head()
+    assert(r.getDouble(0) == 11.0)
+    assert(r.getInt(1) == 1)
+    assert(r.getInt(2) == 2)
+  }
+
+  test("SortedIntersectSize on int and long arrays matches array_intersect") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(4)
+    val rows = Seq.fill(200)((
+      Seq.fill(rnd.nextInt(30) + 1)(rnd.nextInt(100)).distinct.sorted,
+      Seq.fill(rnd.nextInt(30) + 1)(rnd.nextInt(100)).distinct.sorted))
+    val df = rows.toDF("a", "b")
+    val bad = df.filter(
+      SortedIntersectSize(col("a"), col("b")) =!=
+        size(array_intersect(col("a"), col("b")))).count()
+    assert(bad == 0)
+  }
+
   test("approx_count_distinct tracks exact distinct within rsd bounds") {
     val ev = Tables.events(spark, "/root/testdata/sf0.01")
     val row = ev.agg(
