@@ -31,6 +31,24 @@ object StreamingDemo {
 
     val rides = TaxiReplay.ridesFromEvents(spark, "/root/testdata/sf0.001").collect().toSeq
     val serving = TaxiReplay.servingOrder(rides, maxDelayMs = 60000L)
+
+    // file mode: CSV file-drop ingress (one chunk per micro-batch)
+    // instead of the paced MemoryStream
+    if (mode == "file") {
+      val stream = TaxiReplay.fileStream(spark,
+        serving.map(e => e.copy(tMs = e.tMs - e.tMs % 1000)), nChunks = 5)
+      val q = TaxiPipelines.totalArrivalCount(stream)
+        .writeStream.outputMode("update")
+        .option("checkpointLocation",
+          java.nio.file.Files.createTempDirectory("graft-demo-").toString)
+        .format("console").option("numRows", "10").option("truncate", "false")
+        .start()
+      q.processAllAvailable()
+      q.stop()
+      spark.stop()
+      return
+    }
+
     val (ms, df) = TaxiReplay.memoryStream(spark)
 
     val out = mode match {
@@ -41,7 +59,7 @@ object StreamingDemo {
           TaxiPipelines.cellEvents(df, "60 seconds")
             .select(col("cell"), col("ts"), col("passengers")).as[CellEvent],
           threshold = 50).toDF()
-      case other => sys.error(s"unknown mode '$other' (total|sliding|early)")
+      case other => sys.error(s"unknown mode '$other' (total|sliding|early|file)")
     }
     val outputMode = if (mode == "total") "update" else "append"
 

@@ -30,6 +30,24 @@ object EventQueries {
           col("last_t_ms"), col("n_events"), col("sum_value"))
     }),
 
+    // Skew-mitigation shape: two-phase salted aggregation over the
+    // 5-value (heavily skewed) event_type key. Phase 1 spreads each
+    // hot key over 8 salted sub-keys (deterministic salt), phase 2
+    // merges — the standing fix when one reducer would otherwise
+    // receive a whole hot key's data at 100 TB. Results are exactly
+    // the plain groupBy (oracle = unsalted SQL).
+    "events_salted_agg" -> ((s, dir) => {
+      Tables.events(s, dir)
+        .groupBy(col("event_type"), (col("event_id") % 8).as("salt"))
+        .agg(
+          count(lit(1)).as("n"),
+          sum(col("value").cast("decimal(18,4)")).as("v"))
+        .groupBy(col("event_type"))
+        .agg(
+          sum(col("n")).as("n_events"),
+          sum(col("v")).cast("double").as("sum_value"))
+    }),
+
     // Per-event-type user stats: exact distinct users (oracle-checked)
     // + counts. approx_count_distinct (HLL) is the 100 TB variant —
     // same plan shape, sketch merge instead of distinct shuffle; it is
@@ -66,6 +84,10 @@ object EventQueries {
          |  COUNT(*) AS n_events,
          |  CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
          |FROM sess GROUP BY user_id, sid""".stripMargin,
+    "events_salted_agg" ->
+      """SELECT event_type, COUNT(*) AS n_events,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY event_type""".stripMargin,
     "events_user_stats" ->
       """SELECT event_type,
         |  COUNT(DISTINCT user_id) AS n_users,

@@ -95,6 +95,45 @@ object TaxiReplay {
     }
   }
 
+  /** File-based streaming replay: serving-ordered events written as
+    * CSV chunk files (the reference's wire format, 2-events-per-ride
+    * lines) consumed by `spark.readStream.csv` with
+    * `maxFilesPerTrigger = 1` — one chunk per micro-batch. This is the
+    * production-shaped ingress (file drops / object-store listing);
+    * MemoryStream above is the low-latency test harness. Returns the
+    * parsed streaming DataFrame with the event-time `ts` column.
+    */
+  def fileStream(
+      spark: SparkSession,
+      events: Seq[RideEvent],
+      nChunks: Int): DataFrame = {
+    import graft.model.TaxiRide
+    val dir = java.nio.file.Files.createTempDirectory("graft-replay-")
+    val chunkSize = math.max(1, math.ceil(events.size.toDouble / nChunks).toInt)
+    val fmt = java.time.format.DateTimeFormatter.ofPattern(TaxiRide.TimePattern)
+    events.grouped(chunkSize).zipWithIndex.foreach { case (chunk, i) =>
+      val lines = chunk.map { e =>
+        // the reference wire format is seconds-resolution (§1.2) —
+        // callers must pre-truncate event times to seconds
+        val t = java.time.Instant.ofEpochMilli(e.tMs)
+          .atZone(java.time.ZoneOffset.UTC).format(fmt)
+        s"${e.rideId},$t,${if (e.isStart) "START" else "END"},${e.lon},${e.lat},${e.passengers},0.0"
+      }
+      java.nio.file.Files.write(dir.resolve(f"chunk-$i%05d.csv"),
+        lines.mkString("\n").getBytes("UTF-8"))
+    }
+    val raw = spark.readStream
+      .option("maxFilesPerTrigger", "1")
+      .text(dir.toString)
+    TaxiRide.parseCsv(raw, "value")
+      .select(
+        col("rideId"),
+        unix_millis(col("time")).as("tMs"),
+        col("isStart"), col("lon"), col("lat"),
+        col("passengerCnt").cast("int").as("passengers"))
+      .withColumn("ts", timestamp_millis(col("tMs")))
+  }
+
   /** Pacing for live demo replay (reference `toServingTime`,
     * `sources/TaxiRideSource.scala:265-268`): wall-clock sleep between
     * batches compressed by `speedFactor` (600× in the demos,
