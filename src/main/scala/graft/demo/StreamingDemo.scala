@@ -72,6 +72,12 @@ object StreamingDemo {
 
     // Event time is compressed by `speed`: 10 event-hours/minute at 600×.
     TaxiReplay.replayPaced(ms, serving, speed)
+    // End-of-stream flush: the reference emits a Long.MaxValue
+    // watermark when the source ends so every open window fires; the
+    // Structured Streaming equivalent is a far-future zero-passenger
+    // sentinel advancing the watermark past all live panes.
+    val maxT = serving.map(_.tMs).maxOption.getOrElse(0L)
+    ms.addData(RideEvent(-1L, maxT + 7200000L, isStart = false, -74.0, 40.75, 0))
     q.processAllAvailable()
     q.stop()
     spark.stop()

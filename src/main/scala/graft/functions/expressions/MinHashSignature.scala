@@ -41,24 +41,25 @@ case class MinHashSignature(child: Expression, numHashes: Int, shingleSize: Int)
     val bytes = v.asInstanceOf[UTF8String].getBytes
     val n = bytes.length
     val sig = Array.fill(numHashes)(Long.MaxValue)
-    if (n > 0) {
-      val m = math.max(n - (shingleSize - 1), 1)
-      val digest = md5.get()
-      var i = 0
-      while (i < m) {
-        digest.reset()
-        digest.update(bytes, i, math.min(shingleSize, n - i))
-        val d = digest.digest()
-        val x = ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) |
-          ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
-        var h = 0
-        while (h < numHashes) {
-          val v2 = (x * hashA(h) + hashB(h)) % Prime
-          if (v2 < sig(h)) sig(h) = v2
-          h += 1
-        }
-        i += 1
+    // m ≥ 1 always: an empty string contributes one empty shingle
+    // (md5("")) — exactly what the SQL mirror's
+    // range(1, greatest(n-4,1)+1) → substring produces.
+    val m = math.max(n - (shingleSize - 1), 1)
+    val digest = md5.get()
+    var i = 0
+    while (i < m) {
+      digest.reset()
+      digest.update(bytes, i, math.max(math.min(shingleSize, n - i), 0))
+      val d = digest.digest()
+      val x = ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) |
+        ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
+      var h = 0
+      while (h < numHashes) {
+        val v2 = (x * hashA(h) + hashB(h)) % Prime
+        if (v2 < sig(h)) sig(h) = v2
+        h += 1
       }
+      i += 1
     }
     new GenericArrayData(sig)
   }

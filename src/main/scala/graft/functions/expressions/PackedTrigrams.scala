@@ -23,7 +23,8 @@ import org.apache.spark.unsafe.types.UTF8String
   * Byte-based packing equals the codepoint-based oracle formula on
   * ASCII text (the driver corpus); non-ASCII bytes still produce a
   * deterministic (byte-wise) shingling. Strings shorter than 3 bytes
-  * produce one zero-padded shingle (n = 0 → empty array).
+  * produce one zero-padded shingle (n = 0 → the single shingle 0,
+  * matching ascii('') = 0 in the SQL mirror).
   */
 case class PackedTrigrams(child: Expression)
     extends UnaryExpression with CodegenFallback {
@@ -33,7 +34,9 @@ case class PackedTrigrams(child: Expression)
   override def nullSafeEval(v: Any): Any = {
     val bytes = v.asInstanceOf[UTF8String].getBytes
     val n = bytes.length
-    if (n == 0) return new GenericArrayData(Array.empty[Int])
+    // empty string → one zero shingle, matching the SQL mirror where
+    // ascii('') = 0 and the comprehension always yields ≥1 element
+    if (n == 0) return new GenericArrayData(Array(0))
     val m = math.max(n - 2, 1)
     val arr = new Array[Int](m)
     var i = 0

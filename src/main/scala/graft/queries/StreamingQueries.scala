@@ -28,7 +28,7 @@ object StreamingQueries {
     * removed by the `cnt > 0` post-filter on the results.
     */
   private def withSentinel(events: Seq[RideEvent]): Seq[RideEvent] = {
-    val maxT = events.map(_.tMs).max
+    val maxT = events.map(_.tMs).maxOption.getOrElse(0L)
     events :+ RideEvent(-1L, maxT + 7200000L, isStart = false, -74.0, 40.75, 0)
   }
 

@@ -47,10 +47,12 @@ object TpchQueries {
       val orders = Tables.orders(s, dir)
       val cust = Tables.customer(s, dir)
       val nation = Tables.nation(s, dir)
+      val region = Tables.region(s, dir)
       orders
         .join(broadcast(cust), orders("o_custkey") === cust("c_custkey"))
         .join(broadcast(nation), cust("c_nationkey") === nation("n_nationkey"))
-        .groupBy(col("n_name"), col("c_mktsegment"))
+        .join(broadcast(region), nation("n_regionkey") === region("r_regionkey"))
+        .groupBy(col("r_name"), col("n_name"), col("c_mktsegment"))
         .agg(
           dsum(col("o_totalprice")).as("total_price"),
           count(lit(1)).as("n_orders"))
@@ -152,13 +154,14 @@ object TpchQueries {
         |WHERE l_shipdate <= TIMESTAMP '1998-09-02'
         |GROUP BY l_returnflag, l_linestatus""".stripMargin,
     "q3_join_agg" ->
-      """SELECT n_name, c_mktsegment,
+      """SELECT r_name, n_name, c_mktsegment,
         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total_price,
         |  COUNT(*) AS n_orders
         |FROM orders
         |JOIN customer ON o_custkey = c_custkey
         |JOIN nation ON c_nationkey = n_nationkey
-        |GROUP BY n_name, c_mktsegment""".stripMargin,
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name, n_name, c_mktsegment""".stripMargin,
     "q4_lineitem_orders" ->
       """SELECT o_orderpriority,
         |  COUNT(*) AS n_lines,

@@ -108,35 +108,38 @@ object TaxiPipelines {
     val out = scala.collection.mutable.ListBuffer.empty[WindowCount]
     var panes = state.getOption.getOrElse(Map.empty[Long, (Long, Long)])
 
-    if (state.hasTimedOut) {
-      // watermark passed ≥1 pane's window end → final fire + purge
-      val (expired, live) = panes.partition { case (wEnd, _) => wEnd <= watermark }
-      expired.toSeq.sortBy(_._1).foreach { case (wEnd, (sum, _)) =>
-        out += WindowCount(cell, wEnd, sum, isFinal = true)
-      }
-      panes = live
-    } else {
-      events.foreach { e =>
-        windowEndsFor(e.tMs).foreach { wEnd =>
-          if (wEnd > watermark) { // late panes are dropped (Flink 0.10 default)
-            val (sum, since) = panes.getOrElse(wEnd, (0L, 0L))
-            val newSum = sum + e.passengers
-            val newSince = since + e.passengers
-            if (newSince >= threshold) {
-              out += WindowCount(cell, wEnd, newSum, isFinal = false)
-              panes += wEnd -> ((newSum, 0L))
-            } else {
-              panes += wEnd -> ((newSum, newSince))
-            }
+    events.foreach { e =>
+      windowEndsFor(e.tMs).foreach { wEnd =>
+        if (wEnd > watermark) { // late panes are dropped (Flink 0.10 default)
+          val (sum, since) = panes.getOrElse(wEnd, (0L, 0L))
+          val newSum = sum + e.passengers
+          val newSince = since + e.passengers
+          if (newSince >= threshold) {
+            out += WindowCount(cell, wEnd, newSum, isFinal = false)
+            panes += wEnd -> ((newSum, 0L))
+          } else {
+            panes += wEnd -> ((newSum, newSince))
           }
         }
       }
     }
 
+    // Final-fire + purge every pane the watermark has passed — in the
+    // timeout path AND in data batches. A key receiving new data in
+    // the same batch its old pane expires would otherwise keep the
+    // expired pane and set a timeout at a timestamp ≤ the current
+    // watermark, which GroupStateImpl rejects (killing the query).
+    val (expired, live) = panes.partition { case (wEnd, _) => wEnd <= watermark }
+    expired.toSeq.sortBy(_._1).foreach { case (wEnd, (sum, _)) =>
+      out += WindowCount(cell, wEnd, sum, isFinal = true)
+    }
+    panes = live
+
     if (panes.isEmpty) state.remove()
     else {
       state.update(panes)
       // wake up when the watermark passes the earliest live pane
+      // (strictly > watermark after the purge above)
       state.setTimeoutTimestamp(panes.keys.min)
     }
     out.iterator

@@ -111,12 +111,15 @@ object TaxiReplay {
     val dir = java.nio.file.Files.createTempDirectory("graft-replay-")
     val chunkSize = math.max(1, math.ceil(events.size.toDouble / nChunks).toInt)
     val fmt = java.time.format.DateTimeFormatter.ofPattern(TaxiRide.TimePattern)
+    // format in the SESSION timezone: parseCsv's to_timestamp parses in
+    // spark.sql.session.timeZone, so writing hardcoded UTC would shift
+    // every event time on non-UTC sessions
+    val zone = java.time.ZoneId.of(spark.conf.get("spark.sql.session.timeZone"))
     events.grouped(chunkSize).zipWithIndex.foreach { case (chunk, i) =>
       val lines = chunk.map { e =>
         // the reference wire format is seconds-resolution (§1.2) —
         // callers must pre-truncate event times to seconds
-        val t = java.time.Instant.ofEpochMilli(e.tMs)
-          .atZone(java.time.ZoneOffset.UTC).format(fmt)
+        val t = java.time.Instant.ofEpochMilli(e.tMs).atZone(zone).format(fmt)
         s"${e.rideId},$t,${if (e.isStart) "START" else "END"},${e.lon},${e.lat},${e.passengers},0.0"
       }
       java.nio.file.Files.write(dir.resolve(f"chunk-$i%05d.csv"),

@@ -65,6 +65,27 @@ class EarlyTriggerSpec extends AnyFunSuite {
     assert(timedOut.get.keySet == Set(T0 + 600000L, T0 + 900000L))
   }
 
+  test("data batch with an already-expired pane final-fires it (no stale past timeout)") {
+    // regression: a key that holds a pane the watermark has passed and
+    // then receives NEW DATA (hasTimedOut = false) must purge the
+    // expired pane in the data path too — otherwise it re-arms a
+    // timeout at ≤ watermark, which GroupStateImpl rejects and the
+    // query dies.
+    val state = freshState(0L)
+    TaxiPipelines.earlyTriggerFn(50)(1, Iterator(ev(10, 7)), state).toList
+    val dataAfterExpiry = TestGroupState.create[Map[Long, (Long, Long)]](
+      optionalState = org.apache.spark.api.java.Optional.of(state.get),
+      timeoutConf = org.apache.spark.sql.streaming.GroupStateTimeout.EventTimeTimeout,
+      batchProcessingTimeMs = 0L,
+      eventTimeWatermarkMs = org.apache.spark.api.java.Optional.of(java.lang.Long.valueOf(T0 + 300001L)),
+      hasTimedOut = false)
+    val out = TaxiPipelines.earlyTriggerFn(50)(
+      1, Iterator(ev(400000L, 3)), dataAfterExpiry).toList
+    assert(out.contains(WindowCount(1, T0 + 300000L, 7L, isFinal = true)))
+    // the re-armed timeout must be strictly after the watermark
+    assert(dataAfterExpiry.getTimeoutTimestampMs.get() > T0 + 300001L)
+  }
+
   test("late panes (window end ≤ watermark) are dropped") {
     val state = freshState(T0 + 600000L) // watermark past first two panes
     val out = TaxiPipelines.earlyTriggerFn(1)(1, Iterator(ev(10, 5)), state).toList
