@@ -30,6 +30,22 @@ object EventQueries {
           col("last_t_ms"), col("n_events"), col("sum_value"))
     }),
 
+    // AS-OF JOIN via the custom operator (graft.plans.AsOfJoin —
+    // logical node + strategy + sort-merge exec): each purchase event
+    // attributed to the user's most recent prior click. The right side
+    // is pre-deduplicated per (user, time) so the as-of match is
+    // unique on both engines. Oracle: DuckDB's native ASOF JOIN.
+    "events_asof_join" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val left = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), unix_millis(col("ts")).as("t_ms"))
+      val right = ev.filter(col("event_type") === "click")
+        .groupBy(col("user_id").as("r_user"), unix_millis(col("ts")).as("r_t_ms"))
+        .agg(max(col("value").cast("decimal(18,4)")).cast("double").as("r_value"))
+      graft.plans.AsOf.join(left, right, "user_id", "r_user", "t_ms", "r_t_ms")
+        .select(col("event_id"), col("user_id"), col("t_ms"), col("r_t_ms"), col("r_value"))
+    }),
+
     // Skew-mitigation shape: two-phase salted aggregation over the
     // 5-value (heavily skewed) event_type key. Phase 1 spreads each
     // hot key over 8 salted sub-keys (deterministic salt), phase 2
@@ -84,6 +100,14 @@ object EventQueries {
          |  COUNT(*) AS n_events,
          |  CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
          |FROM sess GROUP BY user_id, sid""".stripMargin,
+    "events_asof_join" ->
+      """WITH l AS (SELECT event_id, user_id, epoch_ms(date_trunc('millisecond', ts)) AS t_ms
+        |           FROM events WHERE event_type = 'purchase'),
+        |r AS (SELECT user_id AS r_user, epoch_ms(date_trunc('millisecond', ts)) AS r_t_ms,
+        |             CAST(MAX(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS r_value
+        |      FROM events WHERE event_type = 'click' GROUP BY 1, 2)
+        |SELECT l.event_id, l.user_id, l.t_ms, r.r_t_ms, r.r_value
+        |FROM l ASOF JOIN r ON l.user_id = r.r_user AND l.t_ms >= r.r_t_ms""".stripMargin,
     "events_salted_agg" ->
       """SELECT event_type, COUNT(*) AS n_events,
         |  CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value

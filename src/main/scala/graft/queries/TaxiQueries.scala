@@ -104,6 +104,16 @@ object TaxiQueries {
           NycGeo.cellCenterLat(col("cell")).as("center_lat"))
     }),
 
+    // Tumbling window = degenerate slide (slide == size): the API case
+    // the reference supports but no demo uses (SURVEY §2.1 Streaming).
+    "taxi_tumbling_count" -> ((s, dir) => {
+      cellEvents(s, dir)
+        .withColumn("ts", timestamp_millis(col("t_ms")))
+        .groupBy(window(col("ts"), "15 minutes"), col("cell"))
+        .agg(sum(col("passengers")).as("cnt"))
+        .select(col("cell"), unix_millis(col("window.end")).as("w_end_ms"), col("cnt"))
+    }),
+
     // The latent ride-duration interval join (SURVEY.md §2.1 "Joins"):
     // START and END events of a ride pair on pair_id within a ±1 h
     // event-time bound. Batch form of the stream-stream interval join
@@ -181,6 +191,11 @@ object TaxiQueries {
          |FROM (SELECT cell, passengers, t_ms - t_ms % 300000 AS bs
          |      FROM ($cellEventsSql))
          |CROSS JOIN (VALUES (0), (1), (2)) AS offs(o)
+         |GROUP BY cell, w_end_ms""".stripMargin,
+    "taxi_tumbling_count" ->
+      s"""SELECT cell, bs + 900000 AS w_end_ms, CAST(SUM(passengers) AS BIGINT) AS cnt
+         |FROM (SELECT cell, passengers, t_ms - t_ms % 900000 AS bs
+         |      FROM ($cellEventsSql))
          |GROUP BY cell, w_end_ms""".stripMargin,
     "taxi_ride_duration" -> rideDurationSql,
     "taxi_etl_explode" ->

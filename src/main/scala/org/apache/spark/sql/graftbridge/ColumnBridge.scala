@@ -25,4 +25,26 @@ object ColumnBridge {
   def registerFunction(spark: SparkSession, name: String, builder: FunctionBuilder): Unit =
     ClassicConversions.castToImpl(spark).sessionState.functionRegistry
       .createOrReplaceTempFunction(name, builder, "scala_udf")
+
+  /** Analyzed logical plan of a DataFrame (for building custom
+    * logical operators over existing frames).
+    */
+  def analyzedPlan(df: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.catalyst.plans.logical.LogicalPlan =
+    ClassicConversions.castToImpl(df).queryExecution.analyzed
+
+  /** DataFrame over a custom LogicalPlan. */
+  def ofRows(
+      spark: SparkSession,
+      plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)
+      : org.apache.spark.sql.DataFrame =
+    org.apache.spark.sql.classic.Dataset.ofRows(
+      ClassicConversions.castToImpl(spark), plan)
+
+  /** Install an extra planner strategy on a live session. */
+  def addStrategy(spark: SparkSession, strategy: org.apache.spark.sql.execution.SparkStrategy): Unit = {
+    val exp = ClassicConversions.castToImpl(spark).experimental
+    if (!exp.extraStrategies.contains(strategy))
+      exp.extraStrategies = exp.extraStrategies :+ strategy
+  }
 }

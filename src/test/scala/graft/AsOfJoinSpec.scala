@@ -1,0 +1,66 @@
+package graft
+
+import graft.plans.AsOf
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The custom AsOfJoin operator vs the composable built-in
+  * formulation (theta-join + window rank): identical results, without
+  * materializing the (left × right-history) pair blow-up.
+  */
+class AsOfJoinSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  private val sf = "/root/testdata/sf0.001"
+
+  private def sides = {
+    val ev = Tables.events(spark, sf)
+    val left = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), unix_millis(col("ts")).as("t_ms"))
+    val right = ev.filter(col("event_type") === "click")
+      .groupBy(col("user_id").as("r_user"), unix_millis(col("ts")).as("r_t_ms"))
+      .agg(max(col("value")).as("r_value"))
+    (left, right)
+  }
+
+  test("matches the theta-join + window-rank formulation") {
+    val (left, right) = sides
+    val custom = AsOf.join(left, right, "user_id", "r_user", "t_ms", "r_t_ms")
+      .select(col("event_id"), col("r_t_ms"), col("r_value"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+
+    val w = Window.partitionBy(col("event_id"))
+      .orderBy(col("r_t_ms").desc)
+    val composed = left.join(right,
+        col("user_id") === col("r_user") && col("r_t_ms") <= col("t_ms"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("event_id"), col("r_t_ms"), col("r_value"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+
+    assert(custom.nonEmpty)
+    assert(custom == composed)
+  }
+
+  test("plans as one exchange + sort per side, no pair materialization") {
+    val (left, right) = sides
+    val plan = AsOf.join(left, right, "user_id", "r_user", "t_ms", "r_t_ms")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("AsOfJoin")) // exec nodeName strips the Exec suffix
+    assert(!plan.contains("CartesianProduct"))
+    assert(!plan.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("left rows with no prior right row drop out (inner as-of)") {
+    import spark.implicits._
+    val l = Seq((1L, 10L, 100L), (1L, 20L, 5L), (2L, 30L, 50L))
+      .toDF("k", "id", "t")
+    val r = Seq((1L, 50L, 1.0), (3L, 1L, 9.9)).toDF("rk", "rt", "v")
+    val got = AsOf.join(l, r, "k", "rk", "t", "rt")
+      .select("id", "rt", "v").collect()
+      .map(x => (x.getLong(0), x.getLong(1), x.getDouble(2))).toSet
+    // only left id=10 (k=1, t=100 ≥ rt=50) matches; t=5 is before the
+    // first right row; k=2 has no right rows at all
+    assert(got == Set((10L, 50L, 1.0)))
+  }
+}
