@@ -57,7 +57,7 @@ object StreamingDemo {
       case "early" =>
         TaxiPipelines.earlyArrivalCount(
           TaxiPipelines.cellEvents(df, "60 seconds")
-            .select(col("cell"), col("ts"), col("passengers")).as[CellEvent],
+            .select(col("cell"), col("rideId"), col("ts"), col("passengers")).as[CellEvent],
           threshold = 50).toDF()
       case other => sys.error(s"unknown mode '$other' (total|sliding|early|file)")
     }

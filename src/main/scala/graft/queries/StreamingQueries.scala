@@ -83,7 +83,7 @@ object StreamingQueries {
     val ordered = withSentinel(TaxiReplay.servingOrder(rides, MaxDelayMs))
     val (ms, df) = TaxiReplay.memoryStream(spark)
     val cells = TaxiPipelines.cellEvents(df, "60 seconds")
-      .select(col("cell"), col("ts"), col("passengers"))
+      .select(col("cell"), col("rideId"), col("ts"), col("passengers"))
       .as[CellEvent]
     val name = "early_" + UUID.randomUUID().toString.replace("-", "")
     val q = TaxiPipelines.earlyArrivalCount(cells, threshold)
@@ -98,6 +98,35 @@ object StreamingQueries {
     spark.table(name)
       .filter(col("isFinal") && col("cnt") > 0)
       .select(col("cell"), col("wEndMs").as("w_end_ms"), col("cnt"))
+  }
+
+  /** O9 faithful per-event emission: the event-time-ordered running
+    * fold — one output row per input event, deterministic under
+    * out-of-order replay (see TaxiPipelines.runningCountPerEvent).
+    * Must equal the batch window-function oracle exactly.
+    */
+  def runningStream(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val rides = TaxiReplay.ridesFromEvents(spark, sfDir).collect().toSeq
+    val ordered = withSentinel(TaxiReplay.servingOrder(rides, MaxDelayMs))
+    val (ms, df) = TaxiReplay.memoryStream(spark)
+    val cells = TaxiPipelines.cellEvents(df, "60 seconds")
+      .select(col("cell"), col("rideId"), col("ts"), col("passengers"))
+      .as[CellEvent]
+    val name = "running_" + UUID.randomUUID().toString.replace("-", "")
+    val q = TaxiPipelines.runningCountPerEvent(cells)
+      .writeStream.outputMode("append")
+      .option("checkpointLocation", checkpoint())
+      .format("memory").queryName(name)
+      .start()
+    try {
+      TaxiReplay.feedInBatches(ms, ordered, 4, () => q.processAllAvailable())
+      q.processAllAvailable()
+    } finally q.stop()
+    spark.table(name)
+      .filter(col("rideId") >= 0) // drop the flush sentinel's own row
+      .select(col("cell"), col("rideId"), col("tMs").as("t_ms"),
+        col("runningCnt").as("running_cnt"))
   }
 
   /** Stream-stream interval join: START and END events of a ride meet
@@ -145,7 +174,8 @@ object StreamingQueries {
     "taxi_total_stream" -> (totalStream _),
     "taxi_sliding_stream" -> (slidingStream _),
     "taxi_early_stream" -> ((s, d) => earlyStream(s, d)),
-    "taxi_duration_stream" -> (durationStream _)
+    "taxi_duration_stream" -> (durationStream _),
+    "taxi_running_stream" -> (runningStream _)
   )
 
   /** Streaming results must converge to the batch oracles. */
@@ -153,6 +183,7 @@ object StreamingQueries {
     "taxi_total_stream" -> TaxiQueries.oracleSql("taxi_total_count"),
     "taxi_sliding_stream" -> TaxiQueries.oracleSql("taxi_sliding_count"),
     "taxi_early_stream" -> TaxiQueries.slidingNoCentersSql,
-    "taxi_duration_stream" -> TaxiQueries.rideDurationSql
+    "taxi_duration_stream" -> TaxiQueries.rideDurationSql,
+    "taxi_running_stream" -> TaxiQueries.oracleSql("taxi_running_count")
   )
 }

@@ -29,6 +29,7 @@ object TaxiPipelines {
       .filter(NycGeo.isInNYC(col("lon"), col("lat")))
       .select(
         NycGeo.gridCell(col("lon"), col("lat")).as("cell"),
+        col("rideId"),
         col("ts"),
         col("passengers"))
 
@@ -97,6 +98,56 @@ object TaxiPipelines {
       .flatMapGroupsWithState[Map[Long, (Long, Long)], WindowCount](
         OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(
         earlyTriggerFn(threshold))
+  }
+
+  /** O9's *faithful per-event emission* in streaming: one output row
+    * per input event carrying the running per-cell total — what the
+    * reference's fold emits per record (`TotalArrivalCount.scala:75-80`).
+    *
+    * The reference folds in arrival order; under out-of-order delivery
+    * that makes the intermediate counts nondeterministic (only the
+    * final state is stable). We strengthen the contract to *event-time
+    * order*: events buffer in state until the watermark passes them,
+    * then flush in (time, rideId) order through the running sum — so
+    * the full emitted sequence is deterministic and equals the batch
+    * window-function form on any arrival order. State per key is
+    * bounded by the watermark delay (only not-yet-flushable events are
+    * buffered).
+    */
+  def runningCountPerEvent(events: Dataset[CellEvent]): Dataset[RunningCount] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.cell)
+      .flatMapGroupsWithState[RunningState, RunningCount](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(runningFoldFn)
+  }
+
+  /** Per-key transition for the ordered running fold. Public for
+    * direct unit testing.
+    */
+  def runningFoldFn(
+      cell: Int,
+      events: Iterator[CellEvent],
+      state: GroupState[RunningState]): Iterator[RunningCount] = {
+    val watermark = if (state.getCurrentWatermarkMs() > 0) state.getCurrentWatermarkMs() else Long.MinValue
+    var st = state.getOption.getOrElse(RunningState(0L, Nil))
+    // buffer new events (anything at/before the watermark is late — drop)
+    events.foreach { e =>
+      if (e.tMs > watermark)
+        st = st.copy(pending = (e.tMs, e.rideId, e.passengers.toLong) :: st.pending)
+    }
+    // flush everything the watermark has passed, in (time, rideId) order
+    val (ripe, keep) = st.pending.partition(_._1 <= watermark)
+    val out = scala.collection.mutable.ListBuffer.empty[RunningCount]
+    var sum = st.sum
+    ripe.sortBy(e => (e._1, e._2)).foreach { case (t, id, p) =>
+      sum += p
+      out += RunningCount(cell, id, t, sum)
+    }
+    st = RunningState(sum, keep)
+    state.update(st) // running sum persists even with nothing pending
+    if (st.pending.nonEmpty) state.setTimeoutTimestamp(st.pending.map(_._1).min)
+    out.iterator
   }
 
   /** The per-key state transition. Public for direct unit testing. */

@@ -17,9 +17,19 @@ final case class RideEvent(
   * (`examples/TotalArrivalCount.scala:70-73`). Keeps the watermarked
   * `ts` column — required for event-time timeouts downstream.
   */
-final case class CellEvent(cell: Int, ts: java.sql.Timestamp, passengers: Int) {
+final case class CellEvent(cell: Int, rideId: Long, ts: java.sql.Timestamp, passengers: Int) {
   def tMs: Long = ts.getTime
 }
+
+/** One per-event emission of the event-time-ordered running fold
+  * (O9 faithful form): the running per-cell total as of this event.
+  */
+final case class RunningCount(cell: Int, rideId: Long, tMs: Long, runningCnt: Long)
+
+/** State of the ordered running fold: the flushed running sum + the
+  * buffer of (tMs, rideId, passengers) not yet passed by the watermark.
+  */
+final case class RunningState(sum: Long, pending: List[(Long, Long, Long)])
 
 /** Output of the windowed pipelines: count for one (cell, window) pane.
   * `isFinal` distinguishes the early-trigger's partial fires (Flink

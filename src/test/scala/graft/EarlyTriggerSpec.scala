@@ -15,7 +15,7 @@ import org.scalatest.funsuite.AnyFunSuite
 class EarlyTriggerSpec extends AnyFunSuite {
 
   private val T0 = 1_700_000_000_000L - (1_700_000_000_000L % 300000L) // slide-aligned
-  private def ev(tOff: Long, p: Int) = CellEvent(1, new Timestamp(T0 + tOff), p)
+  private def ev(tOff: Long, p: Int) = CellEvent(1, tOff, new Timestamp(T0 + tOff), p)
 
   private def freshState(wmMs: Long): TestGroupState[Map[Long, (Long, Long)]] =
     TestGroupState.create[Map[Long, (Long, Long)]](
