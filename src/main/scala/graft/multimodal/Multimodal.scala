@@ -61,6 +61,60 @@ object Multimodal {
       val chunk = math.max(1, payload.length / 8) // fake 8-frame video
       (0 until 8 by everyNth).map(i => (i, chunk.toLong))
     }
+
+    /** STUB: a real implementation would rescale pixel data; the fake
+      * derives the output payload deterministically (every k-th byte),
+      * preserving the real pipeline property that resize shrinks the
+      * payload in place of the scan stage.
+      */
+    def resize(payload: Array[Byte], targetW: Int, targetH: Int): Array[Byte] = {
+      val target = math.max(1, math.min(payload.length, targetW * targetH / 64))
+      val step = math.max(1, payload.length / target)
+      payload.indices.by(step).map(payload).toArray
+    }
+
+    /** STUB: a real implementation would run a vision/audio encoder;
+      * the fake folds payload bytes into a deterministic unit-norm-ish
+      * float vector with the real output shape (fixed dim).
+      */
+    def extractFeatures(payload: Array[Byte], dim: Int = 16): Array[Float] = {
+      val acc = new Array[Float](dim)
+      var i = 0
+      while (i < payload.length) {
+        acc(i % dim) += (payload(i) & 0xff) / 255.0f
+        i += 1
+      }
+      val n = math.sqrt(acc.map(x => x * x).sum).toFloat
+      if (n == 0f) acc else acc.map(_ / n)
+    }
+  }
+
+  final case class ResizedImage(media_id: Long, n_bytes_in: Long, n_bytes_out: Long)
+
+  final case class MediaFeatures(media_id: Long, features: Array[Float])
+
+  /** Resize stage: payload → smaller payload, still partition-local. */
+  def resizeImages(media: DataFrame, w: Int = 64, h: Int = 64): Dataset[ResizedImage] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.filter(col("kind") === "image").as[MediaItem]
+      .mapPartitions { it =>
+        it.map { m =>
+          val out = StubCodecs.resize(m.payload, w, h)
+          ResizedImage(m.media_id, m.payload.length.toLong, out.length.toLong)
+        }
+      }
+  }
+
+  /** Feature-extraction stage: payload → fixed-dim embedding, feeding
+    * the similarity operators (VectorFunctions/knn) downstream.
+    */
+  def extractFeatures(media: DataFrame, dim: Int = 16): Dataset[MediaFeatures] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.as[MediaItem]
+      .mapPartitions(_.map(m =>
+        MediaFeatures(m.media_id, StubCodecs.extractFeatures(m.payload, dim))))
   }
 
   /** Synthesizes a media table from `documents` (no binary test table

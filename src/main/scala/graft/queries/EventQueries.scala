@@ -30,6 +30,16 @@ object EventQueries {
           col("last_t_ms"), col("n_events"), col("sum_value"))
     }),
 
+    // JSON scalar extraction from the props column (json functions:
+    // absent in the reference, table stakes for an event engine).
+    "events_json_extract" -> ((s, dir) => {
+      Tables.events(s, dir)
+        .select(col("event_id"),
+          get_json_object(col("props"), "$.k").cast("int").as("k"))
+        .groupBy((col("k") % 10).as("k_bucket"))
+        .agg(count(lit(1)).as("n"), max(col("k")).as("max_k"))
+    }),
+
     // AS-OF JOIN via the custom operator (graft.plans.AsOfJoin —
     // logical node + strategy + sort-merge exec): each purchase event
     // attributed to the user's most recent prior click. The right side
@@ -100,6 +110,11 @@ object EventQueries {
          |  COUNT(*) AS n_events,
          |  CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
          |FROM sess GROUP BY user_id, sid""".stripMargin,
+    "events_json_extract" ->
+      """SELECT CAST(json_extract_string(props, '$.k') AS INT) % 10 AS k_bucket,
+        |  COUNT(*) AS n,
+        |  MAX(CAST(json_extract_string(props, '$.k') AS INT)) AS max_k
+        |FROM events GROUP BY k_bucket""".stripMargin,
     "events_asof_join" ->
       """WITH l AS (SELECT event_id, user_id, epoch_ms(date_trunc('millisecond', ts)) AS t_ms
         |           FROM events WHERE event_type = 'purchase'),

@@ -27,7 +27,20 @@ object MultimodalQueries {
 
     // Stub video frame sampling (1→N expansion).
     "multimodal_frames" -> ((s, dir) =>
-      Multimodal.sampleVideoFrames(Multimodal.mediaFromDocuments(s, dir)).toDF())
+      Multimodal.sampleVideoFrames(Multimodal.mediaFromDocuments(s, dir)).toDF()),
+
+    // Stub resize + feature-extraction stages. The byte-fold features
+    // aren't SQL-expressible → no oracle entry (driver rows-only
+    // check); resize metadata IS recomputable, oracle below.
+    "multimodal_resize" -> ((s, dir) =>
+      Multimodal.resizeImages(Multimodal.mediaFromDocuments(s, dir)).toDF()),
+    "multimodal_features" -> ((s, dir) =>
+      Multimodal.extractFeatures(Multimodal.mediaFromDocuments(s, dir))
+        .toDF()
+        .select(col("media_id"),
+          org.apache.spark.sql.functions.size(col("features")).as("dim"),
+          org.apache.spark.sql.functions.round(
+            graft.functions.VectorFunctions.norm(col("features")), 3).as("nrm")))
   )
 
   private val kindSql =
@@ -46,6 +59,12 @@ object MultimodalQueries {
          |  CAST(CASE WHEN octet_length(encode(text)) % 2 = 0 THEN 3 ELSE 1 END AS INT) AS channels,
          |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
          |FROM documents WHERE $kindSql = 'image'""".stripMargin,
+    "multimodal_resize" ->
+      s"""SELECT doc_id AS media_id,
+         |  CAST(n AS BIGINT) AS n_bytes_in,
+         |  CAST((n - 1) // greatest(n // least(n, 64), 1) + 1 AS BIGINT) AS n_bytes_out
+         |FROM (SELECT doc_id, octet_length(encode(text)) AS n FROM documents
+         |      WHERE $kindSql = 'image')""".stripMargin,
     "multimodal_frames" ->
       s"""SELECT doc_id AS media_id, CAST(f AS INT) AS frame_idx,
          |  CAST(greatest(octet_length(encode(text)) // 8, 1) AS BIGINT) AS frame_bytes

@@ -50,6 +50,20 @@ object TextQueries {
         fingerprint(col("text")).as("fp"))
     }),
 
+    // BPE-ish subword tokenization: a regex lexer splitting letter
+    // runs / digit runs / single punctuation — the shape of a byte-pair
+    // pre-tokenizer's coarse pass. Identical regex semantics in Java
+    // (Spark) and RE2 (DuckDB) for this pattern class.
+    "text_bpe_tokens" -> ((s, dir) => {
+      Tables.documents(s, dir).select(
+        col("doc_id"),
+        size(regexp_extract_all(col("text"), lit("[a-z]+|[0-9]+|[^a-z0-9 ]"), lit(0)))
+          .as("n_subwords"),
+        array_join(slice(
+          regexp_extract_all(col("text"), lit("[a-z]+|[0-9]+|[^a-z0-9 ]"), lit(0)),
+          1, 5), "|").as("first5"))
+    }),
+
     // Corpus token frequencies, top 50: explode → two-phase count
     // (map-side partial agg before the shuffle), then a tiny top-k.
     "text_token_freq" -> ((s, dir) => {
@@ -85,6 +99,11 @@ object TextQueries {
     "text_fingerprint" ->
       s"""SELECT doc_id, ${Sql.fingerprint("text")} AS fp
          |FROM documents""".stripMargin,
+    "text_bpe_tokens" ->
+      """SELECT doc_id,
+        |  len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS n_subwords,
+        |  array_to_string(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')[1:5], '|') AS first5
+        |FROM documents""".stripMargin,
     "text_token_freq" ->
       s"""SELECT token, COUNT(*) AS n
          |FROM (SELECT unnest(${Sql.tokens("text")}) AS token FROM documents)

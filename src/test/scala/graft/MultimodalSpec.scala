@@ -34,6 +34,24 @@ class MultimodalSpec extends AnyFunSuite {
     assert(metas.map(_.toString).sorted.toSeq == again.map(_.toString).sorted.toSeq)
   }
 
+  test("resize shrinks payloads deterministically") {
+    val media = Multimodal.mediaFromDocuments(spark, sf)
+    val resized = Multimodal.resizeImages(media).collect()
+    assert(resized.nonEmpty)
+    assert(resized.forall(r => r.n_bytes_out <= r.n_bytes_in && r.n_bytes_out > 0))
+  }
+
+  test("feature extraction yields fixed-dim unit vectors feeding knn") {
+    import org.apache.spark.sql.functions._
+    val media = Multimodal.mediaFromDocuments(spark, sf)
+    val feats = Multimodal.extractFeatures(media, dim = 16).toDF()
+    assert(feats.filter(size(col("features")) =!= 16).count() == 0)
+    // norms ≈ 1 → usable directly by the cosine/knn operators
+    val norms = feats.select(
+      graft.functions.VectorFunctions.norm(col("features")).as("n"))
+    assert(norms.filter(abs(col("n") - 1.0) > 1e-5).count() == 0)
+  }
+
   test("video frame sampling expands 1→N with the sampling stride") {
     val media = Multimodal.mediaFromDocuments(spark, sf)
     val nVideos = media.filter(col("kind") === "video").count()
