@@ -56,8 +56,7 @@ object StreamingDemo {
       case "sliding" => TaxiPipelines.slidingArrivalCount(df)
       case "early" =>
         TaxiPipelines.earlyArrivalCount(
-          TaxiPipelines.cellEvents(df, "60 seconds")
-            .select(col("cell"), col("rideId"), col("ts"), col("passengers")).as[CellEvent],
+          TaxiPipelines.cellEvents(df, "60 seconds").as[CellEvent],
           threshold = 50).toDF()
       case other => sys.error(s"unknown mode '$other' (total|sliding|early|file)")
     }

@@ -98,31 +98,45 @@ case class AsOfJoinExec(
       var candidate: InternalRow = null
       var candidateKey: Any = null
 
+      val keyOrd = keyOrdering.asInstanceOf[Ordering[Any]]
+      val timeOrd = timeOrdering.asInstanceOf[Ordering[Any]]
+
       lIter.flatMap { lRow =>
-        val k = lkEval(lRow).get(0, lk.dataType)
-        val t = ltEval(lRow).get(0, lt.dataType)
-        // advance right while its (key, time) can still be an as-of
-        // candidate for (k, t)
-        var advancing = true
-        while (advancing && bufferedRight.hasNext) {
-          val head = bufferedRight.head
-          val hk = rkEval(head).get(0, rk.dataType)
-          val c = keyOrdering.asInstanceOf[Ordering[Any]].compare(hk, k)
-          if (c < 0) {
-            bufferedRight.next() // stale key: skip, not a candidate
-          } else if (c == 0 &&
-              timeOrdering.asInstanceOf[Ordering[Any]].compare(
-                rtEval(head).get(0, rt.dataType), t) <= 0) {
-            candidate = bufferedRight.next().copy()
-            candidateKey = hk
-          } else {
-            advancing = false
+        val kRow = lkEval(lRow)
+        val tRow = ltEval(lRow)
+        if (kRow.isNullAt(0) || tRow.isNullAt(0)) {
+          None // SQL join semantics: null keys/times never match
+        } else {
+          val k = kRow.get(0, lk.dataType)
+          val t = tRow.get(0, lt.dataType)
+          // advance right while its (key, time) can still be an as-of
+          // candidate for (k, t)
+          var advancing = true
+          while (advancing && bufferedRight.hasNext) {
+            val head = bufferedRight.head
+            val hkRow = rkEval(head)
+            if (hkRow.isNullAt(0) || rtEval(head).isNullAt(0)) {
+              bufferedRight.next() // null key/time: never a candidate
+            } else {
+              val hk = hkRow.get(0, rk.dataType)
+              val c = keyOrd.compare(hk, k)
+              if (c < 0) {
+                bufferedRight.next() // stale key: skip, not a candidate
+              } else if (c == 0 &&
+                  timeOrd.compare(rtEval(head).get(0, rt.dataType), t) <= 0) {
+                candidate = bufferedRight.next().copy()
+                // copy: for buffer-backed types (UTF8String/binary) the
+                // projection's output buffer is reused on the next eval
+                candidateKey = InternalRow.copyValue(hk)
+              } else {
+                advancing = false
+              }
+            }
           }
+          if (candidate != null && keyOrd.compare(candidateKey, k) == 0) {
+            Some(resultProj(joined(lRow, candidate)))
+          } else None
         }
-        if (candidate != null &&
-            keyOrdering.asInstanceOf[Ordering[Any]].compare(candidateKey, k) == 0) {
-          Some(resultProj(joined(lRow, candidate)))
-        } else None
       }
     }
   }
@@ -146,13 +160,25 @@ object AsOf {
     val spark: SparkSession = leftDf.sparkSession
     ColumnBridge.addStrategy(spark, AsOfStrategy)
     val lPlan = ColumnBridge.analyzedPlan(leftDf)
-    val rPlan = ColumnBridge.analyzedPlan(rightDf)
+    val rPlan0 = ColumnBridge.analyzedPlan(rightDf)
+    // Self-join safety: if the two sides share exprIds (same source
+    // relation), re-alias the right side so output binding and the
+    // merge expressions stay unambiguous.
+    val rPlan =
+      if (rPlan0.output.map(_.exprId).toSet.intersect(lPlan.output.map(_.exprId).toSet).nonEmpty) {
+        import org.apache.spark.sql.catalyst.expressions.Alias
+        import org.apache.spark.sql.catalyst.plans.logical.Project
+        Project(rPlan0.output.map(a => Alias(a, a.name)()), rPlan0)
+      } else rPlan0
     def resolve(plan: LogicalPlan, name: String): Attribute =
       plan.output.find(_.name == name).getOrElse(
         sys.error(s"column '$name' not found in [${plan.output.map(_.name).mkString(", ")}]"))
-    ColumnBridge.ofRows(spark, AsOfJoin(
-      lPlan, rPlan,
-      resolve(lPlan, leftKeyCol), resolve(rPlan, rightKeyCol),
-      resolve(lPlan, leftTimeCol), resolve(rPlan, rightTimeCol)))
+    val (lk, rk) = (resolve(lPlan, leftKeyCol), resolve(rPlan, rightKeyCol))
+    val (lt, rt) = (resolve(lPlan, leftTimeCol), resolve(rPlan, rightTimeCol))
+    require(lk.dataType == rk.dataType,
+      s"as-of key types differ: ${lk.dataType.sql} vs ${rk.dataType.sql}")
+    require(lt.dataType == rt.dataType,
+      s"as-of time types differ: ${lt.dataType.sql} vs ${rt.dataType.sql}")
+    ColumnBridge.ofRows(spark, AsOfJoin(lPlan, rPlan, lk, rk, lt, rt))
   }
 }

@@ -35,6 +35,41 @@ object StreamingQueries {
   private def checkpoint(): String =
     Files.createTempDirectory("graft-ckpt-").toString
 
+  /** Shared Append-mode replay scaffold: rides → serving order
+    * (± sentinel) → MemoryStream → `build` pipeline → memory sink →
+    * batch-wise feed → final watermark flush. Sentinel/checkpoint/
+    * flush behavior lives here once for every Append-mode query.
+    */
+  private def appendReplay(
+      spark: SparkSession,
+      sfDir: String,
+      prefix: String,
+      nBatches: Int = 4,
+      sentinel: Boolean = true)(
+      build: DataFrame => DataFrame): DataFrame = {
+    val rides = TaxiReplay.ridesFromEvents(spark, sfDir).collect().toSeq
+    val ordered0 = TaxiReplay.servingOrder(rides, MaxDelayMs)
+    val ordered = if (sentinel) withSentinel(ordered0) else ordered0
+    val (ms, df) = TaxiReplay.memoryStream(spark)
+    val name = prefix + UUID.randomUUID().toString.replace("-", "")
+    val q = build(df)
+      .writeStream.outputMode("append")
+      .option("checkpointLocation", checkpoint())
+      .format("memory").queryName(name)
+      .start()
+    try {
+      TaxiReplay.feedInBatches(ms, ordered, nBatches, () => q.processAllAvailable())
+      q.processAllAvailable() // empty batch: watermark-driven emission
+    } finally q.stop()
+    spark.table(name)
+  }
+
+  /** Typed cell-event stream shared by the stateful pipelines. */
+  private def cellsOf(df: DataFrame) = {
+    import df.sparkSession.implicits._
+    TaxiPipelines.cellEvents(df, "60 seconds").as[CellEvent]
+  }
+
   /** O9 streaming: Update mode + keyed upsert sink (O14). */
   def totalStream(spark: SparkSession, sfDir: String): DataFrame = {
     val rides = TaxiReplay.ridesFromEvents(spark, sfDir).collect().toSeq
@@ -54,80 +89,34 @@ object StreamingQueries {
   /** O10 streaming: Append mode — rows emitted only when the watermark
     * passes window end (Flink's default event-time trigger).
     */
-  def slidingStream(spark: SparkSession, sfDir: String): DataFrame = {
-    val rides = TaxiReplay.ridesFromEvents(spark, sfDir).collect().toSeq
-    val ordered = withSentinel(TaxiReplay.servingOrder(rides, MaxDelayMs))
-    val (ms, df) = TaxiReplay.memoryStream(spark)
-    val name = "sliding_" + UUID.randomUUID().toString.replace("-", "")
-    val q = TaxiPipelines.slidingArrivalCount(df)
-      .writeStream.outputMode("append")
-      .option("checkpointLocation", checkpoint())
-      .format("memory").queryName(name)
-      .start()
-    try {
-      TaxiReplay.feedInBatches(ms, ordered, 4, () => q.processAllAvailable())
-      // one empty batch so watermark-driven final emission runs
-      q.processAllAvailable()
-    } finally q.stop()
-    spark.table(name).filter(col("cnt") > 0)
-  }
+  def slidingStream(spark: SparkSession, sfDir: String): DataFrame =
+    appendReplay(spark, sfDir, "sliding_")(TaxiPipelines.slidingArrivalCount(_))
+      .filter(col("cnt") > 0)
 
   /** O11 streaming: early-firing count trigger via
     * flatMapGroupsWithState. Only the watermark-driven *final* fires
     * are oracle-checked (they must equal the plain sliding counts);
     * early-fire prefix invariants are property-tested in ScalaTest.
     */
-  def earlyStream(spark: SparkSession, sfDir: String, threshold: Int = 50): DataFrame = {
-    import spark.implicits._
-    val rides = TaxiReplay.ridesFromEvents(spark, sfDir).collect().toSeq
-    val ordered = withSentinel(TaxiReplay.servingOrder(rides, MaxDelayMs))
-    val (ms, df) = TaxiReplay.memoryStream(spark)
-    val cells = TaxiPipelines.cellEvents(df, "60 seconds")
-      .select(col("cell"), col("rideId"), col("ts"), col("passengers"))
-      .as[CellEvent]
-    val name = "early_" + UUID.randomUUID().toString.replace("-", "")
-    val q = TaxiPipelines.earlyArrivalCount(cells, threshold)
-      .writeStream.outputMode("append")
-      .option("checkpointLocation", checkpoint())
-      .format("memory").queryName(name)
-      .start()
-    try {
-      TaxiReplay.feedInBatches(ms, ordered, 4, () => q.processAllAvailable())
-      q.processAllAvailable()
-    } finally q.stop()
-    spark.table(name)
+  def earlyStream(spark: SparkSession, sfDir: String, threshold: Int = 50): DataFrame =
+    appendReplay(spark, sfDir, "early_") { df =>
+      TaxiPipelines.earlyArrivalCount(cellsOf(df), threshold).toDF()
+    }
       .filter(col("isFinal") && col("cnt") > 0)
       .select(col("cell"), col("wEndMs").as("w_end_ms"), col("cnt"))
-  }
 
   /** O9 faithful per-event emission: the event-time-ordered running
     * fold — one output row per input event, deterministic under
     * out-of-order replay (see TaxiPipelines.runningCountPerEvent).
     * Must equal the batch window-function oracle exactly.
     */
-  def runningStream(spark: SparkSession, sfDir: String): DataFrame = {
-    import spark.implicits._
-    val rides = TaxiReplay.ridesFromEvents(spark, sfDir).collect().toSeq
-    val ordered = withSentinel(TaxiReplay.servingOrder(rides, MaxDelayMs))
-    val (ms, df) = TaxiReplay.memoryStream(spark)
-    val cells = TaxiPipelines.cellEvents(df, "60 seconds")
-      .select(col("cell"), col("rideId"), col("ts"), col("passengers"))
-      .as[CellEvent]
-    val name = "running_" + UUID.randomUUID().toString.replace("-", "")
-    val q = TaxiPipelines.runningCountPerEvent(cells)
-      .writeStream.outputMode("append")
-      .option("checkpointLocation", checkpoint())
-      .format("memory").queryName(name)
-      .start()
-    try {
-      TaxiReplay.feedInBatches(ms, ordered, 4, () => q.processAllAvailable())
-      q.processAllAvailable()
-    } finally q.stop()
-    spark.table(name)
+  def runningStream(spark: SparkSession, sfDir: String): DataFrame =
+    appendReplay(spark, sfDir, "running_") { df =>
+      TaxiPipelines.runningCountPerEvent(cellsOf(df)).toDF()
+    }
       .filter(col("rideId") >= 0) // drop the flush sentinel's own row
       .select(col("cell"), col("rideId"), col("tMs").as("t_ms"),
         col("runningCnt").as("running_cnt"))
-  }
 
   /** Stream-stream interval join: START and END events of a ride meet
     * on pair_id within a ±1 h event-time bound. Both sides carry the
@@ -136,39 +125,27 @@ object StreamingQueries {
     * failure mode). Inner-join matches emit as they arrive, so no
     * flush sentinel is needed.
     */
-  def durationStream(spark: SparkSession, sfDir: String): DataFrame = {
-    val rides = TaxiReplay.ridesFromEvents(spark, sfDir).collect().toSeq
-    val ordered = TaxiReplay.servingOrder(rides, MaxDelayMs)
-    val (ms, df) = TaxiReplay.memoryStream(spark)
-    val wm = df.withWatermark("ts", "60 seconds")
-    val starts = wm.filter(col("isStart"))
-      .select(expr("rideId div 2").as("pair_s"), col("ts").as("ts_start"))
-    val ends = wm.filter(!col("isStart"))
-      .select(expr("rideId div 2").as("pair_e"), col("ts").as("ts_end"))
-    val name = "dur_" + UUID.randomUUID().toString.replace("-", "")
-    val q = starts.join(ends,
-        col("pair_s") === col("pair_e") &&
-          col("ts_end").between(
-            col("ts_start") - expr("INTERVAL 1 HOUR"),
-            col("ts_start") + expr("INTERVAL 1 HOUR")))
-      .select(col("pair_s").as("pair_id"),
-        unix_millis(col("ts_start")).as("t_start"),
-        unix_millis(col("ts_end")).as("t_end"),
-        (unix_millis(col("ts_end")) - unix_millis(col("ts_start"))).as("duration_ms"))
-      .writeStream.outputMode("append")
-      .option("checkpointLocation", checkpoint())
-      .format("memory").queryName(name)
-      .start()
-    try {
-      // 2 batches: stream-stream join keeps 4 state stores per
-      // partition and re-versions them per micro-batch — batch count
-      // is the dominant cost, and 2 batches still exercises
-      // cross-batch matching + state expiry.
-      TaxiReplay.feedInBatches(ms, ordered, 2, () => q.processAllAvailable())
-      q.processAllAvailable()
-    } finally q.stop()
-    spark.table(name)
-  }
+  // 2 batches: stream-stream join keeps 4 state stores per partition
+  // and re-versions them per micro-batch — batch count is the dominant
+  // cost, and 2 batches still exercises cross-batch matching + state
+  // expiry. Inner-join matches emit on arrival → no sentinel needed.
+  def durationStream(spark: SparkSession, sfDir: String): DataFrame =
+    appendReplay(spark, sfDir, "dur_", nBatches = 2, sentinel = false) { df =>
+      val wm = df.withWatermark("ts", "60 seconds")
+      val starts = wm.filter(col("isStart"))
+        .select(expr("rideId div 2").as("pair_s"), col("ts").as("ts_start"))
+      val ends = wm.filter(!col("isStart"))
+        .select(expr("rideId div 2").as("pair_e"), col("ts").as("ts_end"))
+      starts.join(ends,
+          col("pair_s") === col("pair_e") &&
+            col("ts_end").between(
+              col("ts_start") - expr("INTERVAL 1 HOUR"),
+              col("ts_start") + expr("INTERVAL 1 HOUR")))
+        .select(col("pair_s").as("pair_id"),
+          unix_millis(col("ts_start")).as("t_start"),
+          unix_millis(col("ts_end")).as("t_end"),
+          (unix_millis(col("ts_end")) - unix_millis(col("ts_start"))).as("duration_ms"))
+    }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "taxi_total_stream" -> (totalStream _),

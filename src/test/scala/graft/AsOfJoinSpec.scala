@@ -51,6 +51,46 @@ class AsOfJoinSpec extends AnyFunSuite {
     assert(!plan.contains("BroadcastNestedLoopJoin"))
   }
 
+  test("string keys survive projection-buffer reuse") {
+    import spark.implicits._
+    // regression: candidateKey must be a COPY — UTF8String keys read
+    // from the reused projection buffer mutate on the next right row
+    val l = Seq(("a", 100L, 1), ("b", 5L, 2)).toDF("k", "t", "id")
+    val r = Seq(("a", 50L, 1.0), ("b", 60L, 2.0)).toDF("rk", "rt", "v")
+    val got = AsOf.join(l, r, "k", "rk", "t", "rt")
+      .select("id", "rt").collect().map(x => (x.getInt(0), x.getLong(1))).toSet
+    // (a,100) matches (a,50); (b,5) has no right row at/before t=5
+    assert(got == Set((1, 50L)))
+  }
+
+  test("null keys and times never match and never crash") {
+    import spark.implicits._
+    val l = Seq((null.asInstanceOf[String], 10L, 1), ("a", 100L, 2)).toDF("k", "t", "id")
+    val r = Seq((null.asInstanceOf[String], 5L, 9.0), ("a", 50L, 1.0)).toDF("rk", "rt", "v")
+    val got = AsOf.join(l, r, "k", "rk", "t", "rt")
+      .select("id", "v").collect().map(x => (x.getInt(0), x.getDouble(1))).toSet
+    assert(got == Set((2, 1.0)))
+  }
+
+  test("self-join over the same relation re-aliases shared exprIds") {
+    import spark.implicits._
+    val d = Seq((1L, 10L), (1L, 20L)).toDF("k", "t")
+    val rows = AsOf.join(d, d, "k", "k", "t", "t").collect()
+      .map(r => (r.getLong(1), r.getLong(3))).toSet
+    // each left row matches itself (latest right with rt <= t)
+    assert(rows == Set((10L, 10L), (20L, 20L)))
+  }
+
+  test("mismatched key types fail fast with a clear message") {
+    import spark.implicits._
+    val l = Seq((1L, 10L)).toDF("k", "t")
+    val r = Seq((1, 5L, 1.0)).toDF("rk", "rt", "v") // Int key vs Long
+    val e = intercept[IllegalArgumentException] {
+      AsOf.join(l, r, "k", "rk", "t", "rt")
+    }
+    assert(e.getMessage.contains("key types differ"))
+  }
+
   test("left rows with no prior right row drop out (inner as-of)") {
     import spark.implicits._
     val l = Seq((1L, 10L, 100L), (1L, 20L, 5L), (2L, 30L, 50L))
