@@ -1,0 +1,73 @@
+package graft
+
+import graft.streaming.{TaxiPipelines, TaxiReplay, RideEvent}
+import org.scalacheck.{Gen, Prop, Test => SCTest}
+import org.scalacheck.Prop.forAll
+import org.scalatest.funsuite.AnyFunSuite
+
+/** ScalaCheck properties (SURVEY.md §5.3) over the pure engine math —
+  * no Spark session needed, so these run in milliseconds.
+  */
+class PropertiesSpec extends AnyFunSuite {
+
+  private def check(p: Prop): Unit = {
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(300), p)
+    assert(res.passed, res.status.toString)
+  }
+
+  private val tsGen = Gen.choose(1_500_000_000_000L, 1_800_000_000_000L)
+
+  test("every event lands in exactly windowSize/slide panes, all containing it") {
+    check(forAll(tsGen) { t =>
+      val ends = TaxiPipelines.windowEndsFor(t)
+      val distinct = ends.distinct.size == 3
+      val containing = ends.forall(e =>
+        t < e && t >= e - TaxiPipelines.WindowSizeMs)
+      val aligned = ends.forall(_ % TaxiPipelines.WindowSlideMs == 0)
+      distinct && containing && aligned
+    })
+  }
+
+  test("bounded gaussian delay is within [0, max] for any max") {
+    check(forAll(Gen.choose(0L, 600000L), Gen.long) { (maxDelay, seed) =>
+      val rnd = new scala.util.Random(seed)
+      val d = TaxiReplay.boundedGaussianDelay(rnd, maxDelay)
+      d >= 0 && d <= math.max(maxDelay, 0)
+    })
+  }
+
+  test("serving order is a permutation with bounded time inversion") {
+    val eventGen = Gen.listOfN(60, Gen.zip(Gen.choose(0L, 50L), tsGen)).map(_.map {
+      case (id, t) => RideEvent(id, t, isStart = false, -74.0, 40.7, 1)
+    })
+    check(forAll(eventGen, Gen.choose(0L, 120000L)) { (events, maxDelay) =>
+      val served = TaxiReplay.servingOrder(events, maxDelay)
+      val permutation = served.map(e => (e.rideId, e.tMs)).sorted ==
+        events.map(e => (e.rideId, e.tMs)).sorted
+      // an event can only be overtaken by events ≤ maxDelay younger
+      val bounded = served.sliding(2).forall {
+        case Seq(a, b) => a.tMs <= b.tMs + maxDelay
+        case _ => true
+      }
+      permutation && bounded
+    })
+  }
+
+  test("trigram packing is injective on printable ascii strings") {
+    val ascii = Gen.listOfN(12, Gen.choose(32.toChar, 126.toChar)).map(_.mkString)
+    check(forAll(ascii, ascii) { (a, b) =>
+      def pack(s: String): Set[Int] = {
+        val bs = s.getBytes("UTF-8")
+        if (bs.length == 0) Set(0)
+        else (0 until math.max(bs.length - 2, 1)).map { i =>
+          def at(j: Int) = if (j < bs.length) bs(j) & 0xff else 0
+          at(i) * 65536 + at(i + 1) * 256 + at(i + 2)
+        }.toSet
+      }
+      // equal trigram sets for equal strings; distinct 3-substrings
+      // imply distinct packed values (injectivity on the window)
+      (a != b) || pack(a) == pack(b)
+    })
+  }
+}
