@@ -32,8 +32,17 @@ object StreamingQueries {
     events :+ RideEvent(-1L, maxT + 7200000L, isStart = false, -74.0, 40.75, 0)
   }
 
-  private def checkpoint(): String =
-    Files.createTempDirectory("graft-ckpt-").toString
+  /** Checkpoint dirs on tmpfs when available: the default temp dir can
+    * sit on a slow filesystem (9p in containers) and the state store
+    * writes delta + snapshot files per operator per partition per
+    * micro-batch — checkpoint IO then dominates replay time.
+    */
+  private def checkpoint(): String = {
+    val base = java.nio.file.Paths.get("/dev/shm")
+    if (java.nio.file.Files.isDirectory(base) && java.nio.file.Files.isWritable(base))
+      Files.createTempDirectory(base, "graft-ckpt-").toString
+    else Files.createTempDirectory("graft-ckpt-").toString
+  }
 
   /** Shared Append-mode replay scaffold: rides → serving order
     * (± sentinel) → MemoryStream → `build` pipeline → memory sink →
