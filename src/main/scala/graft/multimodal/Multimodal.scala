@@ -87,11 +87,35 @@ object Multimodal {
       val n = math.sqrt(acc.map(x => x * x).sum).toFloat
       if (n == 0f) acc else acc.map(_ / n)
     }
+
+    /** Exact integer twin of `extractFeatures`'s fold (not a stub —
+      * integer addition has no rounding): per-lane sums of raw byte
+      * values, recomputable bit-exactly by the SQL oracle.
+      */
+    def byteLaneSums(payload: Array[Byte], dim: Int = 16): Array[Long] = {
+      val acc = new Array[Long](dim)
+      var i = 0
+      while (i < payload.length) {
+        acc(i % dim) += (payload(i) & 0xff).toLong
+        i += 1
+      }
+      acc
+    }
   }
 
   final case class ResizedImage(media_id: Long, n_bytes_in: Long, n_bytes_out: Long)
 
-  final case class MediaFeatures(media_id: Long, features: Array[Float])
+  /** `features` is the stub encoder's unit-norm float vector;
+    * `laneSums` is the same byte-fold in *exact integer* domain
+    * (laneSums(j) = Σ of payload bytes at positions ≡ j mod dim) — the
+    * oracle-checkable shadow of the float fold, so the driver can
+    * hard-verify the decode→fold plumbing without comparing float32
+    * accumulation against DuckDB doubles.
+    */
+  final case class MediaFeatures(
+      media_id: Long,
+      features: Array[Float],
+      laneSums: Array[Long])
 
   /** Resize stage: payload → smaller payload, still partition-local. */
   def resizeImages(media: DataFrame, w: Int = 64, h: Int = 64): Dataset[ResizedImage] = {
@@ -114,7 +138,9 @@ object Multimodal {
     import spark.implicits._
     media.as[MediaItem]
       .mapPartitions(_.map(m =>
-        MediaFeatures(m.media_id, StubCodecs.extractFeatures(m.payload, dim))))
+        MediaFeatures(m.media_id,
+          StubCodecs.extractFeatures(m.payload, dim),
+          StubCodecs.byteLaneSums(m.payload, dim))))
   }
 
   /** Synthesizes a media table from `documents` (no binary test table

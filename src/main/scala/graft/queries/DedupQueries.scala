@@ -15,6 +15,8 @@ import org.apache.spark.sql.functions._
 object DedupQueries {
 
   private val Dim = 64 // embedding dimensionality of the driver tables
+  private val EmbBands = 4 // hyperplane-LSH bands for embedding dedup
+  private val EmbBandBits = 2 // sign bits per band
 
   /** doc_id + 16 minhash signature columns, computed in one pass by
     * the native MinHashSignature expression (see its scaladoc for the
@@ -134,50 +136,85 @@ object DedupQueries {
         .select(col("doc_id"), fp.as("simhash"))
     }),
 
-    // n-gram Jaccard near-dup, bucketed by source (at scale: any
-    // coarse partition key or LSH band keeps pairs bounded).
-    // Per-pair cost is a single array_intersect: |A∪B| is derived from
-    // precomputed set sizes (|A|+|B|−|A∩B|), and a size-ratio prefilter
-    // in the join condition discards pairs that cannot reach the
-    // threshold (jac ≥ 0.5 needs 3·min(|A|,|B|) ≥ |A|+|B|) before any
-    // array work.
+    // EXACT n-gram Jaccard near-dup via prefix filtering (the PPJoin
+    // family): a pair with J(A,B) ≥ t shares ≥ ⌈t·max(|A|,|B|)⌉ ≥
+    // ⌈t·|x|⌉ tokens, so under any fixed global token order each
+    // side's first |x| − ⌈t·|x|⌉ + 1 tokens must contain a shared
+    // token. Candidates therefore come from an inverted index on
+    // *prefix* tokens (ordered rarest-first, which keeps posting
+    // lists short) — complete wrt the exact oracle, no all-pairs
+    // bucket anywhere. Shuffles are all linear in corpus size:
+    // explode→freq, prefix rank, token equi-join, verify join.
+    // The size-ratio conjunct (jac ≥ 0.5 needs 3·min ≥ |A|+|B|) prunes
+    // candidates before the exact codegen'd intersect verifies.
     "dedup_ngram_jaccard" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
       val docs = Tables.documents(s, dir)
         .select(col("doc_id"), col("source"), trigrams("text").as("tg"))
         .withColumn("sz", size(col("tg")))
-      docs.as("a").join(docs.as("b"),
-          col("a.source") === col("b.source") && col("a.doc_id") < col("b.doc_id") &&
+      val tok = docs.select(col("doc_id"), col("source"), col("sz"),
+        explode(col("tg")).as("t"))
+      // global rarity order; trigram domain is small → broadcast back
+      val freq = tok.groupBy("t").agg(count(lit(1)).as("freq"))
+      val prefixLen = (col("sz") - ceil(col("sz") * 0.5) + 1).cast("int")
+      val prefix = tok.join(broadcast(freq), "t")
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(col("doc_id")).orderBy(col("freq"), col("t"))))
+        .filter(col("rn") <= prefixLen)
+        .select(col("t"), col("doc_id"), col("source"), col("sz"))
+      val cand = prefix.as("a").join(prefix.as("b"),
+          col("a.t") === col("b.t") && col("a.source") === col("b.source") &&
+            col("a.doc_id") < col("b.doc_id") &&
             least(col("a.sz"), col("b.sz")) * 3 >= col("a.sz") + col("b.sz"))
-        // Pushdown barrier: without it Catalyst folds the jaccard
-        // threshold into the join condition AHEAD of the cheap
-        // conjuncts, evaluating the intersect for every ordered pair
-        // (2× the pairs, twice per survivor). A nondeterministic
-        // projection blocks predicate pushdown; the column is dropped
-        // immediately after.
-        .withColumn("_barrier", monotonically_increasing_id())
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+        .distinct()
+      val tgs = docs.select(col("doc_id"), col("tg"), col("sz"))
+      cand
+        .join(tgs.as("da"), col("doc_a") === col("da.doc_id"))
+        .join(tgs.as("db"), col("doc_b") === col("db.doc_id"))
         .withColumn("inter",
-          graft.functions.expressions.SortedIntersectSize(col("a.tg"), col("b.tg")))
+          graft.functions.expressions.SortedIntersectSize(col("da.tg"), col("db.tg")))
         .withColumn("jaccard",
-          col("inter").cast("double") / (col("a.sz") + col("b.sz") - col("inter")))
+          col("inter").cast("double") / (col("da.sz") + col("db.sz") - col("inter")))
         .filter(col("jaccard") >= 0.5)
-        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-          round(col("jaccard"), 6).as("jac"))
+        .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 6).as("jac"))
     }),
 
-    // Embedding-cosine near-dup within label buckets. Norms are
-    // precomputed per vector before the join — each pair costs one
-    // codegen'd dot product.
+    // Embedding-cosine near-dup: banded random-hyperplane LSH
+    // candidates (4 bands × 2 sign bits out of one 8-bit bucket),
+    // verified by exact cosine. Candidate pairs must share (label,
+    // band value) for some band — no bucket is ever all-pairs on a
+    // hot label, which is what survives a skewed 100 TB corpus. Norms
+    // are precomputed per vector; each candidate costs one codegen'd
+    // dot product. The oracle models the identical banding, so the
+    // check is exact over the LSH semantics (same pattern as knn_lsh).
     "dedup_embedding_pairs" -> ((s, dir) => {
       val emb = Tables.embeddings(s, dir)
         .withColumn("nrm", VectorFunctions.norm(col("embedding")))
-      emb.as("a").join(emb.as("b"),
-          col("a.label") === col("b.label") && col("a.vec_id") < col("b.vec_id"))
+        .withColumn("bucket",
+          VectorFunctions.lshBucket(col("embedding"), Dim, EmbBands * EmbBandBits))
+      val bandMask = (1 << EmbBandBits) - 1
+      val banded = emb.select(col("vec_id"), col("label"),
+          explode(array((0 until EmbBands).map(k => struct(
+            lit(k).as("band"),
+            shiftright(col("bucket"), k * EmbBandBits).bitwiseAND(lit(bandMask.toLong))
+              .as("bval"))): _*)).as("bb"))
+        .select(col("vec_id"), col("label"), col("bb.band").as("band"),
+          col("bb.bval").as("bval"))
+      val cand = banded.as("x").join(banded.as("y"),
+          col("x.label") === col("y.label") && col("x.band") === col("y.band") &&
+            col("x.bval") === col("y.bval") && col("x.vec_id") < col("y.vec_id"))
+        .select(col("x.vec_id").as("id_a"), col("y.vec_id").as("id_b"))
+        .distinct()
+      val vecs = emb.select(col("vec_id"), col("embedding"), col("nrm"))
+      cand
+        .join(vecs.as("a"), col("id_a") === col("a.vec_id"))
+        .join(vecs.as("b"), col("id_b") === col("b.vec_id"))
         .withColumn("cos",
           VectorFunctions.dot(col("a.embedding"), col("b.embedding")) /
             (col("a.nrm") * col("b.nrm")))
         .filter(col("cos") >= 0.3)
-        .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"),
-          round(col("cos"), 6).as("cos_r"))
+        .select(col("id_a"), col("id_b"), round(col("cos"), 6).as("cos_r"))
     })
   )
 
@@ -219,11 +256,21 @@ object DedupQueries {
          |FROM tg a JOIN tg b ON a.source = b.source AND a.doc_id < b.doc_id
          |WHERE len(list_intersect(a.tg, b.tg))::DOUBLE /
          |      len(list_distinct(list_concat(a.tg, b.tg))) >= 0.5""".stripMargin,
-    "dedup_embedding_pairs" ->
-      s"""SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+    "dedup_embedding_pairs" -> {
+      val bandMask = (1 << EmbBandBits) - 1
+      val bandMatch = (0 until EmbBands)
+        .map(k => s"((a.bucket >> ${k * EmbBandBits}) & $bandMask) = " +
+          s"((b.bucket >> ${k * EmbBandBits}) & $bandMask)")
+        .mkString("(", " OR ", ")")
+      s"""WITH bk AS (
+         |  SELECT vec_id, label, embedding,
+         |    ${VectorFunctions.Sql.lshBucket("embedding", Dim, EmbBands * EmbBandBits)} AS bucket
+         |  FROM embeddings)
+         |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
          |  ROUND(${VectorFunctions.Sql.cosine("a.embedding", "b.embedding", Dim)}, 6) AS cos_r
-         |FROM embeddings a JOIN embeddings b
-         |  ON a.label = b.label AND a.vec_id < b.vec_id
+         |FROM bk a JOIN bk b
+         |  ON a.label = b.label AND a.vec_id < b.vec_id AND $bandMatch
          |WHERE ${VectorFunctions.Sql.cosine("a.embedding", "b.embedding", Dim)} >= 0.3""".stripMargin
+    }
   )
 }

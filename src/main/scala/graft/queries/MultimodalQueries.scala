@@ -29,9 +29,10 @@ object MultimodalQueries {
     "multimodal_frames" -> ((s, dir) =>
       Multimodal.sampleVideoFrames(Multimodal.mediaFromDocuments(s, dir)).toDF()),
 
-    // Stub resize + feature-extraction stages. The byte-fold features
-    // aren't SQL-expressible → no oracle entry (driver rows-only
-    // check); resize metadata IS recomputable, oracle below.
+    // Stub resize + feature-extraction stages. The float32 feature
+    // fold isn't robustly SQL-comparable, but its exact integer twin
+    // (per-lane byte sums) is — projected here alongside dim and the
+    // (unit) norm so the driver hard-checks the decode→fold plumbing.
     "multimodal_resize" -> ((s, dir) =>
       Multimodal.resizeImages(Multimodal.mediaFromDocuments(s, dir)).toDF()),
     "multimodal_features" -> ((s, dir) =>
@@ -40,13 +41,34 @@ object MultimodalQueries {
         .select(col("media_id"),
           org.apache.spark.sql.functions.size(col("features")).as("dim"),
           org.apache.spark.sql.functions.round(
-            graft.functions.VectorFunctions.norm(col("features")), 3).as("nrm")))
+            graft.functions.VectorFunctions.norm(col("features")), 3).as("nrm"),
+          element_at(col("laneSums"), 1).as("s0"),
+          element_at(col("laneSums"), 2).as("s1"),
+          element_at(col("laneSums"), 3).as("s2"),
+          element_at(col("laneSums"), 4).as("s3"),
+          aggregate(col("laneSums"), lit(0L), (a, x) => a + x).as("s_all")))
   )
 
   private val kindSql =
     "(['image', 'audio', 'video'])[CAST(doc_id % 3 + 1 AS INT)]"
 
+  /** Exact per-lane byte sum (the corpus is ASCII, so 1 char = 1 byte
+    * and `ascii()` is the byte value — asserted by the length check in
+    * the spec).
+    */
+  private def laneSumSql(lane: Int): String =
+    s"CAST(coalesce(list_sum([ascii(substring(text, i, 1)) " +
+      s"for i in range(1, length(text) + 1) if (i - 1) % 16 = $lane]), 0) AS BIGINT)"
+
   val oracleSql: Map[String, String] = Map(
+    "multimodal_features" ->
+      s"""SELECT doc_id AS media_id, CAST(16 AS INT) AS dim,
+         |  CAST(1.0 AS DOUBLE) AS nrm,
+         |  ${laneSumSql(0)} AS s0, ${laneSumSql(1)} AS s1,
+         |  ${laneSumSql(2)} AS s2, ${laneSumSql(3)} AS s3,
+         |  CAST(coalesce(list_sum([ascii(substring(text, i, 1))
+         |    for i in range(1, length(text) + 1)]), 0) AS BIGINT) AS s_all
+         |FROM documents""".stripMargin,
     "multimodal_meta" ->
       s"""SELECT doc_id AS media_id, $kindSql AS kind,
          |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,

@@ -40,18 +40,25 @@ object SimilarityQueries {
     (col("q_nrm") * col("nrm"))
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    // Exact top-k: broadcast queries × corpus, rank by (cos desc, id).
+    // Exact top-k: broadcast queries × corpus scored partition-local,
+    // then a bounded top-k *aggregator* per query — partial aggregation
+    // reduces each partition to ≤ k rows per query before the shuffle
+    // (Q×k×partitions moved, not Q×N as a rank window would).
     "knn_brute" -> ((s, dir) => {
+      import s.implicits._
       val emb = corpus(s, dir)
       val q = queriesOf(emb)
-      val w = Window.partitionBy(col("query_id"))
-        .orderBy(col("cos").desc, col("vec_id").asc)
-      broadcast(q).join(emb, col("query_id") =!= col("vec_id"))
-        .withColumn("cos", cosCol)
-        .withColumn("rnk", row_number().over(w))
-        .filter(col("rnk") <= K)
-        .select(col("query_id"), col("vec_id").as("neighbor_id"), col("rnk"),
-          round(col("cos"), 6).as("cos_r"))
+      val scored = broadcast(q).join(emb, col("query_id") =!= col("vec_id"))
+        .select(col("query_id"), col("vec_id"), cosCol.as("cos"))
+        .as[(Long, Long, Double)]
+      scored.groupByKey(_._1)
+        .mapValues(t => graft.functions.Scored(t._2, t._3))
+        .agg(new graft.functions.TopKByScore(K).toColumn)
+        .toDF("query_id", "topk")
+        .select(col("query_id"), posexplode(col("topk")))
+        .select(col("query_id"), col("col.vec_id").as("neighbor_id"),
+          (col("pos") + 1).cast("int").as("rnk"),
+          round(col("col.cos"), 6).as("cos_r"))
     }),
 
     // LSH ANN: score only within the query's hyperplane bucket.

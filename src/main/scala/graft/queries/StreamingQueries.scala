@@ -44,6 +44,24 @@ object StreamingQueries {
     else Files.createTempDirectory("graft-ckpt-").toString
   }
 
+  /** Replay sessions run with a small, independent shuffle-partition
+    * count. The state store is partitioned by `spark.sql.shuffle
+    * .partitions` *at first micro-batch* and every stateful operator
+    * then commits delta files per partition per micro-batch — at the
+    * parent session's 32 partitions that checkpoint IO was 80% of the
+    * whole bench (BENCH_r01) for a few thousand replayed rows. The knob
+    * is per-deployment: a production job sizes it to keyspace/executor
+    * count; the replay harness wants it small. `newSession()` shares
+    * the SparkContext but isolates the conf, so batch queries on the
+    * parent session keep their partitioning.
+    */
+  private def streamSession(spark: SparkSession): SparkSession = {
+    val ss = spark.newSession()
+    ss.conf.set("spark.sql.shuffle.partitions",
+      sys.env.getOrElse("SPARK_GRAFT_STREAM_PARTITIONS", "4"))
+    ss
+  }
+
   /** Shared Append-mode replay scaffold: rides → serving order
     * (± sentinel) → MemoryStream → `build` pipeline → memory sink →
     * batch-wise feed → final watermark flush. Sentinel/checkpoint/
@@ -56,10 +74,11 @@ object StreamingQueries {
       nBatches: Int = 4,
       sentinel: Boolean = true)(
       build: DataFrame => DataFrame): DataFrame = {
-    val rides = TaxiReplay.ridesFromEvents(spark, sfDir).collect().toSeq
+    val ss = streamSession(spark)
+    val rides = TaxiReplay.ridesFromEvents(ss, sfDir).collect().toSeq
     val ordered0 = TaxiReplay.servingOrder(rides, MaxDelayMs)
     val ordered = if (sentinel) withSentinel(ordered0) else ordered0
-    val (ms, df) = TaxiReplay.memoryStream(spark)
+    val (ms, df) = TaxiReplay.memoryStream(ss)
     val name = prefix + UUID.randomUUID().toString.replace("-", "")
     val q = build(df)
       .writeStream.outputMode("append")
@@ -70,7 +89,7 @@ object StreamingQueries {
       TaxiReplay.feedInBatches(ms, ordered, nBatches, () => q.processAllAvailable())
       q.processAllAvailable() // empty batch: watermark-driven emission
     } finally q.stop()
-    spark.table(name)
+    ss.table(name)
   }
 
   /** Typed cell-event stream shared by the stateful pipelines. */
@@ -79,11 +98,15 @@ object StreamingQueries {
     TaxiPipelines.cellEvents(df, "60 seconds").as[CellEvent]
   }
 
-  /** O9 streaming: Update mode + keyed upsert sink (O14). */
+  /** O9 streaming: Update mode + keyed upsert sink (O14). The sink is
+    * the executor-side upsert log — no driver collect in the query
+    * path; `toDF` is the merge-on-read compaction.
+    */
   def totalStream(spark: SparkSession, sfDir: String): DataFrame = {
-    val rides = TaxiReplay.ridesFromEvents(spark, sfDir).collect().toSeq
+    val ss = streamSession(spark)
+    val rides = TaxiReplay.ridesFromEvents(ss, sfDir).collect().toSeq
     val ordered = TaxiReplay.servingOrder(rides, MaxDelayMs)
-    val (ms, df) = TaxiReplay.memoryStream(spark)
+    val (ms, df) = TaxiReplay.memoryStream(ss)
     val sink = new KeyedUpsertSink(Seq("cell"))
     val q = TaxiPipelines.totalArrivalCount(df)
       .writeStream.outputMode("update")
@@ -92,7 +115,7 @@ object StreamingQueries {
       .start()
     try TaxiReplay.feedInBatches(ms, ordered, 4, () => q.processAllAvailable())
     finally q.stop()
-    sink.toDF(spark)
+    sink.toDF(ss)
   }
 
   /** O10 streaming: Append mode — rows emitted only when the watermark

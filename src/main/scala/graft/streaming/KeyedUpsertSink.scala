@@ -1,9 +1,8 @@
 package graft.streaming
 
-import scala.jdk.CollectionConverters._
-
 import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
-import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
 
 /** O14: keyed idempotent upsert sink
   * (reference `sinks/ElasticsearchUpsertSink.scala:42-81`).
@@ -13,30 +12,62 @@ import org.apache.spark.sql.types.StructType
   * per-micro-batch emission converges to the same state as Flink's
   * per-record emission (SURVEY.md §7 decision log).
   *
-  * This in-memory implementation backs local demos/tests (the
-  * reference's ES sink is equally a single-connection per-record
-  * writer). At cluster scale the identical contract is a
-  * `foreachBatch` keyed MERGE into a transactional table or a KV
-  * store with last-write-wins per key — the pipeline code is unchanged,
-  * only the `upsert` callback body.
+  * Implementation is an *upsert log with merge-on-read compaction* —
+  * the shape a keyed external store takes on Spark at scale:
+  *
+  *  - `upsert` (the `foreachBatch` callback) appends the micro-batch
+  *    to a parquet log, stamped with the batch id. The write is
+  *    executor-parallel and touches nothing but the new rows — no
+  *    driver collect, no read-modify-write of existing state, so
+  *    per-batch cost stays O(batch), independent of accumulated keys.
+  *  - `toDF` compacts: last write (max `_batch_id`) wins per key — one
+  *    shuffle on the key columns. Re-run batches (foreachBatch replays
+  *    after failure) dedupe away because a replayed batch re-appends
+  *    identical rows under the same batch id.
+  *
+  * At 100 TB the log lives on the object store partitioned by batch id
+  * and compaction runs either at read (this form) or periodically
+  * folding the log into a base table; the pipeline code is unchanged.
   */
-final class KeyedUpsertSink(keyCols: Seq[String]) extends Serializable {
+final class KeyedUpsertSink(keyCols: Seq[String], logPath: String)
+    extends Serializable {
 
-  private val state = new java.util.concurrent.ConcurrentHashMap[Seq[Any], Row]()
-  @volatile private var schema: StructType = _
+  def this(keyCols: Seq[String]) =
+    this(keyCols, KeyedUpsertSink.tempLogDir())
 
-  /** `foreachBatch` callback: last-write-wins per key. */
-  def upsert(batch: Dataset[Row], batchId: Long): Unit = {
-    if (schema == null) schema = batch.schema
-    batch.collect().foreach { row =>
-      state.put(keyCols.map(c => row.getAs[Any](c)), row)
-    }
-  }
+  /** `foreachBatch` callback: executor-side append of the micro-batch
+    * to the keyed upsert log.
+    */
+  def upsert(batch: Dataset[Row], batchId: Long): Unit =
+    batch.withColumn("_batch_id", lit(batchId))
+      .write.mode("append").parquet(logPath)
 
+  /** Current state: last-write-wins per key over the log. */
   def toDF(spark: SparkSession): DataFrame = {
-    require(schema != null, "upsert sink received no batches")
-    spark.createDataFrame(state.values.asScala.toList.asJava, schema)
+    val log = spark.read.parquet(logPath)
+    val w = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy(col("_batch_id").desc)
+    log.withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") === 1)
+      .drop("_rn", "_batch_id")
   }
 
-  def size: Int = state.size()
+  def size(spark: SparkSession): Long = toDF(spark).count()
+}
+
+object KeyedUpsertSink {
+  /** Log dir on tmpfs when available — same rationale as streaming
+    * checkpoints (9p container filesystems make many-small-file IO the
+    * bottleneck, and the replay-harness log is ephemeral).
+    */
+  private def tempLogDir(): String = {
+    val base = java.nio.file.Paths.get("/dev/shm")
+    val dir =
+      if (java.nio.file.Files.isDirectory(base) && java.nio.file.Files.isWritable(base))
+        java.nio.file.Files.createTempDirectory(base, "graft-upsert-")
+      else java.nio.file.Files.createTempDirectory("graft-upsert-")
+    // parquet append wants the dir to not pre-exist
+    java.nio.file.Files.delete(dir)
+    dir.toString
+  }
 }
