@@ -35,16 +35,20 @@ object StreamingDemo {
     // file mode: CSV file-drop ingress (one chunk per micro-batch)
     // instead of the paced MemoryStream
     if (mode == "file") {
-      val stream = TaxiReplay.fileStream(spark,
+      val (stream, chunkDir) = TaxiReplay.fileStream(spark,
         serving.map(e => e.copy(tMs = e.tMs - e.tMs % 1000)), nChunks = 5)
+      val ckpt = TempDir.create("graft-demo-")
       val q = TaxiPipelines.totalArrivalCount(stream)
         .writeStream.outputMode("update")
-        .option("checkpointLocation",
-          java.nio.file.Files.createTempDirectory("graft-demo-").toString)
+        .option("checkpointLocation", ckpt.toString)
         .format("console").option("numRows", "10").option("truncate", "false")
         .start()
-      q.processAllAvailable()
-      q.stop()
+      try q.processAllAvailable()
+      finally {
+        q.stop()
+        TempDir.deleteRecursively(ckpt.toString)
+        TempDir.deleteRecursively(chunkDir)
+      }
       spark.stop()
       return
     }
@@ -62,23 +66,27 @@ object StreamingDemo {
     }
     val outputMode = if (mode == "total") "update" else "append"
 
+    val ckpt = TempDir.create("graft-demo-")
     val q = out.writeStream
       .outputMode(outputMode)
-      .option("checkpointLocation",
-        java.nio.file.Files.createTempDirectory("graft-demo-").toString)
+      .option("checkpointLocation", ckpt.toString)
       .format("console").option("numRows", "10").option("truncate", "false")
       .start()
 
-    // Event time is compressed by `speed`: 10 event-hours/minute at 600×.
-    TaxiReplay.replayPaced(ms, serving, speed)
-    // End-of-stream flush: the reference emits a Long.MaxValue
-    // watermark when the source ends so every open window fires; the
-    // Structured Streaming equivalent is a far-future zero-passenger
-    // sentinel advancing the watermark past all live panes.
-    val maxT = serving.map(_.tMs).maxOption.getOrElse(0L)
-    ms.addData(RideEvent(-1L, maxT + 7200000L, isStart = false, -74.0, 40.75, 0))
-    q.processAllAvailable()
-    q.stop()
+    try {
+      // Event time is compressed by `speed`: 10 event-hours/minute at 600×.
+      TaxiReplay.replayPaced(ms, serving, speed)
+      // End-of-stream flush: the reference emits a Long.MaxValue
+      // watermark when the source ends so every open window fires; the
+      // Structured Streaming equivalent is a far-future zero-passenger
+      // sentinel advancing the watermark past all live panes.
+      val maxT = serving.map(_.tMs).maxOption.getOrElse(0L)
+      ms.addData(RideEvent(-1L, maxT + 7200000L, isStart = false, -74.0, 40.75, 0))
+      q.processAllAvailable()
+    } finally {
+      q.stop()
+      TempDir.deleteRecursively(ckpt.toString)
+    }
     spark.stop()
   }
 }

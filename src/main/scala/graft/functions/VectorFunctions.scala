@@ -31,13 +31,21 @@ object VectorFunctions {
 
   /** Random-hyperplane LSH bucket id: k sign bits of dot products with
     * deterministic integer-lattice hyperplanes
-    * w(h, j) = ((h*31 + j*17) mod 7) − 3 (j is 1-based). Integer
-    * weights make the bucket computable identically in the SQL oracle;
-    * the sign of a double dot product flips only within ~1e-12 of 0.
+    * w(h, j) = ((((h·1000003 + j)·2654435761) div 1024) mod 7) − 3
+    * (j is 1-based). The integer-divide-then-mod breaks the mod-7
+    * periodicity a plain polynomial family has (any polynomial mod 7
+    * is a function of h mod 7, which would make bits h and h+7
+    * IDENTICAL hyperplanes — fatal once buckets are sliced into
+    * multi-bit LSH bands). The product maxes at ~8.2e16, exact in both
+    * a Scala Long and a DuckDB BIGINT, so the bucket is computable
+    * identically in the SQL oracle; the sign of a double dot product
+    * flips only within ~1e-12 of 0.
     */
   def lshBucket(a: Column, dim: Int, k: Int): Column = {
     val bits = (0 until k).map { h =>
-      val plane = array((1 to dim).map(j => lit((((h * 31 + j * 17) % 7) - 3).toFloat)): _*)
+      val plane = array((1 to dim).map { j =>
+        lit((((h.toLong * 1000003L + j) * 2654435761L / 1024L) % 7L - 3L).toFloat)
+      }: _*)
       when(dot(a, plane) > 0, lit(1L << h)).otherwise(lit(0L))
     }
     bits.reduce(_ + _)
@@ -53,7 +61,8 @@ object VectorFunctions {
     def lshBucket(a: String, dim: Int, k: Int): String =
       (0 until k).map { h =>
         val d = s"list_reduce(list_prepend(0.0::DOUBLE, " +
-          s"[$a[i]::DOUBLE * ((($h*31 + i*17) % 7 - 3))::DOUBLE for i in range(1, ${dim + 1})]), (acc, v) -> acc + v)"
+          s"[$a[i]::DOUBLE * (((($h*1000003 + i) * 2654435761) // 1024) % 7 - 3)::DOUBLE " +
+          s"for i in range(1, ${dim + 1})]), (acc, v) -> acc + v)"
         s"(CASE WHEN $d > 0 THEN ${1L << h} ELSE 0 END)"
       }.mkString("(", " + ", ")")
   }

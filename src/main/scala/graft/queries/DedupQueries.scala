@@ -16,7 +16,7 @@ object DedupQueries {
 
   private val Dim = 64 // embedding dimensionality of the driver tables
   private val EmbBands = 4 // hyperplane-LSH bands for embedding dedup
-  private val EmbBandBits = 2 // sign bits per band
+  private val EmbBandBits = 8 // independent sign bits per band (32-bit bucket)
 
   /** doc_id + 16 minhash signature columns, computed in one pass by
     * the native MinHashSignature expression (see its scaladoc for the
@@ -181,13 +181,16 @@ object DedupQueries {
     }),
 
     // Embedding-cosine near-dup: banded random-hyperplane LSH
-    // candidates (4 bands × 2 sign bits out of one 8-bit bucket),
-    // verified by exact cosine. Candidate pairs must share (label,
-    // band value) for some band — no bucket is ever all-pairs on a
-    // hot label, which is what survives a skewed 100 TB corpus. Norms
-    // are precomputed per vector; each candidate costs one codegen'd
-    // dot product. The oracle models the identical banding, so the
-    // check is exact over the LSH semantics (same pattern as knn_lsh).
+    // candidates — 4 independent bands × 8 sign bits sliced from one
+    // 32-bit bucket — verified by exact cosine. An 8-bit band has 256
+    // values, so a random same-label pair survives some band with
+    // prob ≈ 1 − (1 − 2⁻⁸)⁴ ≈ 1.6% (vs ~68% with the old 2-bit bands,
+    // which were effectively all-pairs per label): no band bucket
+    // holds a constant fraction of a hot label, which is what survives
+    // a skewed 100 TB corpus. Norms are precomputed per vector; each
+    // candidate costs one codegen'd dot product. The oracle models the
+    // identical banding, so the check is exact over the LSH semantics
+    // (same pattern as knn_lsh).
     "dedup_embedding_pairs" -> ((s, dir) => {
       val emb = Tables.embeddings(s, dir)
         .withColumn("nrm", VectorFunctions.norm(col("embedding")))

@@ -61,12 +61,23 @@ object SimilarityQueries {
           round(col("col.cos"), 6).as("cos_r"))
     }),
 
-    // LSH ANN: score only within the query's hyperplane bucket.
+    // LSH ANN with multi-probe: score within the query's hyperplane
+    // bucket PLUS its 8 Hamming-1 neighbor buckets (9 probes/query) —
+    // the recall lever at scale: a near-neighbor differing on one
+    // marginal sign bit is recovered without widening buckets. Probes
+    // explode on the (small, broadcast) query side, so the corpus-side
+    // plan stays a bucket equi-join — no OR-join, no extra corpus
+    // pass. Probe values are distinct, so a corpus vector matches a
+    // query through at most one probe (no dedup needed).
     "knn_lsh" -> ((s, dir) => {
       val emb = corpus(s, dir)
         .withColumn("bucket", VectorFunctions.lshBucket(col("embedding"), Dim, LshBits))
+      val probes = col("bucket0") +:
+        (0 until LshBits).map(b => col("bucket0").bitwiseXOR(lit(1L << b)))
       val q = queriesOf(emb)
-        .withColumn("bucket", VectorFunctions.lshBucket(col("q_emb"), Dim, LshBits))
+        .withColumn("bucket0", VectorFunctions.lshBucket(col("q_emb"), Dim, LshBits))
+        .withColumn("bucket", explode(array(probes: _*)))
+        .drop("bucket0")
       val w = Window.partitionBy(col("query_id"))
         .orderBy(col("cos").desc, col("vec_id").asc)
       broadcast(q).join(emb, Seq("bucket"))
@@ -90,7 +101,10 @@ object SimilarityQueries {
          |  FROM embeddings q JOIN embeddings e ON q.vec_id != e.vec_id
          |  WHERE q.vec_id % 50 = 0
          |) WHERE rnk <= $K""".stripMargin,
-    "knn_lsh" ->
+    "knn_lsh" -> {
+      // same probe set as the Spark plan: exact bucket + Hamming-1
+      val probeXors = (0L +: (0 until LshBits).map(1L << _).map(_.toLong))
+        .mkString("(", ", ", ")")
       s"""WITH b AS (
          |  SELECT vec_id, embedding,
          |    ${VectorFunctions.Sql.lshBucket("embedding", Dim, LshBits)} AS bucket
@@ -102,7 +116,8 @@ object SimilarityQueries {
          |               e.vec_id ASC) AS rnk,
          |    ROUND(${VectorFunctions.Sql.cosine("q.embedding", "e.embedding", Dim)}, 6) AS cos_r
          |  FROM (SELECT vec_id, embedding, bucket FROM b WHERE vec_id % 50 = 0) q
-         |  JOIN b e ON q.bucket = e.bucket AND q.vec_id != e.vec_id
+         |  JOIN b e ON xor(q.bucket, e.bucket) IN $probeXors AND q.vec_id != e.vec_id
          |) WHERE rnk <= $K""".stripMargin
+    }
   )
 }

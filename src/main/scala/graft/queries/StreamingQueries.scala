@@ -1,6 +1,5 @@
 package graft.queries
 
-import java.nio.file.Files
 import java.util.UUID
 
 import graft.streaming._
@@ -32,18 +31,6 @@ object StreamingQueries {
     events :+ RideEvent(-1L, maxT + 7200000L, isStart = false, -74.0, 40.75, 0)
   }
 
-  /** Checkpoint dirs on tmpfs when available: the default temp dir can
-    * sit on a slow filesystem (9p in containers) and the state store
-    * writes delta + snapshot files per operator per partition per
-    * micro-batch — checkpoint IO then dominates replay time.
-    */
-  private def checkpoint(): String = {
-    val base = java.nio.file.Paths.get("/dev/shm")
-    if (java.nio.file.Files.isDirectory(base) && java.nio.file.Files.isWritable(base))
-      Files.createTempDirectory(base, "graft-ckpt-").toString
-    else Files.createTempDirectory("graft-ckpt-").toString
-  }
-
   /** Replay sessions run with a small, independent shuffle-partition
     * count. The state store is partitioned by `spark.sql.shuffle
     * .partitions` *at first micro-batch* and every stateful operator
@@ -66,6 +53,9 @@ object StreamingQueries {
     * (± sentinel) → MemoryStream → `build` pipeline → memory sink →
     * batch-wise feed → final watermark flush. Sentinel/checkpoint/
     * flush behavior lives here once for every Append-mode query.
+    * The checkpoint is an ephemeral tmpfs dir (TempDir) deleted in the
+    * `finally` — the memory-sink table survives it; leaked tmpfs
+    * checkpoints otherwise accumulate RAM across replay runs.
     */
   private def appendReplay(
       spark: SparkSession,
@@ -80,15 +70,19 @@ object StreamingQueries {
     val ordered = if (sentinel) withSentinel(ordered0) else ordered0
     val (ms, df) = TaxiReplay.memoryStream(ss)
     val name = prefix + UUID.randomUUID().toString.replace("-", "")
+    val ckpt = TempDir.create("graft-ckpt-")
     val q = build(df)
       .writeStream.outputMode("append")
-      .option("checkpointLocation", checkpoint())
+      .option("checkpointLocation", ckpt.toString)
       .format("memory").queryName(name)
       .start()
     try {
       TaxiReplay.feedInBatches(ms, ordered, nBatches, () => q.processAllAvailable())
       q.processAllAvailable() // empty batch: watermark-driven emission
-    } finally q.stop()
+    } finally {
+      q.stop()
+      TempDir.deleteRecursively(ckpt.toString)
+    }
     ss.table(name)
   }
 
@@ -100,7 +94,10 @@ object StreamingQueries {
 
   /** O9 streaming: Update mode + keyed upsert sink (O14). The sink is
     * the executor-side upsert log — no driver collect in the query
-    * path; `toDF` is the merge-on-read compaction.
+    * path; `toDF` is the merge-on-read compaction. The compacted state
+    * is materialized (`localCheckpoint`) before the ephemeral log and
+    * checkpoint dirs are deleted, so nothing leaks to tmpfs and the
+    * returned DataFrame no longer depends on the deleted files.
     */
   def totalStream(spark: SparkSession, sfDir: String): DataFrame = {
     val ss = streamSession(spark)
@@ -108,14 +105,20 @@ object StreamingQueries {
     val ordered = TaxiReplay.servingOrder(rides, MaxDelayMs)
     val (ms, df) = TaxiReplay.memoryStream(ss)
     val sink = new KeyedUpsertSink(Seq("cell"))
+    val ckpt = TempDir.create("graft-ckpt-")
     val q = TaxiPipelines.totalArrivalCount(df)
       .writeStream.outputMode("update")
-      .option("checkpointLocation", checkpoint())
+      .option("checkpointLocation", ckpt.toString)
       .foreachBatch(sink.upsert _)
       .start()
-    try TaxiReplay.feedInBatches(ms, ordered, 4, () => q.processAllAvailable())
-    finally q.stop()
-    sink.toDF(ss)
+    try {
+      TaxiReplay.feedInBatches(ms, ordered, 4, () => q.processAllAvailable())
+      sink.toDF(ss).localCheckpoint()
+    } finally {
+      q.stop()
+      TempDir.deleteRecursively(ckpt.toString)
+      sink.close()
+    }
   }
 
   /** O10 streaming: Append mode — rows emitted only when the watermark

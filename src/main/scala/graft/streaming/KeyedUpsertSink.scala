@@ -53,19 +53,25 @@ final class KeyedUpsertSink(keyCols: Seq[String], logPath: String)
   }
 
   def size(spark: SparkSession): Long = toDF(spark).count()
+
+  /** Delete the ephemeral log dir. Call after the compacted state has
+    * been materialized (e.g. `toDF(...).localCheckpoint()`) — `toDF`
+    * itself is lazy over the log files.
+    */
+  def close(): Unit = TempDir.deleteRecursively(logPath)
 }
 
 object KeyedUpsertSink {
-  /** Log dir on tmpfs when available — same rationale as streaming
-    * checkpoints (9p container filesystems make many-small-file IO the
-    * bottleneck, and the replay-harness log is ephemeral).
+  /** Default log dir on driver-local tmpfs — same rationale as
+    * streaming checkpoints (9p container filesystems make
+    * many-small-file IO the bottleneck, and the replay-harness log is
+    * ephemeral). NOTE: a driver-local path is only executor-reachable
+    * in local mode (or with a shared filesystem); on a real cluster the
+    * "executor-parallel append" property requires routing `logPath` to
+    * shared storage (object store / DFS) via the primary constructor.
     */
   private def tempLogDir(): String = {
-    val base = java.nio.file.Paths.get("/dev/shm")
-    val dir =
-      if (java.nio.file.Files.isDirectory(base) && java.nio.file.Files.isWritable(base))
-        java.nio.file.Files.createTempDirectory(base, "graft-upsert-")
-      else java.nio.file.Files.createTempDirectory("graft-upsert-")
+    val dir = TempDir.create("graft-upsert-")
     // parquet append wants the dir to not pre-exist
     java.nio.file.Files.delete(dir)
     dir.toString

@@ -101,14 +101,16 @@ object TaxiReplay {
     * `maxFilesPerTrigger = 1` — one chunk per micro-batch. This is the
     * production-shaped ingress (file drops / object-store listing);
     * MemoryStream above is the low-latency test harness. Returns the
-    * parsed streaming DataFrame with the event-time `ts` column.
+    * parsed streaming DataFrame with the event-time `ts` column plus
+    * the chunk dir, which the caller must `TempDir.deleteRecursively`
+    * after the query stops (the source reads the files lazily).
     */
   def fileStream(
       spark: SparkSession,
       events: Seq[RideEvent],
-      nChunks: Int): DataFrame = {
+      nChunks: Int): (DataFrame, String) = {
     import graft.model.TaxiRide
-    val dir = java.nio.file.Files.createTempDirectory("graft-replay-")
+    val dir = TempDir.create("graft-replay-")
     val chunkSize = math.max(1, math.ceil(events.size.toDouble / nChunks).toInt)
     val fmt = java.time.format.DateTimeFormatter.ofPattern(TaxiRide.TimePattern)
     // format in the SESSION timezone: parseCsv's to_timestamp parses in
@@ -128,13 +130,14 @@ object TaxiReplay {
     val raw = spark.readStream
       .option("maxFilesPerTrigger", "1")
       .text(dir.toString)
-    TaxiRide.parseCsv(raw, "value")
+    val parsed = TaxiRide.parseCsv(raw, "value")
       .select(
         col("rideId"),
         unix_millis(col("time")).as("tMs"),
         col("isStart"), col("lon"), col("lat"),
         col("passengerCnt").cast("int").as("passengers"))
       .withColumn("ts", timestamp_millis(col("tMs")))
+    (parsed, dir.toString)
   }
 
   /** Pacing for live demo replay (reference `toServingTime`,

@@ -11,10 +11,12 @@ import java.nio.file.{Files, Path, Paths}
   * micro-batch, so checkpoint IO otherwise dominates replay time.
   *
   * Cleanup is as important as placement: tmpfs is RAM, so every leaked
-  * checkpoint competes with the page cache. Leaked `graft-*` dirs from
-  * prior runs measurably slowed *unchanged* batch queries by 1.5–4×
-  * (the round-3 regression); every creator below must pair with a
-  * `deleteRecursively` in a `finally`.
+  * checkpoint competes with the page cache. Per-query bench deltas on
+  * frozen code (r3 vs r4) showed disjoint 2–4× excursions consistent
+  * with run-to-run noise, plausibly amplified by accumulated litter —
+  * so every creator must pair with a `deleteRecursively` in a
+  * `finally`, and back-to-back bench runs on a clean tmpfs (SCALE.md)
+  * are the variance reference.
   */
 object TempDir {
 

@@ -18,15 +18,26 @@ class FileStreamReplaySpec extends AnyFunSuite {
       .map(e => e.copy(tMs = e.tMs - e.tMs % 1000))
     val ordered = TaxiReplay.servingOrder(rides, 60000L)
 
-    val stream = TaxiReplay.fileStream(spark, ordered, nChunks = 3)
+    val (stream, chunkDir) = TaxiReplay.fileStream(spark, ordered, nChunks = 3)
     val sink = new KeyedUpsertSink(Seq("cell"))
+    val ckpt = TempDir.create("graft-fs-ckpt-")
     val q = TaxiPipelines.totalArrivalCount(stream)
       .writeStream.outputMode("update")
-      .option("checkpointLocation",
-        java.nio.file.Files.createTempDirectory("graft-fs-ckpt-").toString)
+      .option("checkpointLocation", ckpt.toString)
       .foreachBatch(sink.upsert _)
       .start()
-    try q.processAllAvailable() finally q.stop()
+    val got =
+      try {
+        q.processAllAvailable()
+        sink.toDF(spark)
+          .select("cell", "last_t_ms", "cnt")
+          .collect().map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2))).toMap
+      } finally {
+        q.stop()
+        TempDir.deleteRecursively(ckpt.toString)
+        TempDir.deleteRecursively(chunkDir)
+        sink.close()
+      }
 
     import spark.implicits._
     val expected = rides.filter(e => !e.isStart)
@@ -36,10 +47,6 @@ class FileStreamReplaySpec extends AnyFunSuite {
         col("tMs"), col("passengers"))
       .groupBy("cell")
       .agg(max("tMs").as("last_t_ms"), sum("passengers").as("cnt"))
-      .collect().map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2))).toMap
-
-    val got = sink.toDF(spark)
-      .select("cell", "last_t_ms", "cnt")
       .collect().map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2))).toMap
     assert(got == expected)
     assert(got.nonEmpty)

@@ -47,15 +47,18 @@ class StreamingEquivalenceSpec extends AnyFunSuite {
         RideEvent(-1L, maxT + 7200000L, isStart = false, -74.0, 40.75, 0)
       val (ms, df) = TaxiReplay.memoryStream(spark)
       val name = s"equiv_$delayMs"
+      val ckpt = TempDir.create("graft-eq-")
       val q = TaxiPipelines.slidingArrivalCount(df)
         .writeStream.outputMode("append")
-        .option("checkpointLocation",
-          java.nio.file.Files.createTempDirectory("graft-eq-").toString)
+        .option("checkpointLocation", ckpt.toString)
         .format("memory").queryName(name).start()
       try {
         TaxiReplay.feedInBatches(ms, fed, 6, () => q.processAllAvailable())
         q.processAllAvailable()
-      } finally q.stop()
+      } finally {
+        q.stop()
+        TempDir.deleteRecursively(ckpt.toString)
+      }
       spark.table(name).filter(col("cnt") > 0)
         .select(col("cell"), col("w_end_ms"), col("cnt"))
         .collect().map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
