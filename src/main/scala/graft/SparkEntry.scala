@@ -35,7 +35,10 @@ object SparkEntry {
       _root_.graft.queries.MultimodalQueries.oracleSql),
     QueryRegistry(
       _root_.graft.queries.EventQueries.queries,
-      _root_.graft.queries.EventQueries.oracleSql)
+      _root_.graft.queries.EventQueries.oracleSql),
+    QueryRegistry(
+      _root_.graft.queries.CsvQueries.queries,
+      _root_.graft.queries.CsvQueries.oracleSql)
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

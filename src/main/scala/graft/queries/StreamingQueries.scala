@@ -62,11 +62,12 @@ object StreamingQueries {
       sfDir: String,
       prefix: String,
       nBatches: Int = 4,
-      sentinel: Boolean = true)(
+      sentinel: Boolean = true,
+      maxDelayMs: Long = MaxDelayMs)(
       build: DataFrame => DataFrame): DataFrame = {
     val ss = streamSession(spark)
     val rides = TaxiReplay.ridesFromEvents(ss, sfDir).collect().toSeq
-    val ordered0 = TaxiReplay.servingOrder(rides, MaxDelayMs)
+    val ordered0 = TaxiReplay.servingOrder(rides, maxDelayMs)
     val ordered = if (sentinel) withSentinel(ordered0) else ordered0
     val (ms, df) = TaxiReplay.memoryStream(ss)
     val name = prefix + UUID.randomUUID().toString.replace("-", "")
@@ -140,6 +141,34 @@ object StreamingQueries {
       .filter(col("isFinal") && col("cnt") > 0)
       .select(col("cell"), col("wEndMs").as("w_end_ms"), col("cnt"))
 
+  /** O11 early path, hard-signal form: the *non-final* (early) fires
+    * of the count trigger under ORDERED replay (maxDelay = 0 — the
+    * reference's ordered-replay mode, `sources/TaxiRideSource.scala:97-168`).
+    * With ordered replay the serving order is (tMs, rideId), batches
+    * are contiguous time slices, and earlyTriggerFn processes each
+    * batch in (tMs, rideId) order — so the complete early-fire
+    * sequence is a deterministic function of the event data: per
+    * (cell, pane), fires occur at cumulative sums s₀ = min{cum ≥ T},
+    * sₖ₊₁ = min{cum ≥ sₖ + T} over the pane's event-time-ordered
+    * cumulative passenger sums. The DuckDB oracle recomputes exactly
+    * that recurrence (recursive CTE over per-pane cum lists), pinning
+    * the reference's FIRE (no purge) semantics
+    * (`examples/EarlyArrivalCount.scala:133-141`) end-to-end — not
+    * just the watermark-driven finals.
+    */
+  def earlyFiresStream(spark: SparkSession, sfDir: String, threshold: Int = 50): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    appendReplay(spark, sfDir, "earlyfires_", maxDelayMs = 0L) { df =>
+      TaxiPipelines.earlyArrivalCount(cellsOf(df), threshold).toDF()
+    }
+      .filter(!col("isFinal"))
+      .select(col("cell"), col("wEndMs").as("w_end_ms"),
+        row_number().over(
+          Window.partitionBy(col("cell"), col("wEndMs")).orderBy(col("cnt")))
+          .cast("long").as("seq"),
+        col("cnt").as("early_cnt"))
+  }
+
   /** O9 faithful per-event emission: the event-time-ordered running
     * fold — one output row per input event, deterministic under
     * out-of-order replay (see TaxiPipelines.runningCountPerEvent).
@@ -186,6 +215,11 @@ object StreamingQueries {
     "taxi_total_stream" -> (totalStream _),
     "taxi_sliding_stream" -> (slidingStream _),
     "taxi_early_stream" -> ((s, d) => earlyStream(s, d)),
+    // threshold 3, not the reference's 50: the sf-scaled rides view
+    // tops out at ~6 passengers per (cell, pane), so 50 would never
+    // fire and the entry would pin nothing. 3 yields multi-fire
+    // sequences (FIRE, FIRE, ... final) on real panes at every SF.
+    "taxi_early_fires" -> ((s, d) => earlyFiresStream(s, d, threshold = 3)),
     "taxi_duration_stream" -> (durationStream _),
     "taxi_running_stream" -> (runningStream _)
   )
@@ -195,6 +229,7 @@ object StreamingQueries {
     "taxi_total_stream" -> TaxiQueries.oracleSql("taxi_total_count"),
     "taxi_sliding_stream" -> TaxiQueries.oracleSql("taxi_sliding_count"),
     "taxi_early_stream" -> TaxiQueries.slidingNoCentersSql,
+    "taxi_early_fires" -> TaxiQueries.earlyFiresSql(3),
     "taxi_duration_stream" -> TaxiQueries.rideDurationSql,
     "taxi_running_stream" -> TaxiQueries.oracleSql("taxi_running_count")
   )

@@ -170,6 +170,45 @@ object TaxiQueries {
        |CROSS JOIN (VALUES (0), (1), (2)) AS offs(o)
        |GROUP BY cell, w_end_ms""".stripMargin
 
+  /** Early-fire oracle (O11 FIRE semantics): per (cell, pane), the
+    * count trigger fires at cumulative sums s₀ = min{cum ≥ T},
+    * sₖ₊₁ = min{cum ≥ sₖ + T} over the pane's event-time-ordered
+    * cumulative passenger sums — a recursive CTE advancing one *fire*
+    * per step (depth ≤ final_sum / T). `list_min(list_filter(...))`
+    * finds the next fire level without aggregating over the recursive
+    * reference. Valid against ordered replay (see earlyFiresStream).
+    */
+  def earlyFiresSql(threshold: Int): String =
+    s"""WITH RECURSIVE panes AS (
+       |  SELECT cell, bs + 300000 * (o + 1) AS w_end_ms, t_ms, rideId, passengers
+       |  FROM (SELECT cell, passengers, t_ms, rideId, t_ms - t_ms % 300000 AS bs
+       |        FROM ($cellEventsSql))
+       |  CROSS JOIN (VALUES (0), (1), (2)) AS offs(o)
+       |),
+       |agg AS (
+       |  SELECT cell, w_end_ms, list(cum ORDER BY cum) AS cums
+       |  FROM (SELECT cell, w_end_ms,
+       |          CAST(SUM(passengers) OVER (PARTITION BY cell, w_end_ms
+       |            ORDER BY t_ms, rideId
+       |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+       |        FROM panes)
+       |  GROUP BY cell, w_end_ms
+       |),
+       |fires AS (
+       |  SELECT cell, w_end_ms, cums,
+       |    list_min(list_filter(cums, c -> c >= $threshold)) AS early_cnt,
+       |    1::BIGINT AS seq
+       |  FROM agg
+       |  WHERE list_min(list_filter(cums, c -> c >= $threshold)) IS NOT NULL
+       |  UNION ALL
+       |  SELECT f.cell, f.w_end_ms, f.cums,
+       |    list_min(list_filter(f.cums, c -> c >= f.early_cnt + $threshold)),
+       |    f.seq + 1
+       |  FROM fires f
+       |  WHERE list_min(list_filter(f.cums, c -> c >= f.early_cnt + $threshold)) IS NOT NULL
+       |)
+       |SELECT cell, w_end_ms, seq, early_cnt FROM fires""".stripMargin
+
   val oracleSql: Map[String, String] = Map(
     "taxi_total_count" ->
       s"""SELECT cell, MAX(t_ms) AS last_t_ms, CAST(SUM(passengers) AS BIGINT) AS cnt,

@@ -159,7 +159,15 @@ object TaxiPipelines {
     val out = scala.collection.mutable.ListBuffer.empty[WindowCount]
     var panes = state.getOption.getOrElse(Map.empty[Long, (Long, Long)])
 
-    events.foreach { e =>
+    // Process the batch's events in (time, rideId) order: the group
+    // iterator's order is shuffle-dependent, which would make the fire
+    // *values* nondeterministic. The reference processes in arrival
+    // order single-threaded; batch-at-a-time Spark has no defined
+    // arrival order within a batch, so event-time order is the natural
+    // determinization (same contract strengthening as runningFoldFn).
+    // Under ordered replay the full fire sequence is then a pure
+    // function of the event data — driver-checked by taxi_early_fires.
+    events.toSeq.sortBy(e => (e.tMs, e.rideId)).foreach { e =>
       windowEndsFor(e.tMs).foreach { wEnd =>
         if (wEnd > watermark) { // late panes are dropped (Flink 0.10 default)
           val (sum, since) = panes.getOrElse(wEnd, (0L, 0L))
