@@ -24,8 +24,14 @@ final class TopKByScore(k: Int)
   private def better(a: Scored, b: Scored): Boolean =
     a.cos > b.cos || (a.cos == b.cos && a.vec_id < b.vec_id)
 
+  /** NaN scores (e.g. cosine against a zero-norm vector) are excluded
+    * up front: `better`'s `>` is false on NaN in either position, which
+    * would otherwise let a NaN candidate prepend itself above real
+    * scores. Exclusion — not "sorts last" — is the contract.
+    */
   private def insert(buf: List[Scored], x: Scored): List[Scored] =
-    if (buf.lengthCompare(k) >= 0 && better(buf.last, x)) buf
+    if (x.cos.isNaN) buf
+    else if (buf.lengthCompare(k) >= 0 && better(buf.last, x)) buf
     else {
       val (pre, post) = buf.span(better(_, x))
       val merged = pre ::: (x :: post)

@@ -18,6 +18,15 @@ object DedupQueries {
   private val EmbBands = 4 // hyperplane-LSH bands for embedding dedup
   private val EmbBandBits = 8 // independent sign bits per band (32-bit bucket)
 
+  /** dedup_ngram_jaccard's similarity threshold t. The prefix length
+    * (sz − ⌈t·sz⌉ + 1) and the size-ratio conjunct
+    * (min·(1 + 1/t) ≥ |A| + |B|) are both DERIVED from it — changing
+    * one without the others silently breaks prefix-filter completeness,
+    * so t is encoded exactly once.
+    */
+  private val NgramJaccardT = 0.5
+  private val NgramSizeRatio = 1.0 + 1.0 / NgramJaccardT
+
   /** doc_id + 16 minhash signature columns, computed in one pass by
     * the native MinHashSignature expression (see its scaladoc for the
     * measured alternatives: interpreted HOF chain ~4 s, explode +
@@ -145,8 +154,8 @@ object DedupQueries {
     // lists short) — complete wrt the exact oracle, no all-pairs
     // bucket anywhere. Shuffles are all linear in corpus size:
     // explode→freq, prefix rank, token equi-join, verify join.
-    // The size-ratio conjunct (jac ≥ 0.5 needs 3·min ≥ |A|+|B|) prunes
-    // candidates before the exact codegen'd intersect verifies.
+    // The size-ratio conjunct (jac ≥ t needs min·(1+1/t) ≥ |A|+|B|)
+    // prunes candidates before the exact codegen'd intersect verifies.
     "dedup_ngram_jaccard" -> ((s, dir) => {
       import org.apache.spark.sql.expressions.Window
       val docs = Tables.documents(s, dir)
@@ -156,7 +165,7 @@ object DedupQueries {
         explode(col("tg")).as("t"))
       // global rarity order; trigram domain is small → broadcast back
       val freq = tok.groupBy("t").agg(count(lit(1)).as("freq"))
-      val prefixLen = (col("sz") - ceil(col("sz") * 0.5) + 1).cast("int")
+      val prefixLen = (col("sz") - ceil(col("sz") * NgramJaccardT) + 1).cast("int")
       val prefix = tok.join(broadcast(freq), "t")
         .withColumn("rn", row_number().over(
           Window.partitionBy(col("doc_id")).orderBy(col("freq"), col("t"))))
@@ -165,7 +174,7 @@ object DedupQueries {
       val cand = prefix.as("a").join(prefix.as("b"),
           col("a.t") === col("b.t") && col("a.source") === col("b.source") &&
             col("a.doc_id") < col("b.doc_id") &&
-            least(col("a.sz"), col("b.sz")) * 3 >= col("a.sz") + col("b.sz"))
+            least(col("a.sz"), col("b.sz")) * NgramSizeRatio >= col("a.sz") + col("b.sz"))
         .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
         .distinct()
       val tgs = docs.select(col("doc_id"), col("tg"), col("sz"))
@@ -176,7 +185,7 @@ object DedupQueries {
           graft.functions.expressions.SortedIntersectSize(col("da.tg"), col("db.tg")))
         .withColumn("jaccard",
           col("inter").cast("double") / (col("da.sz") + col("db.sz") - col("inter")))
-        .filter(col("jaccard") >= 0.5)
+        .filter(col("jaccard") >= NgramJaccardT)
         .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 6).as("jac"))
     }),
 
@@ -258,7 +267,7 @@ object DedupQueries {
          |        len(list_distinct(list_concat(a.tg, b.tg))), 6) AS jac
          |FROM tg a JOIN tg b ON a.source = b.source AND a.doc_id < b.doc_id
          |WHERE len(list_intersect(a.tg, b.tg))::DOUBLE /
-         |      len(list_distinct(list_concat(a.tg, b.tg))) >= 0.5""".stripMargin,
+         |      len(list_distinct(list_concat(a.tg, b.tg))) >= $NgramJaccardT""".stripMargin,
     "dedup_embedding_pairs" -> {
       val bandMask = (1 << EmbBandBits) - 1
       val bandMatch = (0 until EmbBands)

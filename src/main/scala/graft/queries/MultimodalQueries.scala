@@ -62,8 +62,12 @@ object MultimodalQueries {
 
   val oracleSql: Map[String, String] = Map(
     "multimodal_features" ->
+      // nrm: the stub encoder normalizes to unit length EXCEPT for an
+      // empty payload, whose zero vector keeps norm 0 (Multimodal
+      // .StubCodecs.extractFeatures's n == 0 branch).
       s"""SELECT doc_id AS media_id, CAST(16 AS INT) AS dim,
-         |  CAST(1.0 AS DOUBLE) AS nrm,
+         |  CAST(CASE WHEN octet_length(encode(text)) = 0
+         |       THEN 0.0 ELSE 1.0 END AS DOUBLE) AS nrm,
          |  ${laneSumSql(0)} AS s0, ${laneSumSql(1)} AS s1,
          |  ${laneSumSql(2)} AS s2, ${laneSumSql(3)} AS s3,
          |  CAST(coalesce(list_sum([ascii(substring(text, i, 1))

@@ -24,7 +24,7 @@ object TaxiQueries {
     *   rideId = event_id, t_ms = epoch ms, isStart = even event_id,
     *   lon/lat = bounded integer lattice inside the NYC bbox,
     *   passengers = 1..4.
-    * A fraction of points (user_id % 350 == 349 → lon east of −73.7)
+    * A fraction of points (user_id % 360 > 350 → lon east of −73.7)
     * falls OUTSIDE the bbox so the O5 filter is actually exercised.
     */
   private def rides(s: SparkSession, dir: String): DataFrame =

@@ -150,14 +150,29 @@ object TaxiReplay {
       ms: MemoryStream[RideEvent],
       events: Seq[RideEvent],
       speedFactor: Double,
-      batchMs: Long = 1000L): Unit = {
-    if (events.isEmpty) return
+      batchMs: Long = 1000L): Unit =
+    pacedBatches(events, speedFactor, batchMs).foreach { batch =>
+      ms.addData(batch)
+      Thread.sleep(batchMs)
+    }
+
+  /** The pure pacing schedule behind `replayPaced`: one batch per
+    * `batchMs` wall interval, holding the events whose reference
+    * serving time `(eventTime − dataStart) / speedFactor`
+    * (`toServingTime`, `sources/TaxiRideSource.scala:265-268`) lands in
+    * that interval; batches in serving order, each sorted by
+    * (tMs, rideId). Split from the side-effecting feed so the
+    * `toServingTime` binning is unit-assertable.
+    */
+  def pacedBatches(
+      events: Seq[RideEvent],
+      speedFactor: Double,
+      batchMs: Long): Seq[Seq[RideEvent]] = {
+    if (events.isEmpty) return Nil
     val t0 = events.head.tMs
-    events.groupBy(e => (e.tMs - t0) / math.max(1L, (batchMs * speedFactor).toLong))
+    val eventMsPerBatch = math.max(1L, (batchMs * speedFactor).toLong)
+    events.groupBy(e => (e.tMs - t0) / eventMsPerBatch)
       .toSeq.sortBy(_._1)
-      .foreach { case (_, batch) =>
-        ms.addData(batch.sortBy(e => (e.tMs, e.rideId)))
-        Thread.sleep(batchMs)
-      }
+      .map(_._2.sortBy(e => (e.tMs, e.rideId)))
   }
 }

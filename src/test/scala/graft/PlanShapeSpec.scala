@@ -1,0 +1,62 @@
+package graft
+
+import graft.plans.AsOfJoinExec
+import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.execution.joins.{BroadcastHashJoinExec, BroadcastNestedLoopJoinExec, CartesianProductExec}
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Physical-plan regression guards: every oracle would stay green if a
+  * config/optimizer flip silently replaced a broadcast join with a
+  * sort-merge, planned a cartesian product, or stopped planning the
+  * custom as-of exec — but the 100×-scale story would be dead. These
+  * specs fail loudly on plan shape, not results.
+  */
+class PlanShapeSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  private val sf = "/root/testdata/sf0.001"
+
+  /** Streaming entries execute a replay on call (their returned frame
+    * is the materialized result, not the plan under test).
+    */
+  private val streamingEntries = Set(
+    "taxi_total_stream", "taxi_sliding_stream", "taxi_early_stream",
+    "taxi_early_fires", "taxi_duration_stream", "taxi_running_stream")
+
+  /** Pre-AQE physical plan: assertable deterministically; AQE only
+    * re-plans *away* from shapes asserted here on runtime stats.
+    */
+  private def plan(name: String): SparkPlan =
+    SparkEntry.queries(name)(spark, sf).queryExecution.sparkPlan
+
+  test("q3_join_agg plans three broadcast hash joins (all dims broadcast, fact streams)") {
+    // orders ⋈ customer ⋈ nation ⋈ region: every dim side broadcast —
+    // a sort-merge flip on any of the three is a scale regression.
+    val n = plan("q3_join_agg").collect { case b: BroadcastHashJoinExec => b }.size
+    assert(n == 3, s"expected 3 BroadcastHashJoin, found $n")
+  }
+
+  test("no registered batch query plans a cartesian product") {
+    (SparkEntry.queries.keySet -- streamingEntries).toSeq.sorted.foreach { name =>
+      val cart = plan(name).collect { case c: CartesianProductExec => c }
+      assert(cart.isEmpty, s"$name plans CartesianProduct")
+    }
+  }
+
+  test("broadcast nested-loop joins only where all-pairs is the contract") {
+    // knn_brute is the deliberate brute-force ANN baseline: a non-equi
+    // self-join (vec_id !=) over a broadcast query side. Nothing else
+    // may fall back to a nested-loop join.
+    val allowed = Set("knn_brute")
+    (SparkEntry.queries.keySet -- streamingEntries -- allowed).toSeq.sorted.foreach { name =>
+      val bnlj = plan(name).collect { case b: BroadcastNestedLoopJoinExec => b }
+      assert(bnlj.isEmpty, s"$name plans BroadcastNestedLoopJoin")
+    }
+    assert(plan("knn_brute").collect { case b: BroadcastNestedLoopJoinExec => b }.nonEmpty,
+      "knn_brute should broadcast the query side of its all-pairs join")
+  }
+
+  test("events_asof_join plans the custom AsOfJoinExec (no pair blow-up)") {
+    assert(plan("events_asof_join").collect { case a: AsOfJoinExec => a }.nonEmpty,
+      "AsOfJoinExec missing — as-of fell back to a composed plan")
+  }
+}
