@@ -51,7 +51,35 @@ object VectorFunctions {
     bits.reduce(_ + _)
   }
 
+  /** Deterministic coarse-quantizer (IVF) centroid dot products:
+    * centroid j (0-based) takes integer-lattice weights from the same
+    * divide-then-mod hash family as `lshBucket`, offset to
+    * h = 1000 + j so centroids and hyperplanes are decorrelated.
+    * Returns [dot(a, c₀), …, dot(a, cₙ₋₁)]; argmax is the vector's
+    * IVF cell (max-inner-product assignment). The hash product stays
+    * < 2.7e18 — exact in both a Scala Long and a DuckDB BIGINT, so
+    * the assignment is oracle-computable. At production scale the
+    * lattice centroids are replaced by k-means centroids learned
+    * offline; only this column changes, not the query shape.
+    */
+  def centroidDots(a: Column, dim: Int, n: Int): Column =
+    array((0 until n).map { j =>
+      val h = (1000 + j).toLong
+      val c = array((1 to dim).map { i =>
+        lit((((h * 1000003L + i) * 2654435761L / 1024L) % 7L - 3L).toFloat)
+      }: _*)
+      dot(a, c)
+    }: _*)
+
   object Sql {
+    def centroidDots(a: String, dim: Int, n: Int): String =
+      (0 until n).map { j =>
+        val h = 1000 + j
+        s"list_reduce(list_prepend(0.0::DOUBLE, " +
+          s"[$a[i]::DOUBLE * (((($h*1000003 + i) * 2654435761) // 1024) % 7 - 3)::DOUBLE " +
+          s"for i in range(1, ${dim + 1})]), (acc, v) -> acc + v)"
+      }.mkString("[", ", ", "]")
+
     def dot(a: String, b: String, dim: Int): String =
       s"list_reduce(list_prepend(0.0::DOUBLE, " +
         s"[$a[i]::DOUBLE * $b[i]::DOUBLE for i in range(1, ${dim + 1})]), (acc, v) -> acc + v)"

@@ -23,6 +23,8 @@ object SimilarityQueries {
   private val Dim = 64
   private val K = 10
   private val LshBits = 8
+  private val IvfCentroids = 8
+  private val IvfMask = -1e300 // argmax mask sentinel, far below any dot
 
   /** Every 50th vector is a query — deterministic on both engines.
     * Norms ride along so each scored pair costs one dot product.
@@ -87,6 +89,43 @@ object SimilarityQueries {
         .filter(col("rnk") <= K)
         .select(col("query_id"), col("vec_id").as("neighbor_id"), col("rnk"),
           round(col("cos"), 6).as("cos_r"))
+    }),
+
+    // IVF ANN: coarse-quantizer cells instead of hyperplane buckets —
+    // the inverted-file shape (corpus partitioned by nearest centroid,
+    // queries probe their nprobe=2 nearest cells). Same scale anatomy
+    // as knn_lsh: probes explode on the broadcast query side, the
+    // corpus-side plan stays one cell equi-join; nprobe is the
+    // recall/cost dial. Deterministic lattice centroids stand in for
+    // learned k-means (see VectorFunctions.centroidDots) — swapping in
+    // trained centroids changes the assignment column only, so the
+    // oracle pins the engine-side plan exactly.
+    "knn_ivf" -> ((s, dir) => {
+      val emb = corpus(s, dir)
+        .withColumn("dots", VectorFunctions.centroidDots(col("embedding"), Dim, IvfCentroids))
+        .withColumn("cell", array_position(col("dots"), array_max(col("dots"))))
+        .drop("dots")
+      // nprobe=2: nearest cell + runner-up (argmax, then argmax with
+      // the first masked out — first-occurrence tie-break on both
+      // engines makes the probe pair deterministic)
+      val q = queriesOf(emb)
+        .withColumn("dots", VectorFunctions.centroidDots(col("q_emb"), Dim, IvfCentroids))
+        .withColumn("p1", array_position(col("dots"), array_max(col("dots"))))
+        .withColumn("masked", transform(sequence(lit(1), lit(IvfCentroids)),
+          i => when(i.cast("long") === col("p1"), lit(IvfMask))
+            .otherwise(element_at(col("dots"), i))))
+        .withColumn("p2", array_position(col("masked"), array_max(col("masked"))))
+        .withColumn("cell", explode(array(col("p1"), col("p2"))))
+        .drop("dots", "masked", "p1", "p2")
+      val w = Window.partitionBy(col("query_id"))
+        .orderBy(col("cos").desc, col("vec_id").asc)
+      broadcast(q).join(emb, Seq("cell"))
+        .filter(col("query_id") =!= col("vec_id"))
+        .withColumn("cos", cosCol)
+        .withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") <= K)
+        .select(col("query_id"), col("vec_id").as("neighbor_id"), col("rnk"),
+          round(col("cos"), 6).as("cos_r"))
     })
   )
 
@@ -118,6 +157,38 @@ object SimilarityQueries {
          |  FROM (SELECT vec_id, embedding, bucket FROM b WHERE vec_id % 50 = 0) q
          |  JOIN b e ON xor(q.bucket, e.bucket) IN $probeXors AND q.vec_id != e.vec_id
          |) WHERE rnk <= $K""".stripMargin
-    }
+    },
+    "knn_ivf" ->
+      // mirrors the Spark plan: cell = argmax centroid dot
+      // (first-occurrence list_position = Spark array_position
+      // tie-break), query probes = argmax + masked-argmax runner-up
+      s"""WITH d AS (
+         |  SELECT vec_id, embedding,
+         |    ${VectorFunctions.Sql.centroidDots("embedding", Dim, IvfCentroids)} AS dots
+         |  FROM embeddings),
+         |c AS (
+         |  SELECT vec_id, embedding,
+         |    list_position(dots, list_max(dots)) AS cell
+         |  FROM d),
+         |q1 AS (
+         |  SELECT vec_id, embedding, dots,
+         |    list_position(dots, list_max(dots)) AS p1
+         |  FROM d WHERE vec_id % 50 = 0),
+         |q2 AS (
+         |  SELECT vec_id, embedding, p1,
+         |    list_position(m, list_max(m)) AS p2
+         |  FROM (SELECT vec_id, embedding, p1,
+         |          [CASE WHEN i = p1 THEN -1e300 ELSE dots[i] END
+         |           for i in range(1, ${IvfCentroids + 1})] AS m
+         |        FROM q1))
+         |SELECT query_id, neighbor_id, rnk, cos_r FROM (
+         |  SELECT q2.vec_id AS query_id, c.vec_id AS neighbor_id,
+         |    ROW_NUMBER() OVER (PARTITION BY q2.vec_id
+         |      ORDER BY ${VectorFunctions.Sql.cosine("q2.embedding", "c.embedding", Dim)} DESC,
+         |               c.vec_id ASC) AS rnk,
+         |    ROUND(${VectorFunctions.Sql.cosine("q2.embedding", "c.embedding", Dim)}, 6) AS cos_r
+         |  FROM q2 JOIN c
+         |    ON (c.cell = q2.p1 OR c.cell = q2.p2) AND q2.vec_id != c.vec_id
+         |) WHERE rnk <= $K""".stripMargin
   )
 }
