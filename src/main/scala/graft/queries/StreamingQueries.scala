@@ -63,11 +63,12 @@ object StreamingQueries {
       prefix: String,
       nBatches: Int = 4,
       sentinel: Boolean = true,
-      maxDelayMs: Long = MaxDelayMs)(
+      maxDelayMs: Long = MaxDelayMs,
+      mutate: Seq[RideEvent] => Seq[RideEvent] = identity)(
       build: DataFrame => DataFrame): DataFrame = {
     val ss = streamSession(spark)
     val rides = TaxiReplay.ridesFromEvents(ss, sfDir).collect().toSeq
-    val ordered0 = TaxiReplay.servingOrder(rides, maxDelayMs)
+    val ordered0 = mutate(TaxiReplay.servingOrder(rides, maxDelayMs))
     val ordered = if (sentinel) withSentinel(ordered0) else ordered0
     val (ms, df) = TaxiReplay.memoryStream(ss)
     val name = prefix + UUID.randomUUID().toString.replace("-", "")
@@ -127,6 +128,26 @@ object StreamingQueries {
     */
   def slidingStream(spark: SparkSession, sfDir: String): DataFrame =
     appendReplay(spark, sfDir, "sliding_")(TaxiPipelines.slidingArrivalCount(_))
+      .filter(col("cnt") > 0)
+
+  /** Streaming dedup (the §2.2 dedup family's streaming member):
+    * every event is replayed TWICE (adjacent duplicates, ordered
+    * replay) and `dropDuplicatesWithinWatermark` on the event key must
+    * restore exactly-once semantics — the downstream sliding counts
+    * hash-match the same batch oracle as `taxi_sliding_stream`.
+    * Without the dedup every count would double, so the entry pins the
+    * operator, not just the pipeline around it. State per key lives
+    * only until the watermark passes the event time + delay — bounded,
+    * the at-scale contract for ingest dedup of at-least-once sources.
+    */
+  def dedupStream(spark: SparkSession, sfDir: String): DataFrame =
+    appendReplay(spark, sfDir, "dedupstrm_", maxDelayMs = 0L,
+      mutate = _.flatMap(e => Seq(e, e))) { df =>
+      val deduped = df
+        .withWatermark("ts", "60 seconds")
+        .dropDuplicatesWithinWatermark("rideId")
+      TaxiPipelines.slidingAgg(TaxiPipelines.cellProject(deduped))
+    }
       .filter(col("cnt") > 0)
 
   /** O11 streaming: early-firing count trigger via
@@ -214,6 +235,7 @@ object StreamingQueries {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "taxi_total_stream" -> (totalStream _),
     "taxi_sliding_stream" -> (slidingStream _),
+    "taxi_dedup_stream" -> (dedupStream _),
     "taxi_early_stream" -> ((s, d) => earlyStream(s, d)),
     // threshold 3, not the reference's 50: the sf-scaled rides view
     // tops out at ~6 passengers per (cell, pane), so 50 would never
@@ -228,6 +250,7 @@ object StreamingQueries {
   val oracleSql: Map[String, String] = Map(
     "taxi_total_stream" -> TaxiQueries.oracleSql("taxi_total_count"),
     "taxi_sliding_stream" -> TaxiQueries.oracleSql("taxi_sliding_count"),
+    "taxi_dedup_stream" -> TaxiQueries.oracleSql("taxi_sliding_count"),
     "taxi_early_stream" -> TaxiQueries.slidingNoCentersSql,
     "taxi_early_fires" -> TaxiQueries.earlyFiresSql(3),
     "taxi_duration_stream" -> TaxiQueries.rideDurationSql,

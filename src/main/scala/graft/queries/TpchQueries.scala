@@ -111,6 +111,19 @@ object TpchQueries {
           col("sum_qty"), col("n"))
     }),
 
+    // Full grouping-sets surface: cube = rollup + the column-wise
+    // marginals (the (∅, linestatus) sets rollup omits). Same
+    // two-phase aggregate; output rows = Π(card+1), input-independent.
+    "q11_cube" -> ((s, dir) => {
+      Tables.lineitem(s, dir)
+        .cube(col("l_returnflag"), col("l_linestatus"))
+        .agg(dsum(col("l_quantity")).as("sum_qty"), count(lit(1)).as("n"))
+        .select(
+          coalesce(col("l_returnflag"), lit("ALL")).as("returnflag"),
+          coalesce(col("l_linestatus"), lit("ALL")).as("linestatus"),
+          col("sum_qty"), col("n"))
+    }),
+
     // Date-function surface: truncate order dates to month buckets.
     "q9_orders_by_month" -> ((s, dir) => {
       Tables.orders(s, dir)
@@ -195,6 +208,12 @@ object TpchQueries {
         |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
         |  COUNT(*) AS n
         |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)""".stripMargin,
+    "q11_cube" ->
+      """SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,
+        |  COALESCE(l_linestatus, 'ALL') AS linestatus,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+        |  COUNT(*) AS n
+        |FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)""".stripMargin,
     "q9_orders_by_month" ->
       """SELECT EXTRACT(YEAR FROM o_orderdate) AS y, EXTRACT(MONTH FROM o_orderdate) AS m,
         |  COUNT(*) AS n_orders,

@@ -23,8 +23,14 @@ object TaxiPipelines {
     * (rideId, ts: timestamp, isStart, lon, lat, passengers).
     */
   def cellEvents(stream: DataFrame, watermarkDelay: String): DataFrame =
+    cellProject(stream.withWatermark("ts", watermarkDelay))
+
+  /** `cellEvents` without the watermark declaration — for pipelines
+    * whose upstream (e.g. streaming dedup) already declared one: Spark
+    * disallows redefining a watermark on the same stream.
+    */
+  def cellProject(stream: DataFrame): DataFrame =
     stream
-      .withWatermark("ts", watermarkDelay)
       .filter(!col("isStart"))
       .filter(NycGeo.isInNYC(col("lon"), col("lat")))
       .select(
@@ -52,7 +58,13 @@ object TaxiPipelines {
     * window end, exactly Flink's default event-time trigger.
     */
   def slidingArrivalCount(stream: DataFrame, watermarkDelay: String = "60 seconds"): DataFrame =
-    cellEvents(stream, watermarkDelay)
+    slidingAgg(cellEvents(stream, watermarkDelay))
+
+  /** The 15/5 sliding aggregation over already-projected (and
+    * already-watermarked) cell events.
+    */
+  def slidingAgg(cells: DataFrame): DataFrame =
+    cells
       .groupBy(window(col("ts"), "15 minutes", "5 minutes"), col("cell"))
       .agg(sum(col("passengers")).as("cnt"))
       .select(
