@@ -232,10 +232,61 @@ object StreamingQueries {
           (unix_millis(col("ts_end")) - unix_millis(col("ts_start"))).as("duration_ms"))
     }
 
+  /** Streaming sessionization over the `events` table — session
+    * windows run *as a stream* (the reference README markets session
+    * windows; no demo uses them; the batch twin is
+    * `events_sessionize`). `session_window` + watermark in Append
+    * mode: sessions are state-local per user, merged as events arrive
+    * (order-insensitive), emitted when the watermark passes
+    * session-end + gap — so the flushed results equal the batch
+    * gap-reconstruction oracle exactly. A far-future sentinel
+    * (user −1, filtered from the output) flushes the tail sessions.
+    */
+  def sessionizeStream(spark: SparkSession, sfDir: String): DataFrame = {
+    import java.util.UUID
+    val ss = streamSession(spark)
+    import ss.implicits._
+    val evs = graft.Tables.events(ss, sfDir)
+      .select(col("user_id"), unix_millis(col("ts")).as("t_ms"), col("value"))
+      .collect().map(r => UserEvent(r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .toSeq.sortBy(e => (e.tMs, e.userId))
+    val maxT = evs.map(_.tMs).maxOption.getOrElse(0L)
+    val fed = evs :+ UserEvent(-1L, maxT + 7200000L, 0.0)
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = ss.sqlContext
+    val ms = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[UserEvent]
+    val name = "sess_" + UUID.randomUUID().toString.replace("-", "")
+    val ckpt = TempDir.create("graft-ckpt-")
+    val q = ms.toDF().withColumn("ts", timestamp_millis(col("tMs")))
+      .withWatermark("ts", "60 seconds")
+      .groupBy(col("userId"), session_window(col("ts"), "30 minutes").as("sw"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        max(col("tMs")).as("last_t_ms"),
+        sum(col("value").cast("decimal(18,4)")).cast("double").as("sum_value"))
+      .select(
+        col("userId").as("user_id"),
+        unix_millis(col("sw.start")).as("session_start_ms"),
+        col("last_t_ms"), col("n_events"), col("sum_value"))
+      .writeStream.outputMode("append")
+      .option("checkpointLocation", ckpt.toString)
+      .format("memory").queryName(name)
+      .start()
+    try {
+      val size = math.max(1, math.ceil(fed.size.toDouble / 4).toInt)
+      fed.grouped(size).foreach { b => ms.addData(b); q.processAllAvailable() }
+      q.processAllAvailable()
+    } finally {
+      q.stop()
+      TempDir.deleteRecursively(ckpt.toString)
+    }
+    ss.table(name).filter(col("user_id") >= 0)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "taxi_total_stream" -> (totalStream _),
     "taxi_sliding_stream" -> (slidingStream _),
     "taxi_dedup_stream" -> (dedupStream _),
+    "events_sessionize_stream" -> (sessionizeStream _),
     "taxi_early_stream" -> ((s, d) => earlyStream(s, d)),
     // threshold 3, not the reference's 50: the sf-scaled rides view
     // tops out at ~6 passengers per (cell, pane), so 50 would never
@@ -251,6 +302,7 @@ object StreamingQueries {
     "taxi_total_stream" -> TaxiQueries.oracleSql("taxi_total_count"),
     "taxi_sliding_stream" -> TaxiQueries.oracleSql("taxi_sliding_count"),
     "taxi_dedup_stream" -> TaxiQueries.oracleSql("taxi_sliding_count"),
+    "events_sessionize_stream" -> EventQueries.oracleSql("events_sessionize"),
     "taxi_early_stream" -> TaxiQueries.slidingNoCentersSql,
     "taxi_early_fires" -> TaxiQueries.earlyFiresSql(3),
     "taxi_duration_stream" -> TaxiQueries.rideDurationSql,

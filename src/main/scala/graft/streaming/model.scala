@@ -31,6 +31,11 @@ final case class RunningCount(cell: Int, rideId: Long, tMs: Long, runningCnt: Lo
   */
 final case class RunningState(sum: Long, pending: List[(Long, Long, Long)])
 
+/** One `events`-table row for the generic event replay harness
+  * (streaming sessionization).
+  */
+final case class UserEvent(userId: Long, tMs: Long, value: Double)
+
 /** Output of the windowed pipelines: count for one (cell, window) pane.
   * `isFinal` distinguishes the early-trigger's partial fires (Flink
   * `TriggerResult.FIRE`) from the watermark-driven final fire
