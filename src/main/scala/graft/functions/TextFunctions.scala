@@ -20,6 +20,17 @@ object TextFunctions {
 
   def tokenCount(text: Column): Column = size(tokens(text))
 
+  /** Adjacent token bigrams ("a b"), empty for < 2 tokens — the unit
+    * of the repetition quality signal (a document dominated by one
+    * bigram is boilerplate/spam).
+    */
+  def bigrams(text: Column): Column = {
+    val t = tokens(text)
+    when(size(t) < 2, array().cast("array<string>"))
+      .otherwise(transform(sequence(lit(1), size(t) - 1),
+        i => concat_ws(" ", element_at(t, i), element_at(t, i + 1))))
+  }
+
   /** Characters that are not lowercase letters, digits or space —
     * punctuation-ish, the usual quality heuristic numerator.
     */
@@ -83,6 +94,10 @@ object TextFunctions {
     def tokens(text: String): String =
       s"list_filter(string_split_regex($text, '\\s+'), t -> t != '')"
     def tokenCount(text: String): String = s"len(${tokens(text)})"
+    def bigrams(text: String): String = {
+      val t = tokens(text)
+      s"[($t)[i] || ' ' || ($t)[i + 1] for i in range(1, len($t))]"
+    }
     def punctCount(text: String): String =
       s"length(regexp_replace($text, '[a-z0-9 ]', '', 'g'))"
     def tokenHash(t: String): String =

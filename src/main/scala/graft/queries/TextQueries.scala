@@ -73,6 +73,28 @@ object TextQueries {
         .agg(count(lit(1)).as("n"))
         .orderBy(col("n").desc, col("token"))
         .limit(50)
+    }),
+
+    // Repetition quality signal (Gopher-style): per doc, the dominant
+    // adjacent-bigram count vs total bigrams — boilerplate/spam shows
+    // as top_bigram_n/n_bigrams near 1. Integer outputs keep the hash
+    // exact; the fraction is the consumer's division. One shuffle on
+    // (doc_id, bg) with map-side partial counts; the two windows share
+    // one doc_id exchange. Docs with < 2 tokens have no bigrams and
+    // drop out (both engines).
+    "text_repetition" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val counts = Tables.documents(s, dir)
+        .select(col("doc_id"), explode(bigrams(col("text"))).as("bg"))
+        .groupBy(col("doc_id"), col("bg"))
+        .agg(count(lit(1)).as("c"))
+      val byDoc = Window.partitionBy(col("doc_id"))
+      counts
+        .withColumn("rn", row_number().over(byDoc.orderBy(col("c").desc, col("bg").asc)))
+        .withColumn("n_bigrams", sum(col("c")).over(byDoc))
+        .filter(col("rn") === 1)
+        .select(col("doc_id"), col("n_bigrams"),
+          col("c").as("top_bigram_n"), col("bg").as("top_bigram"))
     })
   )
 
@@ -109,6 +131,16 @@ object TextQueries {
          |FROM (SELECT unnest(${Sql.tokens("text")}) AS token FROM documents)
          |GROUP BY token
          |ORDER BY n DESC, token
-         |LIMIT 50""".stripMargin
+         |LIMIT 50""".stripMargin,
+    "text_repetition" ->
+      s"""WITH c AS (
+         |  SELECT doc_id, bg, COUNT(*) AS c
+         |  FROM (SELECT doc_id, unnest(${Sql.bigrams("text")}) AS bg FROM documents)
+         |  GROUP BY doc_id, bg)
+         |SELECT doc_id, n_bigrams, top_bigram_n, top_bigram FROM (
+         |  SELECT doc_id, bg AS top_bigram, c AS top_bigram_n,
+         |    CAST(SUM(c) OVER (PARTITION BY doc_id) AS BIGINT) AS n_bigrams,
+         |    ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY c DESC, bg ASC) AS rn
+         |  FROM c) WHERE rn = 1""".stripMargin
   )
 }
