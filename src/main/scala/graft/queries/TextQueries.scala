@@ -75,6 +75,21 @@ object TextQueries {
         .limit(50)
     }),
 
+    // Deterministic split assignment + stratified sampling — the
+    // train/val/test primitive of a training-data pipeline. The
+    // assignment hashes the STABLE key (doc_id), not the content, so
+    // re-runs and content edits never migrate a document across
+    // splits (leakage). Pure map over the scan, no shuffle; the
+    // 10%-per-source sample predicate composes the same way.
+    "text_split_assign" -> ((s, dir) => {
+      val h = conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("long") % 100
+      Tables.documents(s, dir).select(
+        col("doc_id"), col("source"),
+        when(h < 80, "train").when(h < 90, "val").otherwise("test").as("split"),
+        (h < 10).cast("int").as("in_sample_10pct"))
+    }),
+
     // Repetition quality signal (Gopher-style): per doc, the dominant
     // adjacent-bigram count vs total bigrams — boilerplate/spam shows
     // as top_bigram_n/n_bigrams near 1. Integer outputs keep the hash
@@ -132,6 +147,14 @@ object TextQueries {
          |GROUP BY token
          |ORDER BY n DESC, token
          |LIMIT 50""".stripMargin,
+    "text_split_assign" ->
+      s"""SELECT doc_id, source,
+         |  CASE WHEN h < 80 THEN 'train' WHEN h < 90 THEN 'val'
+         |       ELSE 'test' END AS split,
+         |  CAST(h < 10 AS INT) AS in_sample_10pct
+         |FROM (SELECT doc_id, source,
+         |        ${Sql.tokenHash("CAST(doc_id AS VARCHAR)")} % 100 AS h
+         |      FROM documents)""".stripMargin,
     "text_repetition" ->
       s"""WITH c AS (
          |  SELECT doc_id, bg, COUNT(*) AS c
