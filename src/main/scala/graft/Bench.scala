@@ -25,6 +25,31 @@ object Bench {
       spark.read.parquet(s"$sfDir/lineitem.parquet")
         .groupBy("l_returnflag").count().count()
     } catch { case _: Throwable => () }
+    // Warm the *streaming* machinery too (incremental planner, state
+    // store provider, offset/commit WAL, memory sink): the first
+    // streaming replay otherwise pays ~1.5-2 s of one-time init that
+    // belongs to the JVM, not the query being timed.
+    try {
+      import graft.streaming.TempDir
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+      import spark.implicits._
+      val ms = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Int, Long)]
+      val ckpt = TempDir.create("graft-warm-")
+      val q = ms.toDF().toDF("k", "tMs")
+        .withColumn("ts", timestamp_millis(col("tMs")))
+        .withWatermark("ts", "1 second")
+        .groupBy(window(col("ts"), "1 second"), col("k")).count()
+        .writeStream.outputMode("append")
+        .option("checkpointLocation", ckpt.toString)
+        .format("memory").queryName("graft_warmup")
+        .start()
+      try {
+        ms.addData(Seq((1, 1000L), (2, 2000L)))
+        q.processAllAvailable()
+        ms.addData(Seq((1, 100000000L)))
+        q.processAllAvailable()
+      } finally { q.stop(); TempDir.deleteRecursively(ckpt.toString) }
+    } catch { case _: Throwable => () }
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try materialize(fn(spark, sfDir)) catch { case _: Throwable => () }

@@ -1,7 +1,6 @@
 package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** O14: keyed idempotent upsert sink
@@ -42,14 +41,20 @@ final class KeyedUpsertSink(keyCols: Seq[String], logPath: String)
     batch.withColumn("_batch_id", lit(batchId))
       .write.mode("append").parquet(logPath)
 
-  /** Current state: last-write-wins per key over the log. */
+  /** Current state: last-write-wins per key over the log. `max_by` of
+    * the value struct on batch id — a single hash aggregation with
+    * map-side partial reduction, vs the `row_number` window form that
+    * shuffles every log row and sorts each key's history. Ties (a
+    * replayed batch re-appending identical rows under the same batch
+    * id) are safe: the tied rows are identical by construction.
+    */
   def toDF(spark: SparkSession): DataFrame = {
     val log = spark.read.parquet(logPath)
-    val w = Window.partitionBy(keyCols.map(col): _*)
-      .orderBy(col("_batch_id").desc)
-    log.withColumn("_rn", row_number().over(w))
-      .filter(col("_rn") === 1)
-      .drop("_rn", "_batch_id")
+    val valueCols = log.columns.filterNot(c => keyCols.contains(c) || c == "_batch_id")
+    log.groupBy(keyCols.map(col): _*)
+      .agg(max_by(struct(valueCols.map(col): _*), col("_batch_id")).as("_v"))
+      .select(log.columns.filterNot(_ == "_batch_id").map(c =>
+        if (keyCols.contains(c)) col(c) else col(s"_v.`$c`").as(c)): _*)
   }
 
   def size(spark: SparkSession): Long = toDF(spark).count()

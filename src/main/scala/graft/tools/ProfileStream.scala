@@ -1,0 +1,108 @@
+package graft.tools
+
+import java.util.UUID
+
+import graft.streaming._
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Phase-level profile of the streaming replay harness (scratch tool):
+  *   sbt "runMain graft.tools.ProfileStream [sfDir]"
+  * Prints per-phase timings for the Update-mode upsert pipeline so the
+  * fixed costs (query start, per-micro-batch commit, compaction) are
+  * separable from data-proportional work.
+  */
+object ProfileStream {
+  private def t[A](label: String)(body: => A): A = {
+    val t0 = System.nanoTime()
+    val r = body
+    println(f"[prof] $label%-28s ${(System.nanoTime() - t0) / 1e9}%.3f s")
+    r
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.1"
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark.read.parquet(s"$sfDir/lineitem.parquet").groupBy("l_returnflag").count().count()
+
+    val ss = spark.newSession()
+    ss.conf.set("spark.sql.shuffle.partitions",
+      sys.env.getOrElse("SPARK_GRAFT_STREAM_PARTITIONS", "4"))
+    ss.conf.set("spark.sql.streaming.noDataMicroBatches.enabled",
+      sys.env.getOrElse("SPARK_GRAFT_NODATA", "false"))
+
+    val rides = t("collect rides") {
+      TaxiReplay.ridesFromEvents(ss, sfDir).collect().toSeq
+    }
+    val ordered = t("serving order") { TaxiReplay.servingOrder(rides, 60000L) }
+    println(s"[prof] n events = ${ordered.size}")
+
+    // --- Update-mode total count through the upsert sink -----------
+    val (ms, df) = TaxiReplay.memoryStream(ss)
+    val sink = new KeyedUpsertSink(Seq("cell"))
+    val ckpt = TempDir.create("graft-ckpt-")
+    val q = t("query start") {
+      TaxiPipelines.totalArrivalCount(df)
+        .writeStream.outputMode("update")
+        .option("checkpointLocation", ckpt.toString)
+        .foreachBatch(sink.upsert _)
+        .start()
+    }
+    try {
+      val size = math.max(1, math.ceil(ordered.size.toDouble / 4).toInt)
+      ordered.grouped(size).zipWithIndex.foreach { case (b, i) =>
+        ms.addData(b)
+        t(s"micro-batch $i") { q.processAllAvailable() }
+      }
+      val out = t("compaction toDF") { sink.toDF(ss).localCheckpoint() }
+      println(s"[prof] rows = ${out.count()}")
+    } finally {
+      t("stop+cleanup") {
+        q.stop(); TempDir.deleteRecursively(ckpt.toString); sink.close()
+      }
+    }
+
+    // --- Append-mode sliding for comparison ------------------------
+    val (ms2, df2) = TaxiReplay.memoryStream(ss)
+    val ckpt2 = TempDir.create("graft-ckpt-")
+    val name = "prof_" + UUID.randomUUID().toString.replace("-", "")
+    val q2 = t("sliding query start") {
+      TaxiPipelines.slidingArrivalCount(df2)
+        .writeStream.outputMode("append")
+        .option("checkpointLocation", ckpt2.toString)
+        .format("memory").queryName(name)
+        .start()
+    }
+    try {
+      val size = math.max(1, math.ceil(ordered.size.toDouble / 4).toInt)
+      ordered.grouped(size).zipWithIndex.foreach { case (b, i) =>
+        ms2.addData(b)
+        t(s"sliding micro-batch $i") { q2.processAllAvailable() }
+      }
+      t("sliding flush") { q2.processAllAvailable() }
+      println(s"[prof] sliding rows = ${ss.table(name).count()}")
+      q2.recentProgress.foreach { p =>
+        val dur = p.durationMs
+        val st = p.stateOperators.headOption
+        println(s"[prof] batch=${p.batchId} rows=${p.numInputRows} " +
+          s"trigger=${dur.get("triggerExecution")} addBatch=${dur.get("addBatch")} " +
+          s"getBatch=${dur.get("getBatch")} planning=${dur.get("queryPlanning")} " +
+          s"walCommit=${dur.get("walCommit")} commitOffsets=${dur.get("commitOffsets")} " +
+          st.map(s => s"stateCommit=${s.commitTimeMs} stateRows=${s.numRowsTotal} " +
+            s"updated=${s.numRowsUpdated} mem=${s.memoryUsedBytes}").getOrElse(""))
+      }
+    } finally {
+      t("sliding stop+cleanup") {
+        q2.stop(); TempDir.deleteRecursively(ckpt2.toString)
+      }
+    }
+    spark.stop()
+  }
+}
