@@ -5,6 +5,7 @@ import java.util.UUID
 import graft.streaming._
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graftbridge.StateStoreBridge
 
 /** The reference's streaming pipelines run *as streams* (MemoryStream
   * replay in serving order with the reference's bounded-Gaussian
@@ -65,6 +66,16 @@ object StreamingQueries {
     * The checkpoint is an ephemeral tmpfs dir (TempDir) deleted in the
     * `finally` — the memory-sink table survives it; leaked tmpfs
     * checkpoints otherwise accumulate RAM across replay runs.
+    *
+    * CONTRACT for `build` pipelines (asserted below): the flush step
+    * re-feeds the sentinel as a REAL input row, so the pipeline sees it
+    * twice. That is only safe because the sentinel is zero-weight —
+    * passengers = 0 (it can change no passenger sum) and rideId = −1
+    * (callers filter it, and dedup keys collapse the duplicate). A
+    * pipeline aggregating something the duplicate affects — e.g. a
+    * bare `count(*)` per pane, or keying on arrival order — would be
+    * silently corrupted by the doubled sentinel and must not use this
+    * scaffold's sentinel mode.
     */
   private def appendReplay(
       spark: SparkSession,
@@ -94,10 +105,18 @@ object StreamingQueries {
       // by the *next* batch. With no-data micro-batches disabled that
       // next batch must carry data — re-feed the sentinel (passengers
       // = 0, so it can change no aggregate) as a 1-row flush batch.
-      if (sentinel) { ms.addData(Seq(ordered.last)); q.processAllAvailable() }
+      if (sentinel) {
+        val last = ordered.last
+        // zero-weight-sentinel contract (see scaladoc): the re-fed row
+        // must not be able to change any aggregate
+        require(last.passengers == 0 && last.rideId < 0,
+          s"flush row must be the zero-weight sentinel, got $last")
+        ms.addData(Seq(last)); q.processAllAvailable()
+      }
     } finally {
       q.stop()
       TempDir.deleteRecursively(ckpt.toString)
+      StateStoreBridge.unloadAll()
     }
     ss.table(name)
   }
@@ -134,6 +153,7 @@ object StreamingQueries {
       q.stop()
       TempDir.deleteRecursively(ckpt.toString)
       sink.close()
+      StateStoreBridge.unloadAll()
     }
   }
 
@@ -143,6 +163,46 @@ object StreamingQueries {
   def slidingStream(spark: SparkSession, sfDir: String): DataFrame =
     appendReplay(spark, sfDir, "sliding_")(TaxiPipelines.slidingArrivalCount(_))
       .filter(col("cnt") > 0)
+
+  /** O10 through the reference's ACTUAL ingress form: a CSV file
+    * stream in the reference wire format, one chunk file per
+    * micro-batch (`maxFilesPerTrigger = 1`) — the production-shaped
+    * path matching `sources/TaxiRideSource.scala:97-104`, where the
+    * source IS a gzipped CSV file read line-by-line. Same pipeline and
+    * result contract as `taxi_sliding_stream`, but the events travel
+    * through serialize → file drop → `readStream.text` → `parseCsv`
+    * instead of MemoryStream. The wire format is seconds-resolution,
+    * so event times are pre-truncated and the oracle recomputes the
+    * sliding counts over the truncated times
+    * (`TaxiQueries.slidingSecondsSql`). The flush chunk re-feeds the
+    * zero-weight sentinel (same contract as `appendReplay`).
+    */
+  def slidingFileStream(spark: SparkSession, sfDir: String): DataFrame = {
+    val ss = streamSession(spark)
+    val rides = TaxiReplay.ridesFromEvents(ss, sfDir).collect().toSeq
+      .map(e => e.copy(tMs = e.tMs - e.tMs % 1000))
+    val ordered = withSentinel(TaxiReplay.servingOrder(rides, MaxDelayMs))
+    // 3 data chunks + 1 flush chunk: cross-batch watermark advance is
+    // exercised with one fewer state-commit cycle than the memory-
+    // stream twin — the entry pins the INGRESS form, not batch count.
+    val (stream, chunkDir) =
+      TaxiReplay.fileStream(ss, ordered, nChunks = 3, flushChunk = Seq(ordered.last))
+    val name = "slidingfile_" + UUID.randomUUID().toString.replace("-", "")
+    val ckpt = TempDir.create("graft-ckpt-")
+    val q = TaxiPipelines.slidingArrivalCount(stream)
+      .writeStream.outputMode("append")
+      .option("checkpointLocation", ckpt.toString)
+      .format("memory").queryName(name)
+      .start()
+    try q.processAllAvailable()
+    finally {
+      q.stop()
+      TempDir.deleteRecursively(ckpt.toString)
+      TempDir.deleteRecursively(chunkDir)
+      StateStoreBridge.unloadAll()
+    }
+    ss.table(name).filter(col("cnt") > 0)
+  }
 
   /** Streaming dedup (the §2.2 dedup family's streaming member):
     * every event is replayed TWICE (adjacent duplicates, ordered
@@ -198,6 +258,12 @@ object StreamingQueries {
     }
       .filter(!col("isFinal"))
       .select(col("cell"), col("wEndMs").as("w_end_ms"),
+        // Ordering by `cnt` recovers fire order because per-pane early
+        // fire sums are STRICTLY increasing: each FIRE requires ≥
+        // threshold (> 0) new passengers since the previous fire, so
+        // s₀ < s₁ < … — no ties, and cnt-order = emission order.
+        // Property-tested in EarlyTriggerSpec ("early fire sums are
+        // strictly increasing per pane").
         row_number().over(
           Window.partitionBy(col("cell"), col("wEndMs")).orderBy(col("cnt")))
           .cast("long").as("seq"),
@@ -294,6 +360,7 @@ object StreamingQueries {
     } finally {
       q.stop()
       TempDir.deleteRecursively(ckpt.toString)
+      StateStoreBridge.unloadAll()
     }
     ss.table(name).filter(col("user_id") >= 0)
   }
@@ -301,6 +368,7 @@ object StreamingQueries {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "taxi_total_stream" -> (totalStream _),
     "taxi_sliding_stream" -> (slidingStream _),
+    "taxi_sliding_file_stream" -> (slidingFileStream _),
     "taxi_dedup_stream" -> (dedupStream _),
     "events_sessionize_stream" -> (sessionizeStream _),
     "taxi_early_stream" -> ((s, d) => earlyStream(s, d)),
@@ -317,6 +385,7 @@ object StreamingQueries {
   val oracleSql: Map[String, String] = Map(
     "taxi_total_stream" -> TaxiQueries.oracleSql("taxi_total_count"),
     "taxi_sliding_stream" -> TaxiQueries.oracleSql("taxi_sliding_count"),
+    "taxi_sliding_file_stream" -> TaxiQueries.slidingSecondsSql,
     "taxi_dedup_stream" -> TaxiQueries.oracleSql("taxi_sliding_count"),
     "events_sessionize_stream" -> EventQueries.oracleSql("events_sessionize"),
     "taxi_early_stream" -> TaxiQueries.slidingNoCentersSql,

@@ -170,6 +170,25 @@ object TaxiQueries {
        |CROSS JOIN (VALUES (0), (1), (2)) AS offs(o)
        |GROUP BY cell, w_end_ms""".stripMargin
 
+  /** Sliding counts over SECONDS-truncated event times — oracle for
+    * the file-stream ingress, whose CSV wire format (reference §1.2)
+    * carries seconds resolution. Identical to the
+    * `taxi_sliding_count` oracle except pane assignment uses the
+    * truncated time (an event within 1 s after a 5-min boundary can
+    * land one pane earlier than with ms resolution).
+    */
+  val slidingSecondsSql: String =
+    s"""SELECT cell,
+       |  bs + 300000 * (o + 1) AS w_end_ms,
+       |  CAST(SUM(passengers) AS BIGINT) AS cnt,
+       |  ${NycGeo.Sql.cellCenterLon("cell")} AS center_lon,
+       |  ${NycGeo.Sql.cellCenterLat("cell")} AS center_lat
+       |FROM (SELECT cell, passengers,
+       |        (t_ms - t_ms % 1000) - (t_ms - t_ms % 1000) % 300000 AS bs
+       |      FROM ($cellEventsSql))
+       |CROSS JOIN (VALUES (0), (1), (2)) AS offs(o)
+       |GROUP BY cell, w_end_ms""".stripMargin
+
   /** Early-fire oracle (O11 FIRE semantics): per (cell, pane), the
     * count trigger fires at cumulative sums s₀ = min{cum ≥ T},
     * sₖ₊₁ = min{cum ≥ sₖ + T} over the pane's event-time-ordered

@@ -1,5 +1,7 @@
 package graft.streaming
 
+import scala.jdk.CollectionConverters._
+
 import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -47,14 +49,65 @@ final class KeyedUpsertSink(keyCols: Seq[String], logPath: String)
     * shuffles every log row and sorts each key's history. Ties (a
     * replayed batch re-appending identical rows under the same batch
     * id) are safe: the tied rows are identical by construction.
+    * Degenerate all-key schema (no value columns): last-write-wins
+    * reduces to key dedup — `max_by(struct())` would fail analysis.
     */
-  def toDF(spark: SparkSession): DataFrame = {
-    val log = spark.read.parquet(logPath)
+  def toDF(spark: SparkSession): DataFrame =
+    fold(spark.read.parquet(logPath))
+
+  private def fold(log: DataFrame): DataFrame = {
     val valueCols = log.columns.filterNot(c => keyCols.contains(c) || c == "_batch_id")
-    log.groupBy(keyCols.map(col): _*)
+    if (valueCols.isEmpty) log.dropDuplicates(keyCols).drop("_batch_id")
+    else log.groupBy(keyCols.map(col): _*)
       .agg(max_by(struct(valueCols.map(col): _*), col("_batch_id")).as("_v"))
       .select(log.columns.filterNot(_ == "_batch_id").map(c =>
         if (keyCols.contains(c)) col(c) else col(s"_v.`$c`").as(c)): _*)
+  }
+
+  /** Fold the accumulated log into a compacted base — the periodic
+    * MERGE a keyed store runs at scale so read cost stops growing with
+    * total batches ever written. A snapshot of the current log files is
+    * folded (last-write-wins), written back stamped with the snapshot's
+    * max `_batch_id`, and only the consumed files are deleted — appends
+    * that race the compaction survive untouched, and the add-before-
+    * delete ordering makes a crash mid-compact safe (leftover consumed
+    * files are duplicates that fold away idempotently: the compacted
+    * row carries the same batch id and, by last-write-wins, the same
+    * value as the newest row it replaced). `toDF` is unchanged — it
+    * keeps folding whatever files exist.
+    */
+  def compact(spark: SparkSession): Unit = {
+    val dir = java.nio.file.Paths.get(logPath)
+    if (!java.nio.file.Files.isDirectory(dir)) return
+    val consumed = {
+      val s = java.nio.file.Files.list(dir)
+      try s.iterator().asScala.filter(_.getFileName.toString.endsWith(".parquet")).toVector
+      finally s.close()
+    }
+    if (consumed.isEmpty) return
+    // strictly increasing generation number keeps new file names
+    // disjoint from every consumed file (including prior compact
+    // output), so add-before-delete never collides with itself
+    val gen = consumed.flatMap(f =>
+      "compact-g(\\d+)-".r.findFirstMatchIn(f.getFileName.toString)
+        .map(_.group(1).toInt)).maxOption.getOrElse(0) + 1
+    val snapshot = spark.read.parquet(consumed.map(_.toString): _*)
+    val maxBatch = snapshot.agg(max(col("_batch_id"))).head().getLong(0)
+    val tmp = TempDir.create("graft-compact-")
+    try {
+      fold(snapshot)
+        .withColumn("_batch_id", lit(maxBatch))
+        .write.mode("overwrite").parquet(tmp.resolve("base").toString)
+      val baseFiles = {
+        val s = java.nio.file.Files.list(tmp.resolve("base"))
+        try s.iterator().asScala.filter(_.getFileName.toString.endsWith(".parquet")).toVector
+        finally s.close()
+      }
+      baseFiles.zipWithIndex.foreach { case (f, i) =>
+        java.nio.file.Files.move(f, dir.resolve(f"compact-g$gen%05d-$i%05d.parquet"))
+      }
+      consumed.foreach(java.nio.file.Files.deleteIfExists(_))
+    } finally TempDir.deleteRecursively(tmp.toString)
   }
 
   def size(spark: SparkSession): Long = toDF(spark).count()

@@ -108,7 +108,8 @@ object TaxiReplay {
   def fileStream(
       spark: SparkSession,
       events: Seq[RideEvent],
-      nChunks: Int): (DataFrame, String) = {
+      nChunks: Int,
+      flushChunk: Seq[RideEvent] = Nil): (DataFrame, String) = {
     import graft.model.TaxiRide
     val dir = TempDir.create("graft-replay-")
     val chunkSize = math.max(1, math.ceil(events.size.toDouble / nChunks).toInt)
@@ -117,16 +118,31 @@ object TaxiReplay {
     // spark.sql.session.timeZone, so writing hardcoded UTC would shift
     // every event time on non-UTC sessions
     val zone = java.time.ZoneId.of(spark.conf.get("spark.sql.session.timeZone"))
-    events.grouped(chunkSize).zipWithIndex.foreach { case (chunk, i) =>
+    def writeChunk(chunk: Seq[RideEvent], i: Int): Unit = {
       val lines = chunk.map { e =>
         // the reference wire format is seconds-resolution (§1.2) —
         // callers must pre-truncate event times to seconds
         val t = java.time.Instant.ofEpochMilli(e.tMs).atZone(zone).format(fmt)
         s"${e.rideId},$t,${if (e.isStart) "START" else "END"},${e.lon},${e.lat},${e.passengers},0.0"
       }
-      java.nio.file.Files.write(dir.resolve(f"chunk-$i%05d.csv"),
+      val p = java.nio.file.Files.write(dir.resolve(f"chunk-$i%05d.csv"),
         lines.mkString("\n").getBytes("UTF-8"))
+      // FileStreamSource orders files by modification time; two chunks
+      // written in the same clock tick would tie and could replay out
+      // of serving order (dropping a whole chunk as late). Stamp
+      // strictly increasing mod times so chunk order IS serving order.
+      java.nio.file.Files.setLastModifiedTime(p,
+        java.nio.file.attribute.FileTime.fromMillis(1000000000000L + i * 1000L))
     }
+    val dataChunks = events.grouped(chunkSize).toVector
+    dataChunks.zipWithIndex.foreach { case (chunk, i) => writeChunk(chunk, i) }
+    // Optional trailing flush chunk — processed as one more data
+    // micro-batch AFTER the last event chunk, applying the watermark
+    // that chunk advanced (no-data micro-batches are disabled in the
+    // replay sessions; see StreamingQueries.streamSession). Callers
+    // pass the zero-weight sentinel here, same contract as
+    // StreamingQueries.appendReplay's flush batch.
+    if (flushChunk.nonEmpty) writeChunk(flushChunk, dataChunks.size)
     val raw = spark.readStream
       .option("maxFilesPerTrigger", "1")
       .text(dir.toString)

@@ -81,12 +81,21 @@ object ProfileStream {
         .start()
     }
     try {
-      val size = math.max(1, math.ceil(ordered.size.toDouble / 4).toInt)
-      ordered.grouped(size).zipWithIndex.foreach { case (b, i) =>
+      // Mirror the production path (StreamingQueries.appendReplay): a
+      // far-future zero-passenger sentinel rides with the last batch to
+      // advance the watermark, then re-feeds alone as a 1-row flush
+      // batch — with no-data micro-batches disabled, a bare
+      // processAllAvailable() here runs NO batch at all, so the tail
+      // panes would never emit and `sliding rows` would under-report.
+      val maxT = ordered.map(_.tMs).maxOption.getOrElse(0L)
+      val sentinel = RideEvent(-1L, maxT + 7200000L, isStart = false, -74.0, 40.75, 0)
+      val fed = ordered :+ sentinel
+      val size = math.max(1, math.ceil(fed.size.toDouble / 4).toInt)
+      fed.grouped(size).zipWithIndex.foreach { case (b, i) =>
         ms2.addData(b)
         t(s"sliding micro-batch $i") { q2.processAllAvailable() }
       }
-      t("sliding flush") { q2.processAllAvailable() }
+      t("sliding flush") { ms2.addData(Seq(sentinel)); q2.processAllAvailable() }
       println(s"[prof] sliding rows = ${ss.table(name).count()}")
       q2.recentProgress.foreach { p =>
         val dur = p.durationMs
@@ -101,6 +110,48 @@ object ProfileStream {
     } finally {
       t("sliding stop+cleanup") {
         q2.stop(); TempDir.deleteRecursively(ckpt2.toString)
+      }
+    }
+
+    // --- Stream-stream interval join (taxi_duration_stream shape) ---
+    // The join keeps 4 state stores per partition (left/right ×
+    // keyToNumValues/keyWithIndexToValue) and re-versions all of them
+    // every micro-batch; this section attributes the cost. Full
+    // progress JSON per batch — stateOperators carries per-store
+    // commit times and row counts.
+    val (ms3, df3) = TaxiReplay.memoryStream(ss)
+    val ckpt3 = TempDir.create("graft-ckpt-")
+    val name3 = "profdur_" + UUID.randomUUID().toString.replace("-", "")
+    val q3 = t("duration query start") {
+      val wm = df3.withWatermark("ts", "60 seconds")
+      val starts = wm.filter(col("isStart"))
+        .select(expr("rideId div 2").as("pair_s"), col("ts").as("ts_start"))
+      val ends = wm.filter(!col("isStart"))
+        .select(expr("rideId div 2").as("pair_e"), col("ts").as("ts_end"))
+      starts.join(ends,
+          col("pair_s") === col("pair_e") &&
+            col("ts_end").between(
+              col("ts_start") - expr("INTERVAL 1 HOUR"),
+              col("ts_start") + expr("INTERVAL 1 HOUR")))
+        .select(col("pair_s").as("pair_id"),
+          unix_millis(col("ts_start")).as("t_start"),
+          unix_millis(col("ts_end")).as("t_end"))
+        .writeStream.outputMode("append")
+        .option("checkpointLocation", ckpt3.toString)
+        .format("memory").queryName(name3)
+        .start()
+    }
+    try {
+      val size = math.max(1, math.ceil(ordered.size.toDouble / 2).toInt)
+      ordered.grouped(size).zipWithIndex.foreach { case (b, i) =>
+        ms3.addData(b)
+        t(s"duration micro-batch $i") { q3.processAllAvailable() }
+      }
+      println(s"[prof] duration rows = ${ss.table(name3).count()}")
+      q3.recentProgress.foreach(p => println(s"[prof] duration ${p.json}"))
+    } finally {
+      t("duration stop+cleanup") {
+        q3.stop(); TempDir.deleteRecursively(ckpt3.toString)
       }
     }
     spark.stop()

@@ -118,4 +118,29 @@ class EarlyTriggerSpec extends AnyFunSuite {
     }
     assert(!timedOut.exists) // all panes purged
   }
+
+  test("early fire sums are strictly increasing per pane") {
+    // The invariant earlyFiresStream's `seq` ordering depends on:
+    // ORDER BY cnt recovers emission order only if per-pane fire sums
+    // never repeat. Each FIRE requires ≥ threshold (> 0) NEW
+    // passengers since the previous fire, so consecutive fire sums
+    // differ by at least the threshold — strictly increasing, no ties.
+    // Low threshold + many events → long multi-fire sequences.
+    for (seed <- 1 to 5) {
+      val rnd = new scala.util.Random(seed)
+      val events = Seq.fill(800)(ev(rnd.nextInt(3600) * 1000L, rnd.nextInt(4) + 1))
+      val state = freshState(0L)
+      val threshold = 3
+      val earlies = events.flatMap(e =>
+        TaxiPipelines.earlyTriggerFn(threshold)(1, Iterator(e), state).toList)
+      val byPane = earlies.groupBy(_.wEndMs)
+      assert(byPane.values.exists(_.size > 3)) // multi-fire sequences exercised
+      byPane.foreach { case (_, fires) =>
+        val cnts = fires.map(_.cnt)
+        cnts.zip(cnts.tail).foreach { case (a, b) =>
+          assert(a + threshold <= b, s"fire sums not strictly increasing: $cnts")
+        }
+      }
+    }
+  }
 }
