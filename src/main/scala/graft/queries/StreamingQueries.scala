@@ -147,7 +147,18 @@ object StreamingQueries {
       .foreachBatch(sink.upsert _)
       .start()
     try {
-      TaxiReplay.feedInBatches(ms, ordered, 4, () => q.processAllAvailable())
+      var fed = 0
+      TaxiReplay.feedInBatches(ms, ordered, 4, () => {
+        q.processAllAvailable()
+        fed += 1
+        // Compact mid-replay (after the 2nd micro-batch): the oracle
+        // then checks upsert → compact → upsert converges to the same
+        // state as the never-compacted log — the periodic MERGE
+        // running where it would run in production, not only in a
+        // unit spec. foreachBatch is synchronous inside
+        // processAllAvailable, so no append races this call.
+        if (fed == 2) sink.compact(ss)
+      })
       sink.toDF(ss).localCheckpoint()
     } finally {
       q.stop()
