@@ -51,4 +51,57 @@ class FileStreamReplaySpec extends AnyFunSuite {
     assert(got == expected)
     assert(got.nonEmpty)
   }
+
+  test("flush chunk applies the sentinel watermark in Append mode") {
+    // The Append-mode file path needs the trailing flush chunk: with
+    // no-data micro-batches disabled, the watermark the sentinel
+    // chunk advances is only APPLIED by a following data batch. This
+    // pins the taxi_sliding_file_stream mechanism at spec level: all
+    // panes (including the tail ones) emit, and the result equals the
+    // batch sliding counts over seconds-truncated times.
+    val ss = spark.newSession()
+    ss.conf.set("spark.sql.shuffle.partitions", "4")
+    ss.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
+    val rides = TaxiReplay.ridesFromEvents(ss, "/root/testdata/sf0.001")
+      .collect().toSeq
+      .map(e => e.copy(tMs = e.tMs - e.tMs % 1000))
+    val maxT = rides.map(_.tMs).max
+    val sentinel = RideEvent(-1L, maxT + 7200000L, isStart = false, -74.0, 40.75, 0)
+    val ordered = TaxiReplay.servingOrder(rides, 60000L) :+ sentinel
+
+    val (stream, chunkDir) =
+      TaxiReplay.fileStream(ss, ordered, nChunks = 3, flushChunk = Seq(sentinel))
+    val ckpt = TempDir.create("graft-fsflush-ckpt-")
+    val name = "fsflush_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    val q = TaxiPipelines.slidingArrivalCount(stream)
+      .writeStream.outputMode("append")
+      .option("checkpointLocation", ckpt.toString)
+      .format("memory").queryName(name)
+      .start()
+    val got =
+      try {
+        q.processAllAvailable()
+        ss.table(name).filter(col("cnt") > 0)
+          .select("cell", "w_end_ms", "cnt")
+          .collect().map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+      } finally {
+        q.stop()
+        TempDir.deleteRecursively(ckpt.toString)
+        TempDir.deleteRecursively(chunkDir)
+      }
+
+    import spark.implicits._
+    val cellRows = rides.filter(e => !e.isStart)
+      .filter(e => e.lon >= -74.05 && e.lon <= -73.7 && e.lat >= 40.5 && e.lat <= 41.0)
+      .toDF()
+      .select(graft.geo.NycGeo.gridCell(col("lon"), col("lat")).as("cell"),
+        col("tMs"), col("passengers"))
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getInt(2)))
+    val expected = cellRows.toSeq
+      .flatMap { case (cell, tMs, p) =>
+        TaxiPipelines.windowEndsFor(tMs).map(w => (cell, w) -> p.toLong) }
+      .groupMapReduce(_._1)(_._2)(_ + _)
+    assert(got == expected)
+    assert(got.nonEmpty)
+  }
 }

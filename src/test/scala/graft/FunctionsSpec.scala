@@ -118,4 +118,25 @@ class FunctionsSpec extends AnyFunSuite {
     val (exact, approx) = (row.getLong(0), row.getLong(1))
     assert(math.abs(approx - exact).toDouble / exact < 0.15)
   }
+
+  test("approx_percentile tracks exact percentiles (the q10 100 TB swap)") {
+    // q10_quantiles buffers per-group values for DuckDB hash equality;
+    // the documented at-scale twin is approx_percentile's constant-
+    // state sketch (SCALE.md "Relational core"). Pin that the swap is
+    // actually a drop-in: same groups, values within 2% of exact at
+    // sf0.01 (accuracy parameter 10000).
+    val li = Tables.lineitem(spark, "/root/testdata/sf0.01")
+      .withColumn("price", col("l_extendedprice").cast("double"))
+    val rows = li.groupBy(col("l_returnflag")).agg(
+      percentile(col("price"), lit(0.5)).as("exact_p50"),
+      approx_percentile(col("price"), lit(0.5), lit(10000)).as("approx_p50"),
+      percentile(col("price"), lit(0.95)).as("exact_p95"),
+      approx_percentile(col("price"), lit(0.95), lit(10000)).as("approx_p95"))
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(math.abs(r.getDouble(2) - r.getDouble(1)) / r.getDouble(1) < 0.02, r.toString)
+      assert(math.abs(r.getDouble(4) - r.getDouble(3)) / r.getDouble(3) < 0.02, r.toString)
+    }
+  }
 }
