@@ -66,47 +66,47 @@ object Bench {
       val evs = Seq(
         RideEvent(1L, 1000L, isStart = false, -74.0, 40.75, 1),
         RideEvent(1L, 1000L, isStart = false, -74.0, 40.75, 1),
-        RideEvent(3L, 2000L, isStart = false, -74.01, 40.76, 2),
-        RideEvent(-1L, 7200000000L, isStart = false, -74.0, 40.75, 0))
-      // dedup + fMGWS in one pipeline
-      val (ms1, df1) = TaxiReplay.memoryStream(ss)
-      val ckpt1 = TempDir.create("graft-warm-")
-      val q1 = TaxiPipelines.earlyArrivalCount(
-          TaxiPipelines.cellProject(
-            df1.withWatermark("ts", "60 seconds")
-              .dropDuplicatesWithinWatermark("rideId")).as[graft.streaming.CellEvent],
-          threshold = 1)
-        .toDF().writeStream.outputMode("append")
-        .option("checkpointLocation", ckpt1.toString)
-        .format("memory").queryName("graft_warm_fmgws")
-        .start()
+        RideEvent(3L, 2000L, isStart = false, -74.01, 40.76, 2))
+      val sentinel = TaxiReplay.sentinelAfter(evs)
       try {
-        ms1.addData(evs); q1.processAllAvailable()
-        ms1.addData(Seq(evs.last)); q1.processAllAvailable()
-      } finally { q1.stop(); TempDir.deleteRecursively(ckpt1.toString) }
-      // stream-stream interval join
-      val (ms2, df2) = TaxiReplay.memoryStream(ss)
-      val ckpt2 = TempDir.create("graft-warm-")
-      val wm = df2.withWatermark("ts", "60 seconds")
-      val q2 = wm.filter(col("isStart"))
-        .select(expr("rideId div 2").as("p_s"), col("ts").as("ts_s"))
-        .join(wm.filter(!col("isStart"))
-            .select(expr("rideId div 2").as("p_e"), col("ts").as("ts_e")),
-          col("p_s") === col("p_e") &&
-            col("ts_e").between(
-              col("ts_s") - expr("INTERVAL 1 HOUR"),
-              col("ts_s") + expr("INTERVAL 1 HOUR")))
-        .writeStream.outputMode("append")
-        .option("checkpointLocation", ckpt2.toString)
-        .format("memory").queryName("graft_warm_ssjoin")
-        .start()
-      try {
-        ms2.addData(Seq(
-          RideEvent(10L, 1000L, isStart = true, -74.0, 40.75, 1),
-          RideEvent(11L, 2000L, isStart = false, -74.0, 40.75, 1)))
-        q2.processAllAvailable()
-      } finally { q2.stop(); TempDir.deleteRecursively(ckpt2.toString) }
-      org.apache.spark.sql.graftbridge.StateStoreBridge.unloadAll()
+        // dedup + fMGWS in one pipeline
+        val (ms1, df1) = TaxiReplay.memoryStream(ss)
+        val ckpt1 = TempDir.create("graft-warm-")
+        val q1 = TaxiPipelines.earlyArrivalCount(
+            TaxiPipelines.cellProject(
+              df1.withWatermark("ts", "60 seconds")
+                .dropDuplicatesWithinWatermark("rideId")).as[graft.streaming.CellEvent],
+            threshold = 1)
+          .toDF().writeStream.outputMode("append")
+          .option("checkpointLocation", ckpt1.toString)
+          .format("memory").queryName("graft_warm_fmgws")
+          .start()
+        try {
+          ms1.addData(evs :+ sentinel); q1.processAllAvailable()
+          ms1.addData(Seq(sentinel)); q1.processAllAvailable()
+        } finally { q1.stop(); TempDir.deleteRecursively(ckpt1.toString) }
+        // stream-stream interval join — the SAME pipeline the timed
+        // query plans (TaxiPipelines.rideDurationJoin)
+        val (ms2, df2) = TaxiReplay.memoryStream(ss)
+        val ckpt2 = TempDir.create("graft-warm-")
+        val q2 = TaxiPipelines.rideDurationJoin(df2)
+          .writeStream.outputMode("append")
+          .option("checkpointLocation", ckpt2.toString)
+          .format("memory").queryName("graft_warm_ssjoin")
+          .start()
+        try {
+          ms2.addData(Seq(
+            RideEvent(10L, 1000L, isStart = true, -74.0, 40.75, 1),
+            RideEvent(11L, 2000L, isStart = false, -74.0, 40.75, 1)))
+          q2.processAllAvailable()
+        } finally { q2.stop(); TempDir.deleteRecursively(ckpt2.toString) }
+      } finally {
+        // must run even on partial warm-up failure: leaked warm
+        // providers would otherwise churn against deleted checkpoint
+        // dirs through every timed query until the first replay's own
+        // cleanup — the exact contamination the bench exists to avoid
+        org.apache.spark.sql.graftbridge.StateStoreBridge.unloadAll()
+      }
     } catch { case _: Throwable => () }
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()

@@ -27,10 +27,8 @@ object StreamingQueries {
     * — it cannot change any sum — and its own zero-count panes are
     * removed by the `cnt > 0` post-filter on the results.
     */
-  private def withSentinel(events: Seq[RideEvent]): Seq[RideEvent] = {
-    val maxT = events.map(_.tMs).maxOption.getOrElse(0L)
-    events :+ RideEvent(-1L, maxT + 7200000L, isStart = false, -74.0, 40.75, 0)
-  }
+  private def withSentinel(events: Seq[RideEvent]): Seq[RideEvent] =
+    events :+ TaxiReplay.sentinelAfter(events)
 
   /** Replay sessions run with a small, independent shuffle-partition
     * count. The state store is partitioned by `spark.sql.shuffle
@@ -294,34 +292,18 @@ object StreamingQueries {
       .select(col("cell"), col("rideId"), col("tMs").as("t_ms"),
         col("runningCnt").as("running_cnt"))
 
-  /** Stream-stream interval join: START and END events of a ride meet
-    * on pair_id within a ±1 h event-time bound. Both sides carry the
-    * watermark; the time-range condition lets Spark expire join state
-    * — without it, stream-stream join state grows forever (the 100 TB
-    * failure mode). Inner-join matches emit as they arrive, so no
-    * flush sentinel is needed.
+  /** Stream-stream interval join (`TaxiPipelines.rideDurationJoin` —
+    * the shared definition; see its scaladoc for the state-expiry
+    * contract). Inner-join matches emit as they arrive, so no flush
+    * sentinel is needed.
     */
   // 2 batches: stream-stream join keeps 4 state stores per partition
   // and re-versions them per micro-batch — batch count is the dominant
   // cost, and 2 batches still exercises cross-batch matching + state
   // expiry. Inner-join matches emit on arrival → no sentinel needed.
   def durationStream(spark: SparkSession, sfDir: String): DataFrame =
-    appendReplay(spark, sfDir, "dur_", nBatches = 2, sentinel = false) { df =>
-      val wm = df.withWatermark("ts", "60 seconds")
-      val starts = wm.filter(col("isStart"))
-        .select(expr("rideId div 2").as("pair_s"), col("ts").as("ts_start"))
-      val ends = wm.filter(!col("isStart"))
-        .select(expr("rideId div 2").as("pair_e"), col("ts").as("ts_end"))
-      starts.join(ends,
-          col("pair_s") === col("pair_e") &&
-            col("ts_end").between(
-              col("ts_start") - expr("INTERVAL 1 HOUR"),
-              col("ts_start") + expr("INTERVAL 1 HOUR")))
-        .select(col("pair_s").as("pair_id"),
-          unix_millis(col("ts_start")).as("t_start"),
-          unix_millis(col("ts_end")).as("t_end"),
-          (unix_millis(col("ts_end")) - unix_millis(col("ts_start"))).as("duration_ms"))
-    }
+    appendReplay(spark, sfDir, "dur_", nBatches = 2, sentinel = false)(
+      TaxiPipelines.rideDurationJoin(_))
 
   /** Streaming sessionization over the `events` table — session
     * windows run *as a stream* (the reference README markets session

@@ -92,7 +92,13 @@ final class KeyedUpsertSink(keyCols: Seq[String], logPath: String)
       "compact-g(\\d+)-".r.findFirstMatchIn(f.getFileName.toString)
         .map(_.group(1).toInt)).maxOption.getOrElse(0) + 1
     val snapshot = spark.read.parquet(consumed.map(_.toString): _*)
-    val maxBatch = snapshot.agg(max(col("_batch_id"))).head().getLong(0)
+    // a log holding only zero-row files (an empty micro-batch still
+    // writes a schema-only parquet file) has nothing to fold — and
+    // max(_batch_id) would be null. Leave the files; they carry the
+    // schema toDF needs on an otherwise-empty log.
+    val maxBatchRow = snapshot.agg(max(col("_batch_id"))).head()
+    if (maxBatchRow.isNullAt(0)) return
+    val maxBatch = maxBatchRow.getLong(0)
     val tmp = TempDir.create("graft-compact-")
     try {
       fold(snapshot)

@@ -74,6 +74,32 @@ object TaxiPipelines {
         NycGeo.cellCenterLon(col("cell")).as("center_lon"),
         NycGeo.cellCenterLat(col("cell")).as("center_lat"))
 
+  /** Stream-stream ride-duration interval join: START and END events
+    * of a ride meet on pair_id within a ±1 h event-time bound. Both
+    * sides carry the watermark; the time-range condition is the
+    * state-expiry contract — without it stream-stream join state
+    * grows forever (the 100 TB failure mode). The ONE definition of
+    * this pipeline: the oracle query (`taxi_duration_stream`), the
+    * profiler attribution (ProfileStream), and the bench warm-up all
+    * build it here, so the warmed/profiled plan IS the shipped plan.
+    */
+  def rideDurationJoin(stream: DataFrame, watermarkDelay: String = "60 seconds"): DataFrame = {
+    val wm = stream.withWatermark("ts", watermarkDelay)
+    val starts = wm.filter(col("isStart"))
+      .select(expr("rideId div 2").as("pair_s"), col("ts").as("ts_start"))
+    val ends = wm.filter(!col("isStart"))
+      .select(expr("rideId div 2").as("pair_e"), col("ts").as("ts_end"))
+    starts.join(ends,
+        col("pair_s") === col("pair_e") &&
+          col("ts_end").between(
+            col("ts_start") - expr("INTERVAL 1 HOUR"),
+            col("ts_start") + expr("INTERVAL 1 HOUR")))
+      .select(col("pair_s").as("pair_id"),
+        unix_millis(col("ts_start")).as("t_start"),
+        unix_millis(col("ts_end")).as("t_end"),
+        (unix_millis(col("ts_end")) - unix_millis(col("ts_start"))).as("duration_ms"))
+  }
+
   /** The 3 sliding panes (as window-end millis) containing event time
     * `tMs` — what Flink's `SlidingEventTimeWindows.assignWindows` does
     * for 15/5 windows.

@@ -69,6 +69,19 @@ object TaxiReplay {
       .sortBy(t => (t._1, t._2)).map(_._3)
   }
 
+  /** The far-future zero-weight flush sentinel for Append-mode
+    * replays (see StreamingQueries.appendReplay's contract): 2 h past
+    * the last event, IN-bbox (it must survive the bbox filter to
+    * reach the watermark operator), passengers = 0 (it can change no
+    * sum), rideId = −1 (callers filter it; dedup keys collapse its
+    * re-feed). All replay harness sites build the sentinel HERE —
+    * its invariants are load-bearing and asserted at the flush site.
+    */
+  def sentinelAfter(events: Seq[RideEvent]): RideEvent = {
+    val maxT = events.map(_.tMs).maxOption.getOrElse(0L)
+    RideEvent(-1L, maxT + 7200000L, isStart = false, -74.0, 40.75, 0)
+  }
+
   /** Feed `events` into a MemoryStream in `nBatches` micro-batches in
     * serving order; the watermark advances between batches exactly as
     * the reference's periodic watermarks advance with serving time.

@@ -66,6 +66,10 @@ object ProfileStream {
     } finally {
       t("stop+cleanup") {
         q.stop(); TempDir.deleteRecursively(ckpt.toString); sink.close()
+        // same post-replay hygiene as the production harness — each
+        // section must profile free of the previous one's stale
+        // providers (see StateStoreBridge)
+        org.apache.spark.sql.graftbridge.StateStoreBridge.unloadAll()
       }
     }
 
@@ -87,8 +91,7 @@ object ProfileStream {
       // batch — with no-data micro-batches disabled, a bare
       // processAllAvailable() here runs NO batch at all, so the tail
       // panes would never emit and `sliding rows` would under-report.
-      val maxT = ordered.map(_.tMs).maxOption.getOrElse(0L)
-      val sentinel = RideEvent(-1L, maxT + 7200000L, isStart = false, -74.0, 40.75, 0)
+      val sentinel = TaxiReplay.sentinelAfter(ordered)
       val fed = ordered :+ sentinel
       val size = math.max(1, math.ceil(fed.size.toDouble / 4).toInt)
       fed.grouped(size).zipWithIndex.foreach { case (b, i) =>
@@ -110,6 +113,7 @@ object ProfileStream {
     } finally {
       t("sliding stop+cleanup") {
         q2.stop(); TempDir.deleteRecursively(ckpt2.toString)
+        org.apache.spark.sql.graftbridge.StateStoreBridge.unloadAll()
       }
     }
 
@@ -123,19 +127,7 @@ object ProfileStream {
     val ckpt3 = TempDir.create("graft-ckpt-")
     val name3 = "profdur_" + UUID.randomUUID().toString.replace("-", "")
     val q3 = t("duration query start") {
-      val wm = df3.withWatermark("ts", "60 seconds")
-      val starts = wm.filter(col("isStart"))
-        .select(expr("rideId div 2").as("pair_s"), col("ts").as("ts_start"))
-      val ends = wm.filter(!col("isStart"))
-        .select(expr("rideId div 2").as("pair_e"), col("ts").as("ts_end"))
-      starts.join(ends,
-          col("pair_s") === col("pair_e") &&
-            col("ts_end").between(
-              col("ts_start") - expr("INTERVAL 1 HOUR"),
-              col("ts_start") + expr("INTERVAL 1 HOUR")))
-        .select(col("pair_s").as("pair_id"),
-          unix_millis(col("ts_start")).as("t_start"),
-          unix_millis(col("ts_end")).as("t_end"))
+      TaxiPipelines.rideDurationJoin(df3)
         .writeStream.outputMode("append")
         .option("checkpointLocation", ckpt3.toString)
         .format("memory").queryName(name3)
@@ -152,6 +144,7 @@ object ProfileStream {
     } finally {
       t("duration stop+cleanup") {
         q3.stop(); TempDir.deleteRecursively(ckpt3.toString)
+        org.apache.spark.sql.graftbridge.StateStoreBridge.unloadAll()
       }
     }
     spark.stop()

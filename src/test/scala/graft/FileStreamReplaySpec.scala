@@ -65,8 +65,7 @@ class FileStreamReplaySpec extends AnyFunSuite {
     val rides = TaxiReplay.ridesFromEvents(ss, "/root/testdata/sf0.001")
       .collect().toSeq
       .map(e => e.copy(tMs = e.tMs - e.tMs % 1000))
-    val maxT = rides.map(_.tMs).max
-    val sentinel = RideEvent(-1L, maxT + 7200000L, isStart = false, -74.0, 40.75, 0)
+    val sentinel = TaxiReplay.sentinelAfter(rides)
     val ordered = TaxiReplay.servingOrder(rides, 60000L) :+ sentinel
 
     val (stream, chunkDir) =

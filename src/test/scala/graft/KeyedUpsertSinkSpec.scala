@@ -74,6 +74,22 @@ class KeyedUpsertSinkSpec extends AnyFunSuite {
     } finally sink.close()
   }
 
+  test("compact() no-ops on a log of only empty micro-batches") {
+    import spark.implicits._
+    val sink = newSink(Seq("k"))
+    try {
+      // an empty update-mode micro-batch still appends a schema-only
+      // parquet file; compact must neither crash (null max batch id)
+      // nor delete the schema carrier
+      sink.upsert(Seq.empty[(Int, String, Long)].toDF("k", "tag", "v"), 0L)
+      sink.compact(spark)
+      assert(sink.toDF(spark).collect().isEmpty)
+      sink.upsert(Seq((1, "x", 1L)).toDF("k", "tag", "v"), 1L)
+      sink.compact(spark)
+      assert(state(sink) == Map(1 -> (("x", 1L))))
+    } finally sink.close()
+  }
+
   test("all-key schema degenerates to key dedup") {
     import spark.implicits._
     val sink = newSink(Seq("k"))
