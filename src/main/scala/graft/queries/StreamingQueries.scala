@@ -194,8 +194,10 @@ object StreamingQueries {
     // 3 data chunks + 1 flush chunk: cross-batch watermark advance is
     // exercised with one fewer state-commit cycle than the memory-
     // stream twin — the entry pins the INGRESS form, not batch count.
+    // gzip = true: the chunks are literally the reference's wire form.
     val (stream, chunkDir) =
-      TaxiReplay.fileStream(ss, ordered, nChunks = 3, flushChunk = Seq(ordered.last))
+      TaxiReplay.fileStream(ss, ordered, nChunks = 3,
+        flushChunk = Seq(ordered.last), gzip = true)
     val name = "slidingfile_" + UUID.randomUUID().toString.replace("-", "")
     val ckpt = TempDir.create("graft-ckpt-")
     val q = TaxiPipelines.slidingArrivalCount(stream)

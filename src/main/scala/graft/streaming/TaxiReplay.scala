@@ -122,7 +122,8 @@ object TaxiReplay {
       spark: SparkSession,
       events: Seq[RideEvent],
       nChunks: Int,
-      flushChunk: Seq[RideEvent] = Nil): (DataFrame, String) = {
+      flushChunk: Seq[RideEvent] = Nil,
+      gzip: Boolean = false): (DataFrame, String) = {
     import graft.model.TaxiRide
     val dir = TempDir.create("graft-replay-")
     val chunkSize = math.max(1, math.ceil(events.size.toDouble / nChunks).toInt)
@@ -138,8 +139,19 @@ object TaxiReplay {
         val t = java.time.Instant.ofEpochMilli(e.tMs).atZone(zone).format(fmt)
         s"${e.rideId},$t,${if (e.isStart) "START" else "END"},${e.lon},${e.lat},${e.passengers},0.0"
       }
-      val p = java.nio.file.Files.write(dir.resolve(f"chunk-$i%05d.csv"),
-        lines.mkString("\n").getBytes("UTF-8"))
+      val bytes = lines.mkString("\n").getBytes("UTF-8")
+      // gzip = the reference's ACTUAL wire form (a gzipped CSV file,
+      // `sources/TaxiRideSource.scala:97-104`); Hadoop's text reader
+      // decompresses by extension, so the parse path is unchanged.
+      // One gz chunk = one micro-batch — non-splittability is moot.
+      val (name, data) =
+        if (gzip) {
+          val bos = new java.io.ByteArrayOutputStream()
+          val gz = new java.util.zip.GZIPOutputStream(bos)
+          gz.write(bytes); gz.close()
+          (f"chunk-$i%05d.csv.gz", bos.toByteArray)
+        } else (f"chunk-$i%05d.csv", bytes)
+      val p = java.nio.file.Files.write(dir.resolve(name), data)
       // FileStreamSource orders files by modification time; two chunks
       // written in the same clock tick would tie and could replay out
       // of serving order (dropping a whole chunk as late). Stamp

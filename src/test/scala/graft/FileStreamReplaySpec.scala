@@ -68,8 +68,11 @@ class FileStreamReplaySpec extends AnyFunSuite {
     val sentinel = TaxiReplay.sentinelAfter(rides)
     val ordered = TaxiReplay.servingOrder(rides, 60000L) :+ sentinel
 
+    // gzip = true covers the reference's actual gz wire form here;
+    // the update-mode test above keeps the plain-text path covered
     val (stream, chunkDir) =
-      TaxiReplay.fileStream(ss, ordered, nChunks = 3, flushChunk = Seq(sentinel))
+      TaxiReplay.fileStream(ss, ordered, nChunks = 3,
+        flushChunk = Seq(sentinel), gzip = true)
     val ckpt = TempDir.create("graft-fsflush-ckpt-")
     val name = "fsflush_" + java.util.UUID.randomUUID().toString.replace("-", "")
     val q = TaxiPipelines.slidingArrivalCount(stream)
