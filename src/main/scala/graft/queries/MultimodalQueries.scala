@@ -46,8 +46,49 @@ object MultimodalQueries {
           element_at(col("laneSums"), 2).as("s1"),
           element_at(col("laneSums"), 3).as("s2"),
           element_at(col("laneSums"), 4).as("s3"),
-          aggregate(col("laneSums"), lit(0L), (a, x) => a + x).as("s_all")))
+          aggregate(col("laneSums"), lit(0L), (a, x) => a + x).as("s_all"))),
+
+    // The composed training-data pipeline: media → partition-parallel
+    // feature extraction → cosine top-k (decode → featurize → ANN) as
+    // ONE dataflow — payloads never shuffle (features are extracted in
+    // the scan stage), and the ANN stage reuses knn_brute's anatomy
+    // (broadcast queries, bounded TopKByScore aggregator: Q×k×
+    // partitions rows cross the shuffle, not Q×N). Scoring runs in
+    // the laneSums integer domain — the exact shadow of the float
+    // features (same byte fold, two domains; see MediaFeatures) — so
+    // every dot product is integer-exact and the DuckDB oracle can
+    // hash-match the full ranking, not just a rows-only check.
+    "multimodal_feature_knn" -> ((s, dir) => {
+      import s.implicits._
+      val feats = Multimodal.extractFeatures(Multimodal.mediaFromDocuments(s, dir))
+        .toDF()
+        .select(col("media_id"), col("laneSums"))
+        // products and partial sums stay < 2^53 (lane sums are a few
+        // thousand), so double accumulation here is EXACT — equality
+        // with the oracle's BIGINT arithmetic is bit-level, not
+        // approximate
+        .withColumn("nrm",
+          sqrt(aggregate(col("laneSums"), lit(0.0), (a, x) => a + x * x)))
+      val q = feats.filter(col("media_id") % 50 === 0)
+        .select(col("media_id").as("query_id"),
+          col("laneSums").as("q_ls"), col("nrm").as("q_nrm"))
+      val scored = broadcast(q).join(feats, col("query_id") =!= col("media_id"))
+        .select(col("query_id"), col("media_id"),
+          (aggregate(zip_with(col("q_ls"), col("laneSums"), (a, b) => a * b),
+            lit(0.0), (acc, x) => acc + x) / (col("q_nrm") * col("nrm"))).as("cos"))
+        .as[(Long, Long, Double)]
+      scored.groupByKey(_._1)
+        .mapValues(t => graft.functions.Scored(t._2, t._3))
+        .agg(new graft.functions.TopKByScore(FeatureKnnK).toColumn)
+        .toDF("query_id", "topk")
+        .select(col("query_id"), posexplode(col("topk")))
+        .select(col("query_id"), col("col.vec_id").as("neighbor_id"),
+          (col("pos") + 1).cast("int").as("rnk"),
+          org.apache.spark.sql.functions.round(col("col.cos"), 6).as("cos_r"))
+    })
   )
+
+  private val FeatureKnnK = 5
 
   private val kindSql =
     "(['image', 'audio', 'video'])[CAST(doc_id % 3 + 1 AS INT)]"
@@ -95,6 +136,24 @@ object MultimodalQueries {
       s"""SELECT doc_id AS media_id, CAST(f AS INT) AS frame_idx,
          |  CAST(greatest(octet_length(encode(text)) // 8, 1) AS BIGINT) AS frame_bytes
          |FROM documents, (VALUES (0), (2), (4), (6)) AS fr(f)
-         |WHERE $kindSql = 'video'""".stripMargin
+         |WHERE $kindSql = 'video'""".stripMargin,
+    "multimodal_feature_knn" -> {
+      val lanes = (0 until 16).map(l => s"${laneSumSql(l)} AS s${l}").mkString(",\n  ")
+      def dot(a: String, b: String) =
+        (0 until 16).map(l => s"$a.s$l * $b.s$l").mkString(" + ")
+      def nrm2(a: String) = (0 until 16).map(l => s"$a.s$l * $a.s$l").mkString(" + ")
+      s"""WITH ls AS (
+         |  SELECT doc_id AS media_id,
+         |  $lanes
+         |  FROM documents)
+         |SELECT query_id, neighbor_id, rnk, cos_r FROM (
+         |  SELECT q.media_id AS query_id, c.media_id AS neighbor_id,
+         |    ROW_NUMBER() OVER (PARTITION BY q.media_id
+         |      ORDER BY (${dot("q", "c")}) / (sqrt(${nrm2("q")}) * sqrt(${nrm2("c")})) DESC,
+         |               c.media_id ASC) AS rnk,
+         |    ROUND((${dot("q", "c")}) / (sqrt(${nrm2("q")}) * sqrt(${nrm2("c")})), 6) AS cos_r
+         |  FROM ls q JOIN ls c ON q.media_id % 50 = 0 AND q.media_id != c.media_id
+         |) WHERE rnk <= 5""".stripMargin
+    }
   )
 }

@@ -75,6 +75,12 @@ final class KeyedUpsertSink(keyCols: Seq[String], logPath: String)
     * row carries the same batch id and, by last-write-wins, the same
     * value as the newest row it replaced). `toDF` is unchanged — it
     * keeps folding whatever files exist.
+    *
+    * File manipulation is `java.nio` — valid for the local/tmpfs log
+    * dirs this sink targets (see `tempLogDir`). On shared object
+    * storage the same fold becomes a transactional MERGE INTO /
+    * rewrite on the table format (Delta/Iceberg), not raw file moves;
+    * the pipeline code above this seam is unchanged either way.
     */
   def compact(spark: SparkSession): Unit = {
     val dir = java.nio.file.Paths.get(logPath)

@@ -45,9 +45,11 @@ class PlanShapeSpec extends AnyFunSuite {
 
   test("broadcast nested-loop joins only where all-pairs is the contract") {
     // knn_brute is the deliberate brute-force ANN baseline: a non-equi
-    // self-join (vec_id !=) over a broadcast query side. Nothing else
-    // may fall back to a nested-loop join.
-    val allowed = Set("knn_brute")
+    // self-join (vec_id !=) over a broadcast query side; the composed
+    // multimodal_feature_knn scores the same brute-force shape over
+    // extracted features. Nothing else may fall back to a nested-loop
+    // join.
+    val allowed = Set("knn_brute", "multimodal_feature_knn")
     (SparkEntry.queries.keySet -- streamingEntries -- allowed).toSeq.sorted.foreach { name =>
       val bnlj = plan(name).collect { case b: BroadcastNestedLoopJoinExec => b }
       assert(bnlj.isEmpty, s"$name plans BroadcastNestedLoopJoin")
