@@ -90,6 +90,29 @@ object TextQueries {
         (h < 10).cast("int").as("in_sample_10pct"))
     }),
 
+    // The composed curation DAG — the training-data pipeline's
+    // endpoint run as ONE dataflow: quality gate (stopword ratio ≥
+    // mid) → exact dedup keeping the lowest doc_id per content hash →
+    // stable-key split assignment → per-doc manifest row. One shuffle
+    // total (the dedup window on md5(text), fixed-width key); quality
+    // filter and split assignment are pure maps fused into the scan
+    // stages around it. Every surviving doc is oracle-verified
+    // individually — id, source, split, and token count.
+    "text_curation_pipeline" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val h = conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("long") % 100
+      Tables.documents(s, dir)
+        .filter(stopwordRatio(col("text")) >= 0.05)
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(md5(col("text"))).orderBy(col("doc_id"))))
+        .filter(col("rn") === 1)
+        .select(
+          col("doc_id"), col("source"),
+          when(h < 80, "train").when(h < 90, "val").otherwise("test").as("split"),
+          tokenCount(col("text")).as("n_tokens"))
+    }),
+
     // Repetition quality signal (Gopher-style): per doc, the dominant
     // adjacent-bigram count vs total bigrams — boilerplate/spam shows
     // as top_bigram_n/n_bigrams near 1. Integer outputs keep the hash
@@ -155,6 +178,22 @@ object TextQueries {
          |FROM (SELECT doc_id, source,
          |        ${Sql.tokenHash("CAST(doc_id AS VARCHAR)")} % 100 AS h
          |      FROM documents)""".stripMargin,
+    "text_curation_pipeline" ->
+      s"""WITH q AS (
+         |  SELECT doc_id, source, text FROM documents
+         |  WHERE ${Sql.stopwordRatio("text")} >= 0.05),
+         |k AS (
+         |  SELECT doc_id, source, text FROM (
+         |    SELECT doc_id, source, text,
+         |      ROW_NUMBER() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+         |    FROM q) WHERE rn = 1)
+         |SELECT doc_id, source,
+         |  CASE WHEN h < 80 THEN 'train' WHEN h < 90 THEN 'val'
+         |       ELSE 'test' END AS split,
+         |  ${Sql.tokenCount("text")} AS n_tokens
+         |FROM (SELECT doc_id, source, text,
+         |        ${Sql.tokenHash("CAST(doc_id AS VARCHAR)")} % 100 AS h
+         |      FROM k)""".stripMargin,
     "text_repetition" ->
       s"""WITH c AS (
          |  SELECT doc_id, bg, COUNT(*) AS c
