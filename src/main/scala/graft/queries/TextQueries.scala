@@ -93,24 +93,37 @@ object TextQueries {
     // The composed curation DAG — the training-data pipeline's
     // endpoint run as ONE dataflow: quality gate (stopword ratio ≥
     // mid) → exact dedup keeping the lowest doc_id per content hash →
-    // stable-key split assignment → per-doc manifest row. One shuffle
-    // total (the dedup window on md5(text), fixed-width key); quality
-    // filter and split assignment are pure maps fused into the scan
-    // stages around it. Every surviving doc is oracle-verified
-    // individually — id, source, split, and token count.
+    // stable-key split assignment → per-doc manifest row. The manifest
+    // columns are computed per-row BEFORE the dedup aggregation, so
+    // the single shuffle carries only (md5 digest, 4 small fields) —
+    // the text never crosses the exchange — and keep-lowest-doc_id is
+    // a min_by aggregation with map-side partial reduction, not a
+    // per-key window sort of full rows (the same window→arg-extreme
+    // lesson as KeyedUpsertSink compaction). Spark plans this min_by
+    // as SortAggregate, not HashAggregate — the struct buffer fails
+    // UnsafeRow.isMutable so hash agg is unavailable — but the local
+    // pre-agg sorts are over the narrow projected rows; the scale-
+    // critical properties (reduction before the exchange, text stays
+    // partition-local) hold and are pinned by PlanShapeSpec. Every
+    // surviving doc is oracle-verified individually — id, source,
+    // split, and token count.
     "text_curation_pipeline" -> ((s, dir) => {
-      import org.apache.spark.sql.expressions.Window
       val h = conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
         .cast("long") % 100
       Tables.documents(s, dir)
         .filter(stopwordRatio(col("text")) >= 0.05)
-        .withColumn("rn", row_number().over(
-          Window.partitionBy(md5(col("text"))).orderBy(col("doc_id"))))
-        .filter(col("rn") === 1)
         .select(
-          col("doc_id"), col("source"),
-          when(h < 80, "train").when(h < 90, "val").otherwise("test").as("split"),
-          tokenCount(col("text")).as("n_tokens"))
+          md5(col("text")).as("chash"),
+          col("doc_id"),
+          struct(
+            col("doc_id"), col("source"),
+            when(h < 80, "train").when(h < 90, "val").otherwise("test")
+              .as("split"),
+            tokenCount(col("text")).as("n_tokens")).as("manifest"))
+        .groupBy("chash")
+        .agg(min_by(col("manifest"), col("doc_id")).as("w"))
+        .select(col("w.doc_id").as("doc_id"), col("w.source").as("source"),
+          col("w.split").as("split"), col("w.n_tokens").as("n_tokens"))
     }),
 
     // Repetition quality signal (Gopher-style): per doc, the dominant

@@ -62,4 +62,42 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(plan("events_asof_join").collect { case a: AsOfJoinExec => a }.nonEmpty,
       "AsOfJoinExec missing — as-of fell back to a composed plan")
   }
+
+  test("text_curation_pipeline dedups via pre-shuffle arg-min, not a window over full rows") {
+    // Keep-lowest-doc_id must stay a min_by aggregation: partial
+    // (arg-min) reduction BEFORE the single exchange, whose input
+    // carries only (digest, manifest) — never the text. A WindowExec
+    // means the shuffle-full-rows-then-sort-per-key shape re-crept in.
+    // (Spark plans the min_by as SortAggregate — the struct buffer
+    // fails UnsafeRow.isMutable, so local narrow-row sorts are
+    // expected; the guards are the window, the exchange count, the
+    // partial mode, and the exchange's input width.)
+    // Exchanges are inserted by EnsureRequirements, so this asserts on
+    // the *executed* plan — with AQE off, because AdaptiveSparkPlanExec
+    // hides the physical tree until materialization.
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val p = SparkEntry.queries("text_curation_pipeline")(spark, sf)
+        .queryExecution.executedPlan
+      val windows = p.collect { case w: org.apache.spark.sql.execution.window.WindowExec => w }
+      assert(windows.isEmpty, "text_curation_pipeline plans a WindowExec")
+      val exchanges = p.collect {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+      }
+      assert(exchanges.size == 1,
+        s"expected exactly 1 shuffle (on the content digest), found ${exchanges.size}")
+      val ex = exchanges.head
+      val partials = ex.child.collect {
+        case a: org.apache.spark.sql.execution.aggregate.BaseAggregateExec
+          if a.aggregateExpressions.nonEmpty &&
+            a.aggregateExpressions.forall(_.mode ==
+              org.apache.spark.sql.catalyst.expressions.aggregate.Partial) => a
+      }
+      assert(partials.nonEmpty,
+        "no partial aggregate below the exchange — arg-min reduction happens post-shuffle")
+      assert(!ex.child.output.exists(_.name == "text"),
+        s"text column crosses the exchange: ${ex.child.output.map(_.name)}")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+  }
 }
