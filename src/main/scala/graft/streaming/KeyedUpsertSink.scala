@@ -44,9 +44,14 @@ final class KeyedUpsertSink(keyCols: Seq[String], logPath: String)
       .write.mode("append").parquet(logPath)
 
   /** Current state: last-write-wins per key over the log. `max_by` of
-    * the value struct on batch id — a single hash aggregation with
+    * the value struct on batch id — a single aggregation with
     * map-side partial reduction, vs the `row_number` window form that
-    * shuffles every log row and sorts each key's history. Ties (a
+    * shuffles every log row and sorts each key's history. (Spark
+    * plans the `max_by` as SortAggregate, not HashAggregate — struct
+    * buffers fail `UnsafeRow.isMutable` — but the sorts are local
+    * over narrow pre-reduced rows; what matters at scale is that
+    * only one row per key per map partition crosses the exchange,
+    * same as `text_curation_pipeline`.) Ties (a
     * replayed batch re-appending identical rows under the same batch
     * id) are safe: the tied rows are identical by construction.
     * Degenerate all-key schema (no value columns): last-write-wins
