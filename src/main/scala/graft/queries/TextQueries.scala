@@ -146,8 +146,63 @@ object TextQueries {
         .filter(col("rn") === 1)
         .select(col("doc_id"), col("n_bigrams"),
           col("c").as("top_bigram_n"), col("bg").as("top_bigram"))
+    }),
+
+    // Sequence packing — the "pack documents into fixed-context
+    // training sequences" step of an LLM data pipeline. Docs are
+    // bucketed by the stable doc_id hash (so re-runs pack
+    // identically), ordered by doc_id within bucket, and greedily
+    // filled: a new sequence starts when the running token count
+    // would exceed the budget; an over-budget doc gets a sequence of
+    // its own. The scale shape is the secondary-sort pattern: ONE
+    // shuffle on the bucket key carrying narrow (doc_id, bucket,
+    // n_tokens) rows — the text never leaves the scan stage — a
+    // partition-local sort, then a streaming pass with O(1) state.
+    // The greedy reset-recurrence is inherently sequential per bucket
+    // and inexpressible as a window function, so mapPartitions is the
+    // honest tool here; parallelism comes from the bucket count,
+    // which scales with the cluster (16 here, ~#cores×4 at 100 TB).
+    // Oracle: the identical recurrence as a DuckDB recursive CTE.
+    "text_pack_sequences" -> ((s, dir) => {
+      import s.implicits._
+      Tables.documents(s, dir)
+        .select(
+          col("doc_id"),
+          (tokenHash(col("doc_id").cast("string")) % PackBuckets).as("bucket"),
+          tokenCount(col("text")).cast("long").as("n_tokens"))
+        .as[(Long, Long, Long)]
+        .repartition(col("bucket"))
+        .sortWithinPartitions("bucket", "doc_id")
+        .mapPartitions(packScan _)
+        .toDF("doc_id", "bucket", "seq_idx", "n_tokens")
     })
   )
+
+  /** The greedy packing recurrence over (doc_id, bucket, n_tokens)
+    * rows already sorted by (bucket, doc_id) — per bucket: seq_idx
+    * starts at 0 and increments exactly when the running token sum
+    * would exceed [[PackBudget]]. Streaming, O(1) state; buckets must
+    * be non-negative (−1 is the "no bucket yet" sentinel). Pure so
+    * PropertiesSpec can drive it with ScalaCheck off-Spark.
+    */
+  def packScan(it: Iterator[(Long, Long, Long)]): Iterator[(Long, Long, Long, Long)] = {
+    var bucket = -1L
+    var seq = 0L
+    var cum = 0L
+    it.map { case (docId, b, n) =>
+      if (b != bucket) { bucket = b; seq = 0L; cum = n }
+      else if (cum + n > PackBudget) { seq += 1; cum = n }
+      else cum += n
+      (docId, b, seq, n)
+    }
+  }
+
+  /** Token budget per packed training sequence and the stable bucket
+    * fan-out for `text_pack_sequences`. Both sides of the oracle pair
+    * read these — change here, change nowhere else.
+    */
+  val PackBudget = 512L
+  val PackBuckets = 16
 
   val oracleSql: Map[String, String] = Map(
     "text_stats" ->
@@ -216,6 +271,27 @@ object TextQueries {
          |  SELECT doc_id, bg AS top_bigram, c AS top_bigram_n,
          |    CAST(SUM(c) OVER (PARTITION BY doc_id) AS BIGINT) AS n_bigrams,
          |    ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY c DESC, bg ASC) AS rn
-         |  FROM c) WHERE rn = 1""".stripMargin
+         |  FROM c) WHERE rn = 1""".stripMargin,
+    "text_pack_sequences" ->
+      s"""WITH RECURSIVE base AS (
+         |  SELECT doc_id, bucket, n_tokens,
+         |    row_number() OVER (PARTITION BY bucket ORDER BY doc_id) AS rn
+         |  FROM (
+         |    SELECT doc_id,
+         |      ${Sql.tokenHash("CAST(doc_id AS VARCHAR)")} % $PackBuckets AS bucket,
+         |      ${Sql.tokenCount("text")}::BIGINT AS n_tokens
+         |    FROM documents)),
+         |pack AS (
+         |  SELECT doc_id, bucket, n_tokens, rn,
+         |    0::BIGINT AS seq_idx, n_tokens AS cum
+         |  FROM base WHERE rn = 1
+         |  UNION ALL
+         |  SELECT b.doc_id, b.bucket, b.n_tokens, b.rn,
+         |    CASE WHEN p.cum + b.n_tokens > $PackBudget
+         |         THEN p.seq_idx + 1 ELSE p.seq_idx END,
+         |    CASE WHEN p.cum + b.n_tokens > $PackBudget
+         |         THEN b.n_tokens ELSE p.cum + b.n_tokens END
+         |  FROM base b JOIN pack p ON b.bucket = p.bucket AND b.rn = p.rn + 1)
+         |SELECT doc_id, bucket, seq_idx, n_tokens FROM pack""".stripMargin
   )
 }

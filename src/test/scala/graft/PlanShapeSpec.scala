@@ -100,4 +100,30 @@ class PlanShapeSpec extends AnyFunSuite {
         s"text column crosses the exchange: ${ex.child.output.map(_.name)}")
     } finally spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
   }
+
+  test("text_pack_sequences shuffles one narrow projection (secondary-sort shape)") {
+    // One exchange on the bucket key, carrying only (doc_id, bucket,
+    // n_tokens) — the text must stay in the scan stage; the sort below
+    // mapPartitions must be partition-local, not global.
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val p = SparkEntry.queries("text_pack_sequences")(spark, sf)
+        .queryExecution.executedPlan
+      val exchanges = p.collect {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+      }
+      assert(exchanges.size == 1,
+        s"expected exactly 1 shuffle (on bucket), found ${exchanges.size}")
+      val ex = exchanges.head
+      assert(!ex.child.output.exists(_.name == "text"),
+        s"text column crosses the exchange: ${ex.child.output.map(_.name)}")
+      assert(ex.child.output.size <= 3,
+        s"exchange input wider than (doc_id, bucket, n_tokens): ${ex.child.output.map(_.name)}")
+      val globalSorts = p.collect {
+        case s: org.apache.spark.sql.execution.SortExec if s.global => s
+      }
+      assert(globalSorts.isEmpty, "text_pack_sequences plans a GLOBAL sort")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+  }
 }

@@ -70,4 +70,37 @@ class PropertiesSpec extends AnyFunSuite {
       (a != b) || pack(a) == pack(b)
     })
   }
+
+  test("greedy sequence packing: budget respected, seqs contiguous, packing tight") {
+    import graft.queries.TextQueries
+    val B = TextQueries.PackBudget
+    val rowGen = for {
+      bucket <- Gen.choose(0L, 3L)
+      n <- Gen.frequency(8 -> Gen.choose(0L, B), 1 -> Gen.choose(B, 2 * B))
+    } yield (bucket, n)
+    check(forAll(Gen.listOf(rowGen)) { rows =>
+      val sorted = rows.zipWithIndex
+        .map { case ((b, n), i) => (i.toLong, b, n) }
+        .sortBy { case (id, b, _) => (b, id) }
+      val packed = TextQueries.packScan(sorted.iterator).toList
+      val perm = packed.map { case (id, b, _, n) => (id, b, n) }.toSet ==
+        sorted.toSet
+      val byBucket = packed.groupBy(_._2)
+      byBucket.values.forall { docs =>
+        val seqs = docs.map(_._3)
+        // seq ids start at 0 and step by at most 1, in doc order
+        val contiguous = seqs.headOption.forall(_ == 0L) &&
+          seqs.zip(seqs.drop(1)).forall { case (a, c) => c == a || c == a + 1 }
+        val groups = docs.groupBy(_._3).toSeq.sortBy(_._1).map(_._2)
+        // a sequence exceeds the budget only as a single over-long doc
+        val bounded = groups.forall(g =>
+          g.map(_._4).sum <= B || g.size == 1)
+        // greedy tightness: the doc that opened seq k+1 did not fit in seq k
+        val tight = groups.zip(groups.drop(1)).forall { case (prev, next) =>
+          prev.map(_._4).sum + next.head._4 > B
+        }
+        contiguous && bounded && tight
+      } && perm
+    })
+  }
 }
