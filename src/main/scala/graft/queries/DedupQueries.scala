@@ -83,6 +83,126 @@ object DedupQueries {
       s"ascii(substring($text, i + 1, 1)) * 256 + ascii(substring($text, i + 2, 1)) " +
       s"for i in range(1, greatest(length($text) - 2, 1) + 1)])"
 
+  /** Oracle mirrors of [[minhashVerifiedPairs]], split so
+    * `dedup_components` can extend the CTE chain with the recursive
+    * closure.
+    */
+  // bands' body is wrapped in a derived table: under WITH RECURSIVE a
+  // CTE whose body is a top-level UNION [ALL] is parsed as
+  // anchor-plus-recursive-term, which breaks the nested `WITH sigs`
+  // scoping ("Table with name sigs does not exist").
+  private def minhashPairsCtes: String =
+    s"""bands AS (SELECT * FROM ($minhashBandsSql)),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM bands a JOIN bands b
+       |    ON a.band = b.band AND a.bhash = b.bhash AND a.doc_id < b.doc_id),
+       |tg AS (SELECT doc_id, ${trigramsSql("text")} AS tg FROM documents)""".stripMargin
+
+  private def minhashPairsSelect: String =
+    """SELECT doc_a, doc_b,
+      |  ROUND(len(list_intersect(da.tg, db.tg))::DOUBLE /
+      |        len(list_distinct(list_concat(da.tg, db.tg))), 6) AS jac
+      |FROM cand JOIN tg da ON doc_a = da.doc_id JOIN tg db ON doc_b = db.doc_id
+      |WHERE len(list_intersect(da.tg, db.tg))::DOUBLE /
+      |      len(list_distinct(list_concat(da.tg, db.tg))) >= 0.6""".stripMargin
+
+  /** The verified near-dup pair relation: LSH candidates in-bucket,
+    * then trigram-Jaccard ≥ 0.6 verification — shared by
+    * `dedup_minhash_pairs` (which exports it) and `dedup_components`
+    * (which clusters it).
+    */
+  private def minhashVerifiedPairs(s: SparkSession, dir: String): DataFrame = {
+    val bands = minhashBands(s, dir)
+    val cand = bands
+      .groupBy(col("band"), col("bhash"))
+      .agg(collect_list(col("doc_id")).as("ids"))
+      .filter(size(col("ids")) > 1)
+      .select(explode(expr(
+        """flatten(transform(ids, (x, i) ->
+          |  transform(slice(ids, i + 2, size(ids) - i - 1), y ->
+          |    struct(least(x, y) AS a, greatest(x, y) AS b))))""".stripMargin)).as("p"))
+      .select(col("p.a").as("doc_a"), col("p.b").as("doc_b"))
+      .distinct()
+    val docs = Tables.documents(s, dir).select(col("doc_id"), trigrams("text").as("tg"))
+      .withColumn("sz", size(col("tg")))
+    cand
+      .join(docs.as("da"), col("doc_a") === col("da.doc_id"))
+      .join(docs.as("db"), col("doc_b") === col("db.doc_id"))
+      .withColumn("inter",
+        graft.functions.expressions.SortedIntersectSize(col("da.tg"), col("db.tg")))
+      .withColumn("jaccard",
+        col("inter").cast("double") / (col("da.sz") + col("db.sz") - col("inter")))
+      .filter(col("jaccard") >= 0.6)
+      .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 6).as("jac"))
+  }
+
+  /** Connected components by Pregel-style min-label propagation:
+    * component(v) := min over v's neighborhood-closure of doc_id,
+    * computed as a driver-bounded loop of distributed supersteps —
+    * each iteration is one partition-reusing join + one hash
+    * aggregation, NEVER a driver-side graph walk.
+    *
+    * Scale anatomy:
+    *  - `edges` is symmetrized and hash-partitioned on `src` ONCE
+    *    (localCheckpoint also cuts its upstream lineage — at cluster
+    *    scale this becomes a reliable checkpoint to HDFS/object
+    *    store); every iteration's join reuses that partitioning.
+    *  - `labels` comes out of each superstep hash-partitioned on
+    *    doc_id by the groupBy, which the next join reuses — so the
+    *    steady-state cost per superstep is one shuffle of the
+    *    propagated (dst, component) pairs.
+    *  - Convergence is detected by the monotone label-sum (labels
+    *    only ever decrease): one scan-and-agg per superstep in
+    *    DECIMAL(38,0) — overflow-safe for any realistic id domain —
+    *    instead of a change-counting join.
+    *  - Iterations are O(cluster diameter): near-dup clusters from
+    *    banded LSH are dense (candidates form in-bucket cliques), so
+    *    this converges in a handful of supersteps. An adversarial
+    *    long-chain graph would want the large-star/small-star
+    *    variant; the superstep skeleton (and the oracle) would not
+    *    change. MaxIters caps the loop — a non-converging run throws
+    *    rather than silently returning partial clusters.
+    */
+  val CcMaxIters = 64
+
+  def connectedComponents(
+      s: SparkSession, pairs: DataFrame, nodes: DataFrame): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val a = pairs.columns(0)
+    val b = pairs.columns(1)
+    val edges = pairs.select(col(a).as("src"), col(b).as("dst"))
+      .union(pairs.select(col(b).as("src"), col(a).as("dst")))
+      .repartition(col("src"))
+      .localCheckpoint()
+    def labelSum(l: DataFrame) = l
+      .agg(coalesce(sum(col("component").cast(DecimalType(38, 0))),
+        lit(java.math.BigDecimal.ZERO)))
+      .head.getDecimal(0)
+    var labels = nodes
+      .select(col(nodes.columns(0)).as("doc_id"))
+      .withColumn("component", col("doc_id"))
+      .localCheckpoint()
+    var prevSum = labelSum(labels)
+    var iters = 0
+    var converged = false
+    while (!converged) {
+      iters += 1
+      require(iters <= CcMaxIters,
+        s"connectedComponents did not converge in $CcMaxIters supersteps")
+      val prop = edges.join(labels, col("src") === col("doc_id"))
+        .select(col("dst").as("doc_id"), col("component"))
+      val next = labels.union(prop)
+        .groupBy("doc_id").agg(min("component").as("component"))
+        .localCheckpoint()
+      val newSum = labelSum(next)
+      converged = newSum.compareTo(prevSum) == 0
+      prevSum = newSum
+      labels = next
+    }
+    labels
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Exact dedup: hash-groupBy on content. At scale: group on
     // md5(text) (fixed-width shuffle key) instead of raw text.
@@ -105,29 +225,19 @@ object DedupQueries {
     // the whole signature pipeline twice and shuffles both sides.)
     // Bucket sizes are bounded by LSH design, so the local expansion
     // is small — the property that makes this shape hold at 100 TB.
-    "dedup_minhash_pairs" -> ((s, dir) => {
-      val bands = minhashBands(s, dir)
-      val cand = bands
-        .groupBy(col("band"), col("bhash"))
-        .agg(collect_list(col("doc_id")).as("ids"))
-        .filter(size(col("ids")) > 1)
-        .select(explode(expr(
-          """flatten(transform(ids, (x, i) ->
-            |  transform(slice(ids, i + 2, size(ids) - i - 1), y ->
-            |    struct(least(x, y) AS a, greatest(x, y) AS b))))""".stripMargin)).as("p"))
-        .select(col("p.a").as("doc_a"), col("p.b").as("doc_b"))
-        .distinct()
-      val docs = Tables.documents(s, dir).select(col("doc_id"), trigrams("text").as("tg"))
-        .withColumn("sz", size(col("tg")))
-      cand
-        .join(docs.as("da"), col("doc_a") === col("da.doc_id"))
-        .join(docs.as("db"), col("doc_b") === col("db.doc_id"))
-        .withColumn("inter",
-          graft.functions.expressions.SortedIntersectSize(col("da.tg"), col("db.tg")))
-        .withColumn("jaccard",
-          col("inter").cast("double") / (col("da.sz") + col("db.sz") - col("inter")))
-        .filter(col("jaccard") >= 0.6)
-        .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 6).as("jac"))
+    "dedup_minhash_pairs" -> ((s, dir) => minhashVerifiedPairs(s, dir)),
+
+    // Pair graph → duplicate CLUSTERS: connected components over the
+    // verified near-dup pairs, the step that turns pairwise matches
+    // into a canonical-doc assignment (keep component representative,
+    // drop the rest). See [[connectedComponents]] for the iteration's
+    // scale anatomy.
+    "dedup_components" -> ((s, dir) => {
+      val pairs = minhashVerifiedPairs(s, dir)
+      val nodes = Tables.documents(s, dir).select(col("doc_id"))
+      connectedComponents(s, pairs.select(col("doc_a"), col("doc_b")), nodes)
+        .withColumn("is_canonical",
+          (col("doc_id") === col("component")).cast("int"))
     }),
 
     // 16-bit SimHash per doc: explode tokens once, 16 bit-sums, fold
@@ -237,18 +347,22 @@ object DedupQueries {
     "dedup_minhash_sig" ->
       s"""SELECT doc_id, sig0, sig1, sig2, sig3 FROM ($minhashSigsSql)""",
     "dedup_minhash_pairs" ->
-      s"""WITH bands AS ($minhashBandsSql),
-         |cand AS (
-         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-         |  FROM bands a JOIN bands b
-         |    ON a.band = b.band AND a.bhash = b.bhash AND a.doc_id < b.doc_id),
-         |tg AS (SELECT doc_id, ${trigramsSql("text")} AS tg FROM documents)
-         |SELECT doc_a, doc_b,
-         |  ROUND(len(list_intersect(da.tg, db.tg))::DOUBLE /
-         |        len(list_distinct(list_concat(da.tg, db.tg))), 6) AS jac
-         |FROM cand JOIN tg da ON doc_a = da.doc_id JOIN tg db ON doc_b = db.doc_id
-         |WHERE len(list_intersect(da.tg, db.tg))::DOUBLE /
-         |      len(list_distinct(list_concat(da.tg, db.tg))) >= 0.6""".stripMargin,
+      s"""WITH $minhashPairsCtes
+         |$minhashPairsSelect""".stripMargin,
+    "dedup_components" ->
+      s"""WITH RECURSIVE $minhashPairsCtes,
+         |pairs AS ($minhashPairsSelect),
+         |edges AS (SELECT * FROM (
+         |  SELECT doc_a AS ea, doc_b AS eb FROM pairs
+         |  UNION
+         |  SELECT doc_b, doc_a FROM pairs)),
+         |reach AS (
+         |  SELECT doc_id AS v, doc_id AS r FROM documents
+         |  UNION
+         |  SELECT reach.v, e.eb FROM reach JOIN edges e ON reach.r = e.ea)
+         |SELECT v AS doc_id, MIN(r) AS component,
+         |  CAST(v = MIN(r) AS INT) AS is_canonical
+         |FROM reach GROUP BY v""".stripMargin,
     "dedup_simhash" ->
       s"""WITH tok AS (
          |  SELECT doc_id, ${TextFunctions.Sql.tokenHash("t")} AS h
