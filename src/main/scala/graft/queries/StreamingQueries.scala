@@ -215,6 +215,47 @@ object StreamingQueries {
     ss.table(name).filter(col("cnt") > 0)
   }
 
+  /** The late re-deliveries injected by `taxi_late_drop`: the earliest
+    * [[LateDropN]] in-bbox END events of the fixture, appended AT THE
+    * VERY END of the serving order — by then the watermark (max event
+    * time − 60 s) has passed their panes by hours, so the event-time
+    * contract requires them to be dropped at the stateful operator.
+    * In-bbox with passengers > 0 so that, were they admitted, they
+    * would visibly change sums (the injection cannot pass vacuously
+    * through the bbox/END filters). Shared with LateDropSpec, which
+    * replays the same injection under a watermark delay large enough
+    * to ADMIT the rows and asserts the counts then DO change.
+    */
+  val LateDropN = 8
+
+  private[graft] def lateArrivals(ordered: Seq[RideEvent]): Seq[RideEvent] =
+    ordered
+      .filter(e => !e.isStart && e.passengers > 0 &&
+        e.lon >= graft.geo.NycGeo.LonWest && e.lon <= graft.geo.NycGeo.LonEast &&
+        e.lat >= graft.geo.NycGeo.LatSouth && e.lat <= graft.geo.NycGeo.LatNorth)
+      .sortBy(e => (e.tMs, e.rideId))
+      .take(LateDropN)
+
+  /** The late-data DROP path — the half of event-time semantics no
+    * other entry pins. Every other streaming entry replays within the
+    * 60 s bound (the reference's own no-late guarantee,
+    * `sources/TaxiRideSource.scala:195`), proving convergence when
+    * nothing is late; this one re-delivers [[lateArrivals]] hours of
+    * event time after the watermark passed their panes (Flink 0.10
+    * drops late elements at the window operator by default; Spark
+    * drops rows older than watermark at the stateful agg). The oracle
+    * is the plain batch sliding count WITHOUT the re-deliveries —
+    * green means the injected rows changed nothing, i.e. were dropped.
+    * The converse (the same rows DO count under a watermark delay
+    * that admits them) is pinned by LateDropSpec, so this entry
+    * cannot pass vacuously.
+    */
+  def lateDropStream(spark: SparkSession, sfDir: String): DataFrame =
+    appendReplay(spark, sfDir, "latedrop_",
+      mutate = ordered => ordered ++ lateArrivals(ordered))(
+      TaxiPipelines.slidingArrivalCount(_))
+      .filter(col("cnt") > 0)
+
   /** Streaming dedup (the §2.2 dedup family's streaming member):
     * every event is replayed TWICE (adjacent duplicates, ordered
     * replay) and `dropDuplicatesWithinWatermark` on the event key must
@@ -365,6 +406,7 @@ object StreamingQueries {
     "taxi_sliding_stream" -> (slidingStream _),
     "taxi_sliding_file_stream" -> (slidingFileStream _),
     "taxi_dedup_stream" -> (dedupStream _),
+    "taxi_late_drop" -> (lateDropStream _),
     "events_sessionize_stream" -> (sessionizeStream _),
     "taxi_early_stream" -> ((s, d) => earlyStream(s, d)),
     // threshold 3, not the reference's 50: the sf-scaled rides view
@@ -382,6 +424,9 @@ object StreamingQueries {
     "taxi_sliding_stream" -> TaxiQueries.oracleSql("taxi_sliding_count"),
     "taxi_sliding_file_stream" -> TaxiQueries.slidingSecondsSql,
     "taxi_dedup_stream" -> TaxiQueries.oracleSql("taxi_sliding_count"),
+    // the injected late rows must be DROPPED, so the oracle is the
+    // sliding count over the fixture exactly as if nothing was injected
+    "taxi_late_drop" -> TaxiQueries.oracleSql("taxi_sliding_count"),
     "events_sessionize_stream" -> EventQueries.oracleSql("events_sessionize"),
     "taxi_early_stream" -> TaxiQueries.slidingNoCentersSql,
     "taxi_early_fires" -> TaxiQueries.earlyFiresSql(3),
