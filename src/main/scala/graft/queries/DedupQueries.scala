@@ -33,8 +33,15 @@ object DedupQueries {
     * 16-min-aggregates ~16× worse — shuffle + per-row agg overhead).
     * No shuffle at all in this form.
     */
-  private def minhashSigs(s: SparkSession, dir: String): DataFrame = {
-    val withSig = Tables.documents(s, dir)
+  private def minhashSigs(s: SparkSession, dir: String): DataFrame =
+    minhashSigsOf(Tables.documents(s, dir))
+
+  /** Signature relation over an arbitrary (doc_id, text, …) frame —
+    * `text_curation_neardup` feeds the quality-gated subset through
+    * the same pipeline.
+    */
+  private[queries] def minhashSigsOf(docs: DataFrame): DataFrame = {
+    val withSig = docs
       .select(col("doc_id"),
         graft.functions.expressions.MinHashSignature(col("text"), MinHash.NumHashes, 5).as("sigs"))
     val sigCols = (0 until MinHash.NumHashes).map(i =>
@@ -42,16 +49,16 @@ object DedupQueries {
     withSig.select(col("doc_id") +: sigCols: _*)
   }
 
-  private def minhashSigsSql: String = {
+  private def minhashSigsSql(src: String): String = {
     val sigs = (0 until MinHash.NumHashes)
       .map(i => s"${MinHash.Sql.sig("hs", i)} AS sig$i").mkString(",\n  ")
     s"""SELECT doc_id, $sigs
-       |FROM (SELECT doc_id, ${MinHash.Sql.shingleHashes("text")} AS hs FROM documents)""".stripMargin
+       |FROM (SELECT doc_id, ${MinHash.Sql.shingleHashes("text")} AS hs FROM $src)""".stripMargin
   }
 
   /** doc_id, band index, band hash — the LSH bucketing relation. */
-  private def minhashBands(s: SparkSession, dir: String): DataFrame = {
-    val sigs = minhashSigs(s, dir)
+  private def minhashBands(docs: DataFrame): DataFrame = {
+    val sigs = minhashSigsOf(docs)
     val sigCols = (0 until MinHash.NumHashes).map(i => col(s"sig$i"))
     val bands = (0 until MinHash.NumBands).map(b =>
       struct(lit(b).as("band"), MinHash.bandHash(sigCols, b).as("bhash")))
@@ -59,12 +66,12 @@ object DedupQueries {
       .select(col("doc_id"), col("bb.band").as("band"), col("bb.bhash").as("bhash"))
   }
 
-  private def minhashBandsSql: String = {
+  private def minhashBandsSql(src: String): String = {
     def bandExpr(b: Int): String = {
       val cols = (b * MinHash.BandSize until (b + 1) * MinHash.BandSize).map(i => s"sig$i")
       s"SELECT doc_id, $b AS band, md5(concat_ws(',', ${cols.mkString(", ")})) AS bhash FROM sigs"
     }
-    s"""WITH sigs AS ($minhashSigsSql)
+    s"""WITH sigs AS (${minhashSigsSql(src)})
        |${(0 until MinHash.NumBands).map(bandExpr).mkString("\n", "\nUNION ALL\n", "")}""".stripMargin
   }
 
@@ -91,15 +98,15 @@ object DedupQueries {
   // CTE whose body is a top-level UNION [ALL] is parsed as
   // anchor-plus-recursive-term, which breaks the nested `WITH sigs`
   // scoping ("Table with name sigs does not exist").
-  private def minhashPairsCtes: String =
-    s"""bands AS (SELECT * FROM ($minhashBandsSql)),
+  private[queries] def minhashPairsCtes(src: String): String =
+    s"""bands AS (SELECT * FROM (${minhashBandsSql(src)})),
        |cand AS (
        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
        |  FROM bands a JOIN bands b
        |    ON a.band = b.band AND a.bhash = b.bhash AND a.doc_id < b.doc_id),
-       |tg AS (SELECT doc_id, ${trigramsSql("text")} AS tg FROM documents)""".stripMargin
+       |tg AS (SELECT doc_id, ${trigramsSql("text")} AS tg FROM $src)""".stripMargin
 
-  private def minhashPairsSelect: String =
+  private[queries] def minhashPairsSelect: String =
     """SELECT doc_a, doc_b,
       |  ROUND(len(list_intersect(da.tg, db.tg))::DOUBLE /
       |        len(list_distinct(list_concat(da.tg, db.tg))), 6) AS jac
@@ -112,8 +119,11 @@ object DedupQueries {
     * `dedup_minhash_pairs` (which exports it) and `dedup_components`
     * (which clusters it).
     */
-  private def minhashVerifiedPairs(s: SparkSession, dir: String): DataFrame = {
-    val bands = minhashBands(s, dir)
+  private def minhashVerifiedPairs(s: SparkSession, dir: String): DataFrame =
+    minhashVerifiedPairsOf(Tables.documents(s, dir))
+
+  private[queries] def minhashVerifiedPairsOf(documents: DataFrame): DataFrame = {
+    val bands = minhashBands(documents)
     val cand = bands
       .groupBy(col("band"), col("bhash"))
       .agg(collect_list(col("doc_id")).as("ids"))
@@ -124,7 +134,7 @@ object DedupQueries {
           |    struct(least(x, y) AS a, greatest(x, y) AS b))))""".stripMargin)).as("p"))
       .select(col("p.a").as("doc_a"), col("p.b").as("doc_b"))
       .distinct()
-    val docs = Tables.documents(s, dir).select(col("doc_id"), trigrams("text").as("tg"))
+    val docs = documents.select(col("doc_id"), trigrams("text").as("tg"))
       .withColumn("sz", size(col("tg")))
     cand
       .join(docs.as("da"), col("doc_a") === col("da.doc_id"))
@@ -167,14 +177,36 @@ object DedupQueries {
   val CcMaxIters = 64
 
   def connectedComponents(
-      s: SparkSession, pairs: DataFrame, nodes: DataFrame): DataFrame = {
+      s: SparkSession, pairs: DataFrame, nodes: DataFrame): DataFrame =
+    connectedComponentsWithIters(s, pairs, nodes)._1
+
+  /** Returns (labels, supersteps). The iteration count is exposed so
+    * ConnectedComponentsSpec can pin iterations = O(graph diameter):
+    * min-label propagation moves a component's minimum one hop per
+    * superstep, so a path of diameter d converges in exactly d + 1
+    * supersteps (the +1 detects the fixpoint). LSH near-dup graphs are
+    * in-bucket cliques (diameter 1-2); a corpus producing adversarially
+    * long chains would motivate the large-star/small-star iteration
+    * (alternating pointer-halving rounds, O(log d) supersteps) — the
+    * superstep skeleton, the convergence detection, and the oracle
+    * would all stay as they are, only the per-round transformation
+    * changes.
+    */
+  def connectedComponentsWithIters(
+      s: SparkSession, pairs: DataFrame, nodes: DataFrame): (DataFrame, Int) = {
     import org.apache.spark.sql.types.DecimalType
-    val a = pairs.columns(0)
-    val b = pairs.columns(1)
-    val edges = pairs.select(col(a).as("src"), col(b).as("dst"))
-      .union(pairs.select(col(b).as("src"), col(a).as("dst")))
+    // Materialize the pair relation ONCE before the symmetrizing union
+    // consumes it twice — for dedup_components `pairs` is the whole
+    // LSH + trigram-verify pipeline, which would otherwise be planned
+    // and executed twice in the same job.
+    val p = pairs.localCheckpoint()
+    val a = p.columns(0)
+    val b = p.columns(1)
+    val edges = p.select(col(a).as("src"), col(b).as("dst"))
+      .union(p.select(col(b).as("src"), col(a).as("dst")))
       .repartition(col("src"))
       .localCheckpoint()
+    unpersistCheckpoint(p) // `edges` was its only consumer
     def labelSum(l: DataFrame) = l
       .agg(coalesce(sum(col("component").cast(DecimalType(38, 0))),
         lit(java.math.BigDecimal.ZERO)))
@@ -198,10 +230,25 @@ object DedupQueries {
       val newSum = labelSum(next)
       converged = newSum.compareTo(prevSum) == 0
       prevSum = newSum
+      // the superseded generation is dead the moment `next` is
+      // materialized; without this a run near CcMaxIters pins ~64
+      // generations of label blocks in executor storage memory
+      unpersistCheckpoint(labels)
       labels = next
     }
-    labels
+    unpersistCheckpoint(edges)
+    (labels, iters)
   }
+
+  /** Free the executor blocks behind a superseded localCheckpoint.
+    * `Dataset.unpersist` can't reach them — the blocks hang off the
+    * materialized RDD inside the plan's LogicalRDD leaf, not off a
+    * cache-manager entry keyed by the plan.
+    */
+  private def unpersistCheckpoint(df: DataFrame): Unit =
+    org.apache.spark.sql.graftbridge.ColumnBridge.analyzedPlan(df).collectFirst {
+      case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd
+    }.foreach(_.unpersist(blocking = false))
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Exact dedup: hash-groupBy on content. At scale: group on
@@ -345,12 +392,12 @@ object DedupQueries {
       """SELECT md5(text) AS content_key, MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
         |FROM documents GROUP BY md5(text) HAVING COUNT(*) > 1""".stripMargin,
     "dedup_minhash_sig" ->
-      s"""SELECT doc_id, sig0, sig1, sig2, sig3 FROM ($minhashSigsSql)""",
+      s"""SELECT doc_id, sig0, sig1, sig2, sig3 FROM (${minhashSigsSql("documents")})""",
     "dedup_minhash_pairs" ->
-      s"""WITH $minhashPairsCtes
+      s"""WITH ${minhashPairsCtes("documents")}
          |$minhashPairsSelect""".stripMargin,
     "dedup_components" ->
-      s"""WITH RECURSIVE $minhashPairsCtes,
+      s"""WITH RECURSIVE ${minhashPairsCtes("documents")},
          |pairs AS ($minhashPairsSelect),
          |edges AS (SELECT * FROM (
          |  SELECT doc_a AS ea, doc_b AS eb FROM pairs

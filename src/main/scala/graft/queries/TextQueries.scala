@@ -126,6 +126,35 @@ object TextQueries {
           col("w.split").as("split"), col("w.n_tokens").as("n_tokens"))
     }),
 
+    // The near-dup curation pipeline — cluster-then-keep, the actual
+    // shape of a production dedup stage (pairwise-drop is ill-defined
+    // when A~B and B~C but A≁C): quality gate → MinHash-LSH verified
+    // pair graph over the SURVIVING docs → connected components →
+    // keep each cluster's canonical (minimum-id) doc → stable split →
+    // manifest. Composes dedup_components' superstep clustering into
+    // text_curation_pipeline's gate→split→manifest frame. Scale shape:
+    // the manifest columns are projected narrow BEFORE the canonical
+    // semi-join, so text crosses no exchange; the cluster step inherits
+    // connectedComponents' bounded-bucket pair generation and
+    // O(diameter) supersteps (in-bucket cliques → 2-3 here).
+    "text_curation_neardup" -> ((s, dir) => {
+      val h = conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("long") % 100
+      val gated = Tables.documents(s, dir)
+        .filter(stopwordRatio(col("text")) >= 0.05)
+      val pairs = DedupQueries.minhashVerifiedPairsOf(gated)
+        .select(col("doc_a"), col("doc_b"))
+      val labels = DedupQueries.connectedComponents(
+        s, pairs, gated.select(col("doc_id")))
+      val canonical = labels
+        .filter(col("doc_id") === col("component")).select(col("doc_id"))
+      val manifest = gated.select(
+        col("doc_id"), col("source"),
+        when(h < 80, "train").when(h < 90, "val").otherwise("test").as("split"),
+        tokenCount(col("text")).as("n_tokens"))
+      manifest.join(canonical, "doc_id")
+    }),
+
     // Repetition quality signal (Gopher-style): per doc, the dominant
     // adjacent-bigram count vs total bigrams — boilerplate/spam shows
     // as top_bigram_n/n_bigrams near 1. Integer outputs keep the hash
@@ -262,6 +291,28 @@ object TextQueries {
          |FROM (SELECT doc_id, source, text,
          |        ${Sql.tokenHash("CAST(doc_id AS VARCHAR)")} % 100 AS h
          |      FROM k)""".stripMargin,
+    "text_curation_neardup" ->
+      s"""WITH RECURSIVE docs_g AS (
+         |  SELECT * FROM documents WHERE ${Sql.stopwordRatio("text")} >= 0.05),
+         |${DedupQueries.minhashPairsCtes("docs_g")},
+         |pairs AS (${DedupQueries.minhashPairsSelect}),
+         |edges AS (SELECT * FROM (
+         |  SELECT doc_a AS ea, doc_b AS eb FROM pairs
+         |  UNION
+         |  SELECT doc_b, doc_a FROM pairs)),
+         |reach AS (
+         |  SELECT doc_id AS v, doc_id AS r FROM docs_g
+         |  UNION
+         |  SELECT reach.v, e.eb FROM reach JOIN edges e ON reach.r = e.ea),
+         |comp AS (SELECT v AS doc_id, MIN(r) AS component FROM reach GROUP BY v)
+         |SELECT d.doc_id, d.source,
+         |  CASE WHEN h < 80 THEN 'train' WHEN h < 90 THEN 'val'
+         |       ELSE 'test' END AS split,
+         |  ${Sql.tokenCount("d.text")} AS n_tokens
+         |FROM (SELECT doc_id, source, text,
+         |        ${Sql.tokenHash("CAST(doc_id AS VARCHAR)")} % 100 AS h
+         |      FROM docs_g) d
+         |JOIN comp ON d.doc_id = comp.doc_id AND comp.doc_id = comp.component""".stripMargin,
     "text_repetition" ->
       s"""WITH c AS (
          |  SELECT doc_id, bg, COUNT(*) AS c

@@ -37,4 +37,46 @@ class ConnectedComponentsSpec extends AnyFunSuite {
     val got = run(Seq((5L, 2L), (9L, 5L), (7L, 9L)), Seq(2L, 5L, 7L, 9L))
     assert(got == Map(2L -> 2L, 5L -> 2L, 7L -> 2L, 9L -> 2L))
   }
+
+  /** Adversarial long chain (diameter ≫ any LSH clique's 1-2) — pins
+    * the two scale contracts of the superstep loop:
+    *  - iterations = diameter + 1 exactly (min-label moves one hop per
+    *    superstep; the +1 detects the fixpoint). A corpus that
+    *    produced chains near CcMaxIters would motivate the
+    *    large-star/small-star iteration (O(log d) rounds) — see
+    *    connectedComponentsWithIters' scaladoc;
+    *  - executor storage stays FLAT across supersteps: superseded
+    *    label checkpoints (and the edges/pairs checkpoints) are
+    *    unpersisted as soon as their successor materializes, so only
+    *    the returned labels generation survives the call.
+    */
+  test("long chain: iterations = diameter + 1 and storage stays flat") {
+    import spark.implicits._
+    val sc = spark.sparkContext
+    val d = 24
+    val chain = (100L until (100L + d)).map(i => (i, i + 1))
+    val before = sc.getPersistentRDDs.size
+    val (labels, iters) = DedupQueries.connectedComponentsWithIters(
+      spark, chain.toDF("a", "b"), (100L to (100L + d)).map(Tuple1(_)).toDF("doc_id"))
+    val got = labels.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == (100L to (100L + d)).map(_ -> 100L).toMap)
+    assert(iters == d + 1)
+    // ~25 supersteps ran; only the returned generation may remain
+    assert(sc.getPersistentRDDs.size <= before + 1)
+  }
+
+  test("iteration count is O(diameter) across random path lengths (ScalaCheck)") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    import spark.implicits._
+    val prop = Prop.forAll(Gen.choose(2, 12)) { d: Int =>
+      val chain = (0L until d.toLong).map(i => (i, i + 1))
+      val (labels, iters) = DedupQueries.connectedComponentsWithIters(
+        spark, chain.toDF("a", "b"), (0L to d.toLong).map(Tuple1(_)).toDF("doc_id"))
+      iters == d + 1 && labels.filter("component = 0").count() == d + 1
+    }
+    // each case runs ~d Spark supersteps — a handful of cases suffices
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(5), prop)
+    assert(res.passed, res.status.toString)
+  }
 }
