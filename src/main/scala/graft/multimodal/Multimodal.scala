@@ -1,7 +1,7 @@
 package graft.multimodal
 
 import graft.Tables
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Multimodal-column support (SURVEY.md §2.2 / driver north star):
@@ -11,11 +11,14 @@ import org.apache.spark.sql.functions._
   *
   * The Spark-side plumbing is real — schema, partition-parallel
   * `mapPartitions` over typed rows, batch shape, deterministic
-  * output — while the codec itself is STUBBED (`StubCodecs`): this
-  * container has no image/audio libraries, so decode produces a
+  * output. The IMAGE path decodes a real byte format: fixture image
+  * payloads are binary (P5) PGM, and [[PgmCodec]] is an actual header
+  * parser + pixel walker, so decode/resize verify real format math
+  * end-to-end. Audio/video codecs remain STUBBED (`StubCodecs`) —
+  * this container has no demux/audio libraries, so those produce a
   * deterministic fake derived from the payload bytes. Swapping in a
-  * real decoder (JavaCPP/ffmpeg/ImageIO) changes only `StubCodecs`,
-  * none of the dataflow.
+  * real decoder (JavaCPP/ffmpeg/ImageIO) implements [[ImageCodec]]
+  * (as PgmCodec does) and changes none of the dataflow.
   *
   * Scale shape: payloads never pass through a shuffle — metadata is
   * extracted in the scan stage and only the (narrow) metadata columns
@@ -23,6 +26,94 @@ import org.apache.spark.sql.functions._
   * logic belongs in the reader config, not here).
   */
 object Multimodal {
+
+  /** The image-codec seam: [[decodeImages]]/[[resizeImages]] are
+    * generic over this. [[PgmCodec]] is the real decoder for the PGM
+    * fixture; [[StubCodecs]] the deterministic fake for formats this
+    * container cannot decode.
+    */
+  trait ImageCodec extends Serializable {
+    /** payload → (width, height, channels) */
+    def decodeImage(payload: Array[Byte]): (Int, Int, Int)
+    def resize(payload: Array[Byte], targetW: Int, targetH: Int): Array[Byte]
+    /** The raw sample bytes of an encoded image (header stripped). */
+    def pixels(payload: Array[Byte]): Array[Byte]
+  }
+
+  /** Real pure-JVM codec for binary (P5) PGM — the uncompressed
+    * grayscale Netpbm format: ASCII header `P5\n<w> <h>\n<maxval>\n`
+    * followed by w·h single-byte samples (maxval ≤ 255). A real
+    * byte-format decoder (magic check, whitespace/comment-tolerant
+    * header scan, pixel-offset math), not a stub: `mediaFromDocuments`
+    * encodes image-kind rows in exactly this format, so
+    * `multimodal_image_meta`/`multimodal_resize` oracle-verify a real
+    * decode end-to-end — including the resize's nearest-neighbor
+    * pixel walk, whose sample sum the DuckDB oracle recomputes.
+    */
+  object PgmCodec extends ImageCodec {
+    final case class Header(width: Int, height: Int, maxVal: Int, pixelOffset: Int)
+
+    def decodeHeader(p: Array[Byte]): Header = {
+      require(p.length >= 2 && p(0) == 'P' && p(1) == '5', "not a P5 PGM")
+      var i = 2
+      def skipWs(): Unit =
+        while (i < p.length &&
+          (p(i) == ' ' || p(i) == '\n' || p(i) == '\r' || p(i) == '\t' || p(i) == '#')) {
+          if (p(i) == '#') { while (i < p.length && p(i) != '\n') i += 1 }
+          else i += 1
+        }
+      def int(): Int = {
+        skipWs()
+        require(i < p.length && p(i) >= '0' && p(i) <= '9', s"bad PGM header at byte $i")
+        var v = 0
+        while (i < p.length && p(i) >= '0' && p(i) <= '9') { v = v * 10 + (p(i) - '0'); i += 1 }
+        v
+      }
+      val w = int(); val h = int(); val mv = int()
+      require(mv > 0 && mv <= 255, s"unsupported PGM maxval $mv")
+      i += 1 // exactly one whitespace byte separates maxval from pixels
+      require(p.length >= i + w.toLong * h, "truncated PGM pixel data")
+      Header(w, h, mv, i)
+    }
+
+    override def decodeImage(p: Array[Byte]): (Int, Int, Int) = {
+      val hd = decodeHeader(p)
+      (hd.width, hd.height, 1) // PGM is single-channel by definition
+    }
+
+    def encode(pixels: Array[Byte], width: Int, height: Int): Array[Byte] = {
+      require(pixels.length == width * height, "pixel count != width*height")
+      val header = s"P5\n$width $height\n255\n".getBytes("US-ASCII")
+      val out = new Array[Byte](header.length + pixels.length)
+      System.arraycopy(header, 0, out, 0, header.length)
+      System.arraycopy(pixels, 0, out, header.length, pixels.length)
+      out
+    }
+
+    /** Real nearest-neighbor rescale: per target pixel (x, y) sample
+      * source pixel (⌊x·w/tw⌋, ⌊y·h/th⌋), re-encode as PGM.
+      */
+    override def resize(p: Array[Byte], targetW: Int, targetH: Int): Array[Byte] = {
+      val hd = decodeHeader(p)
+      val out = new Array[Byte](targetW * targetH)
+      var y = 0
+      while (y < targetH) {
+        val sy = y * hd.height / targetH
+        var x = 0
+        while (x < targetW) {
+          out(y * targetW + x) = p(hd.pixelOffset + sy * hd.width + x * hd.width / targetW)
+          x += 1
+        }
+        y += 1
+      }
+      encode(out, targetW, targetH)
+    }
+
+    override def pixels(p: Array[Byte]): Array[Byte] = {
+      val hd = decodeHeader(p)
+      java.util.Arrays.copyOfRange(p, hd.pixelOffset, hd.pixelOffset + hd.width * hd.height)
+    }
+  }
 
   /** A media row: opaque payload + routing metadata. */
   final case class MediaItem(
@@ -46,9 +137,9 @@ object Multimodal {
     * Everything derives from payload length/bytes so tests are stable
     * and the oracle can recompute `n_bytes`.
     */
-  object StubCodecs {
+  object StubCodecs extends ImageCodec {
     /** STUB: a real implementation would parse the image header. */
-    def decodeImage(payload: Array[Byte]): (Int, Int, Int) = {
+    override def decodeImage(payload: Array[Byte]): (Int, Int, Int) = {
       val n = payload.length
       val width = 16 + (n % 64)
       val height = 16 + ((n / 64) % 64)
@@ -67,11 +158,14 @@ object Multimodal {
       * preserving the real pipeline property that resize shrinks the
       * payload in place of the scan stage.
       */
-    def resize(payload: Array[Byte], targetW: Int, targetH: Int): Array[Byte] = {
+    override def resize(payload: Array[Byte], targetW: Int, targetH: Int): Array[Byte] = {
       val target = math.max(1, math.min(payload.length, targetW * targetH / 64))
       val step = math.max(1, payload.length / target)
       payload.indices.by(step).map(payload).toArray
     }
+
+    /** STUB formats have no header — every byte is a sample. */
+    override def pixels(payload: Array[Byte]): Array[Byte] = payload
 
     /** STUB: a real implementation would run a vision/audio encoder;
       * the fake folds payload bytes into a deterministic unit-norm-ish
@@ -103,7 +197,8 @@ object Multimodal {
     }
   }
 
-  final case class ResizedImage(media_id: Long, n_bytes_in: Long, n_bytes_out: Long)
+  final case class ResizedImage(
+      media_id: Long, n_bytes_in: Long, n_bytes_out: Long, pix_sum: Long)
 
   /** `features` is the stub encoder's unit-norm float vector;
     * `laneSums` is the same byte-fold in *exact integer* domain
@@ -117,15 +212,21 @@ object Multimodal {
       features: Array[Float],
       laneSums: Array[Long])
 
-  /** Resize stage: payload → smaller payload, still partition-local. */
-  def resizeImages(media: DataFrame, w: Int = 64, h: Int = 64): Dataset[ResizedImage] = {
+  /** Resize stage: payload → fixed-dims payload, still partition-local.
+    * `pix_sum` (sum of the resized image's sample bytes) pins the
+    * codec's actual pixel walk in the oracle, not just the sizes.
+    */
+  def resizeImages(
+      media: DataFrame, w: Int = 64, h: Int = 64,
+      codec: ImageCodec = PgmCodec): Dataset[ResizedImage] = {
     val spark = media.sparkSession
     import spark.implicits._
     media.filter(col("kind") === "image").as[MediaItem]
       .mapPartitions { it =>
         it.map { m =>
-          val out = StubCodecs.resize(m.payload, w, h)
-          ResizedImage(m.media_id, m.payload.length.toLong, out.length.toLong)
+          val out = codec.resize(m.payload, w, h)
+          ResizedImage(m.media_id, m.payload.length.toLong, out.length.toLong,
+            codec.pixels(out).foldLeft(0L)((a, b) => a + (b & 0xff)))
         }
       }
   }
@@ -143,25 +244,48 @@ object Multimodal {
           StubCodecs.byteLaneSums(m.payload, dim))))
   }
 
-  /** Synthesizes a media table from `documents` (no binary test table
-    * ships with the driver): payload = utf8 bytes of the text, kind
-    * assigned round-robin. Deterministic on both engines.
+  /** The PGM payload of an image-kind fixture row, as pure column
+    * arithmetic: the text bytes become the pixel samples of a
+    * w×h grayscale image (w = 16 + len mod 32, h = ⌈len/w⌉ ≥ 1,
+    * space-padded to fill the last row) behind a real P5 header. The
+    * oracle rebuilds the identical byte string in SQL
+    * (MultimodalQueries.payloadCte), so decode results are checked
+    * against a genuinely encoded byte format, not a length formula.
     */
-  def mediaFromDocuments(spark: SparkSession, sfDir: String): DataFrame =
+  private[graft] def pgmPayload(text: Column): Column = {
+    val len = length(text)
+    val w = lit(16) + (len % 32)
+    val h = greatest(lit(1), floor((len + w - lit(1)).cast("double") / w).cast("int"))
+    val pad = (w * h - len).cast("int")
+    encode(concat(
+      lit("P5\n"), w.cast("string"), lit(" "), h.cast("string"), lit("\n255\n"),
+      text, call_function("repeat", lit(" "), pad)), "UTF-8")
+  }
+
+  /** Synthesizes a media table from `documents` (no binary test table
+    * ships with the driver): image-kind payloads are real binary PGM
+    * encodings of the text bytes ([[pgmPayload]]); audio/video stay
+    * raw utf8 bytes behind the stub seam. Kind assigned round-robin.
+    * Deterministic on both engines.
+    */
+  def mediaFromDocuments(spark: SparkSession, sfDir: String): DataFrame = {
+    val kind = element_at(array(lit("image"), lit("audio"), lit("video")),
+      (col("doc_id") % 3 + 1).cast("int"))
     Tables.documents(spark, sfDir).select(
       col("doc_id").as("media_id"),
-      element_at(array(lit("image"), lit("audio"), lit("video")),
-        (col("doc_id") % 3 + 1).cast("int")).as("kind"),
-      encode(col("text"), "UTF-8").as("payload"))
+      kind.as("kind"),
+      when(kind === "image", pgmPayload(col("text")))
+        .otherwise(encode(col("text"), "UTF-8")).as("payload"))
+  }
 
   /** Image-decode stage: partition-parallel, typed, no shuffle. */
-  def decodeImages(media: DataFrame): Dataset[ImageMeta] = {
+  def decodeImages(media: DataFrame, codec: ImageCodec = PgmCodec): Dataset[ImageMeta] = {
     val spark = media.sparkSession
     import spark.implicits._
     media.filter(col("kind") === "image").as[MediaItem]
       .mapPartitions { it =>
         it.map { m =>
-          val (w, h, c) = StubCodecs.decodeImage(m.payload)
+          val (w, h, c) = codec.decodeImage(m.payload)
           ImageMeta(m.media_id, w, h, c, m.payload.length.toLong)
         }
       }

@@ -93,59 +93,95 @@ object MultimodalQueries {
   private val kindSql =
     "(['image', 'audio', 'video'])[CAST(doc_id % 3 + 1 AS INT)]"
 
-  /** Exact per-lane byte sum (the corpus is ASCII, so 1 char = 1 byte
-    * and `ascii()` is the byte value — asserted by the length check in
-    * the spec).
+  /** CTE chain rebuilding `mediaFromDocuments`' payload bytes in SQL —
+    * image rows as the full PGM byte string (header + text pixels +
+    * space padding; Multimodal.pgmPayload is the Spark twin), others
+    * as raw text. The corpus is ASCII, so VARCHAR concatenation is
+    * byte-identical to the binary payload and `ascii()`/`md5()`/
+    * `length()` operate on the same bytes Spark sees.
     */
-  private def laneSumSql(lane: Int): String =
-    s"CAST(coalesce(list_sum([ascii(substring(text, i, 1)) " +
-      s"for i in range(1, length(text) + 1) if (i - 1) % 16 = $lane]), 0) AS BIGINT)"
+  private val payloadCte: String =
+    s"""pm0 AS (SELECT doc_id, text, $kindSql AS kind,
+       |          length(text) AS n, 16 + length(text) % 32 AS w FROM documents),
+       |pm1 AS (SELECT *, greatest(1, (n + w - 1) // w) AS h FROM pm0),
+       |pm AS (SELECT doc_id, kind, text, n, w, h,
+       |         CASE WHEN kind = 'image'
+       |              THEN 'P5' || chr(10) || CAST(w AS VARCHAR) || ' ' || CAST(h AS VARCHAR) ||
+       |                   chr(10) || '255' || chr(10) || text || repeat(' ', w * h - n)
+       |              ELSE text END AS payload
+       |       FROM pm1)""".stripMargin
+
+  /** Exact per-lane byte sum over a payload expression (ASCII corpus:
+    * 1 char = 1 byte and `ascii()` is the byte value — asserted by the
+    * length check in the spec).
+    */
+  private def laneSumSql(lane: Int, src: String = "text"): String =
+    s"CAST(coalesce(list_sum([ascii(substring($src, i, 1)) " +
+      s"for i in range(1, length($src) + 1) if (i - 1) % 16 = $lane]), 0) AS BIGINT)"
 
   val oracleSql: Map[String, String] = Map(
     "multimodal_features" ->
       // nrm: the stub encoder normalizes to unit length EXCEPT for an
       // empty payload, whose zero vector keeps norm 0 (Multimodal
-      // .StubCodecs.extractFeatures's n == 0 branch).
-      s"""SELECT doc_id AS media_id, CAST(16 AS INT) AS dim,
-         |  CAST(CASE WHEN octet_length(encode(text)) = 0
+      // .StubCodecs.extractFeatures's n == 0 branch). Lane sums run
+      // over the PAYLOAD bytes — for image rows that's the PGM
+      // encoding, rebuilt by payloadCte.
+      s"""WITH $payloadCte
+         |SELECT doc_id AS media_id, CAST(16 AS INT) AS dim,
+         |  CAST(CASE WHEN length(payload) = 0
          |       THEN 0.0 ELSE 1.0 END AS DOUBLE) AS nrm,
-         |  ${laneSumSql(0)} AS s0, ${laneSumSql(1)} AS s1,
-         |  ${laneSumSql(2)} AS s2, ${laneSumSql(3)} AS s3,
-         |  CAST(coalesce(list_sum([ascii(substring(text, i, 1))
-         |    for i in range(1, length(text) + 1)]), 0) AS BIGINT) AS s_all
-         |FROM documents""".stripMargin,
+         |  ${laneSumSql(0, "payload")} AS s0, ${laneSumSql(1, "payload")} AS s1,
+         |  ${laneSumSql(2, "payload")} AS s2, ${laneSumSql(3, "payload")} AS s3,
+         |  CAST(coalesce(list_sum([ascii(substring(payload, i, 1))
+         |    for i in range(1, length(payload) + 1)]), 0) AS BIGINT) AS s_all
+         |FROM pm""".stripMargin,
     "multimodal_meta" ->
-      s"""SELECT doc_id AS media_id, $kindSql AS kind,
-         |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
-         |  md5(text) AS digest
-         |FROM documents""".stripMargin,
+      s"""WITH $payloadCte
+         |SELECT doc_id AS media_id, kind,
+         |  CAST(length(payload) AS BIGINT) AS n_bytes,
+         |  md5(payload) AS digest
+         |FROM pm""".stripMargin,
+    // width/height/channels come from Spark PARSING the real P5
+    // header; the oracle recomputes them from the fixture math —
+    // green means the header the encoder wrote is the header the
+    // decoder read. channels = 1 is PGM's definition.
     "multimodal_image_meta" ->
-      s"""SELECT doc_id AS media_id,
-         |  CAST(16 + octet_length(encode(text)) % 64 AS INT) AS width,
-         |  CAST(16 + (octet_length(encode(text)) // 64) % 64 AS INT) AS height,
-         |  CAST(CASE WHEN octet_length(encode(text)) % 2 = 0 THEN 3 ELSE 1 END AS INT) AS channels,
-         |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
-         |FROM documents WHERE $kindSql = 'image'""".stripMargin,
+      s"""WITH $payloadCte
+         |SELECT doc_id AS media_id,
+         |  CAST(w AS INT) AS width,
+         |  CAST(h AS INT) AS height,
+         |  CAST(1 AS INT) AS channels,
+         |  CAST(length(payload) AS BIGINT) AS n_bytes
+         |FROM pm WHERE kind = 'image'""".stripMargin,
+    // n_bytes_out: "P5\n64 64\n255\n" (13 bytes) + 64·64 samples.
+    // pix_sum re-walks the nearest-neighbor sampling over the source
+    // pixel string: target (x, y) ← source (x·w // 64, y·h // 64) —
+    // the exact arithmetic of PgmCodec.resize, so the oracle pins the
+    // real pixel walk, not just the output size.
     "multimodal_resize" ->
-      s"""SELECT doc_id AS media_id,
-         |  CAST(n AS BIGINT) AS n_bytes_in,
-         |  CAST((n - 1) // greatest(n // least(n, 64), 1) + 1 AS BIGINT) AS n_bytes_out
-         |FROM (SELECT doc_id, octet_length(encode(text)) AS n FROM documents
-         |      WHERE $kindSql = 'image')""".stripMargin,
+      s"""WITH $payloadCte
+         |SELECT doc_id AS media_id,
+         |  CAST(length(payload) AS BIGINT) AS n_bytes_in,
+         |  CAST(13 + 64 * 64 AS BIGINT) AS n_bytes_out,
+         |  CAST(list_sum([ascii(substring(text || repeat(' ', w * h - n),
+         |    ((((i // 64) * h) // 64) * w + (((i % 64) * w) // 64)) + 1, 1))
+         |    for i in range(0, 64 * 64)]) AS BIGINT) AS pix_sum
+         |FROM pm WHERE kind = 'image'""".stripMargin,
     "multimodal_frames" ->
       s"""SELECT doc_id AS media_id, CAST(f AS INT) AS frame_idx,
          |  CAST(greatest(octet_length(encode(text)) // 8, 1) AS BIGINT) AS frame_bytes
          |FROM documents, (VALUES (0), (2), (4), (6)) AS fr(f)
          |WHERE $kindSql = 'video'""".stripMargin,
     "multimodal_feature_knn" -> {
-      val lanes = (0 until 16).map(l => s"${laneSumSql(l)} AS s${l}").mkString(",\n  ")
+      val lanes = (0 until 16).map(l => s"${laneSumSql(l, "payload")} AS s${l}").mkString(",\n  ")
       def dot(a: String, b: String) =
         (0 until 16).map(l => s"$a.s$l * $b.s$l").mkString(" + ")
       def nrm2(a: String) = (0 until 16).map(l => s"$a.s$l * $a.s$l").mkString(" + ")
-      s"""WITH ls AS (
+      s"""WITH $payloadCte,
+         |ls AS (
          |  SELECT doc_id AS media_id,
          |  $lanes
-         |  FROM documents)
+         |  FROM pm)
          |SELECT query_id, neighbor_id, rnk, cos_r FROM (
          |  SELECT q.media_id AS query_id, c.media_id AS neighbor_id,
          |    ROW_NUMBER() OVER (PARTITION BY q.media_id

@@ -20,8 +20,11 @@ class KeyedUpsertSinkSpec extends AnyFunSuite {
 
   // logPath is a constructor arg; reach it via a known temp dir instead
   private val dirs = scala.collection.mutable.Map.empty[KeyedUpsertSink, String]
-  private def newSink(keys: Seq[String]): KeyedUpsertSink = {
-    val dir = graft.streaming.TempDir.create("graft-upsert-spec-")
+  private def newSink(keys: Seq[String], base: Option[java.nio.file.Path] = None): KeyedUpsertSink = {
+    val dir = base match {
+      case Some(b) => java.nio.file.Files.createTempDirectory(b, "graft-upsert-spec-")
+      case None => graft.streaming.TempDir.create("graft-upsert-spec-")
+    }
     java.nio.file.Files.delete(dir)
     val s = new KeyedUpsertSink(keys, dir.toString)
     dirs(s) = dir.toString
@@ -88,6 +91,40 @@ class KeyedUpsertSinkSpec extends AnyFunSuite {
       sink.compact(spark)
       assert(state(sink) == Map(1 -> (("x", 1L))))
     } finally sink.close()
+  }
+
+  /** The whole sink contract re-run with the log on a REGULAR-DISK
+    * dir (the object-store stand-in) instead of tmpfs — guards the
+    * `java.nio` list/move/delete choreography in `compact()` against
+    * tmpfs-only assumptions (KeyedUpsertSink.scala documents the
+    * placement rationale; the file ops must be placement-agnostic).
+    */
+  test("upsert → compact → upsert equivalence holds on a regular-disk log dir") {
+    import spark.implicits._
+    val diskBase = java.nio.file.Paths.get(
+      sys.props.getOrElse("java.io.tmpdir", "/tmp"))
+    assume(java.nio.file.Files.isWritable(diskBase))
+    val plain = newSink(Seq("k"), Some(diskBase))
+    val compacted = newSink(Seq("k"), Some(diskBase))
+    try {
+      val batches = Seq(
+        0L -> Seq((1, "a", 10L), (2, "b", 20L)),
+        1L -> Seq((1, "a2", 11L), (3, "c", 30L)),
+        2L -> Seq((2, "b2", 21L)))
+      batches.foreach { case (id, rows) =>
+        val df = rows.toDF("k", "tag", "v")
+        plain.upsert(df, id)
+        compacted.upsert(df, id)
+        compacted.compact(spark)
+        assert(state(compacted) == state(plain), s"diverged after batch $id")
+      }
+      val names = logFiles(compacted)
+      assert(names.nonEmpty && names.forall(_.startsWith("compact-")), names.toString)
+      compacted.upsert(Seq((3, "c2", 31L)).toDF("k", "tag", "v"), 3L)
+      plain.upsert(Seq((3, "c2", 31L)).toDF("k", "tag", "v"), 3L)
+      assert(state(compacted) == state(plain))
+      assert(state(compacted)(3) == (("c2", 31L)))
+    } finally { plain.close(); compacted.close() }
   }
 
   test("all-key schema degenerates to key dedup") {

@@ -12,33 +12,64 @@ class MultimodalSpec extends AnyFunSuite {
   lazy val spark = SparkTestSession.spark
   private val sf = "/root/testdata/sf0.001"
 
-  test("media table routes kinds and keeps payloads byte-exact") {
+  test("media table routes kinds; audio/video payloads byte-exact, image = real PGM") {
     val media = Multimodal.mediaFromDocuments(spark, sf)
     assert(media.select(col("kind")).distinct().count() == 3)
-    // payload round-trips: decode utf8 back to the source text
+    // audio/video payload round-trips: decode utf8 back to the source text
     val mismatch = media
       .join(Tables.documents(spark, sf), col("media_id") === col("doc_id"))
+      .filter(col("kind") =!= "image")
       .filter(decode(col("payload"), "UTF-8") =!= col("text"))
       .count()
     assert(mismatch == 0)
+    // image payloads are genuine P5 PGM whose pixel bytes start with
+    // the source text (space-padded to fill the last row)
+    val imgs = media
+      .join(Tables.documents(spark, sf), col("media_id") === col("doc_id"))
+      .filter(col("kind") === "image")
+      .select(col("payload"), col("text"))
+      .collect()
+    assert(imgs.nonEmpty)
+    imgs.foreach { r =>
+      val payload = r.getAs[Array[Byte]](0)
+      val text = r.getString(1)
+      val px = new String(Multimodal.PgmCodec.pixels(payload), "UTF-8")
+      assert(px.startsWith(text))
+      assert(px.drop(text.length).forall(_ == ' '))
+    }
   }
 
-  test("image decode is partition-parallel and deterministic") {
+  test("image decode parses the real PGM header, partition-parallel") {
     val media = Multimodal.mediaFromDocuments(spark, sf).repartition(8)
     val metas = Multimodal.decodeImages(media).collect()
     assert(metas.nonEmpty)
-    assert(metas.forall(m => m.width >= 16 && m.width < 80))
-    assert(metas.forall(m => m.channels == 3 || m.channels == 1))
-    // rerun yields identical rows (stub codec is a pure function)
+    // fixture math: w = 16 + len % 32, h = ceil(len / w) >= 1
+    assert(metas.forall(m => m.width >= 16 && m.width < 48))
+    assert(metas.forall(_.channels == 1))
+    metas.foreach { m =>
+      val pixelBytes = m.width.toLong * m.height
+      // n_bytes = header + pixels exactly (parsed, not derived)
+      assert(m.n_bytes ==
+        3 + m.width.toString.length + 1 + m.height.toString.length + 5 + pixelBytes)
+    }
+    // rerun yields identical rows (pure decode)
     val again = Multimodal.decodeImages(media).collect()
     assert(metas.map(_.toString).sorted.toSeq == again.map(_.toString).sorted.toSeq)
   }
 
-  test("resize shrinks payloads deterministically") {
+  test("resize emits fixed-dims PGM; pix_sum matches a driver-side re-walk") {
     val media = Multimodal.mediaFromDocuments(spark, sf)
     val resized = Multimodal.resizeImages(media).collect()
     assert(resized.nonEmpty)
-    assert(resized.forall(r => r.n_bytes_out <= r.n_bytes_in && r.n_bytes_out > 0))
+    assert(resized.forall(_.n_bytes_out == 13 + 64 * 64)) // "P5\n64 64\n255\n" + samples
+    val byId = media.filter(col("kind") === "image")
+      .select(col("media_id"), col("payload")).collect()
+      .map(r => r.getLong(0) -> r.getAs[Array[Byte]](1)).toMap
+    resized.foreach { r =>
+      val out = Multimodal.PgmCodec.resize(byId(r.media_id), 64, 64)
+      val want = Multimodal.PgmCodec.pixels(out).foldLeft(0L)((a, b) => a + (b & 0xff))
+      assert(r.pix_sum == want)
+    }
   }
 
   test("feature extraction yields fixed-dim unit vectors feeding knn") {
