@@ -126,6 +126,11 @@ object Bench {
       m.map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
     val total = if (best.nonEmpty) best.values.sum else 0.0
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":${fmt(best)},"raw_pass1":${fmt(pass1)},"raw_pass2":${fmt(pass2)},"policy":"best-of-2 per query, single JVM","sf":"$sfDir"}""")
+    // Compact trailing line: the full line above grew past the driver's
+    // 2000-char tail capture (r8's artifact lost its own total), so the
+    // headline number must also land in a line short enough to always
+    // survive the tail window. Printed LAST on purpose.
+    println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${best.size},"policy":"best-of-2 per query, single JVM","sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -140,8 +140,14 @@ object TextQueries {
     "text_curation_neardup" -> ((s, dir) => {
       val h = conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
         .cast("long") % 100
+      // The gated scan feeds four consumers (signatures, trigram
+      // verify, CC nodes, manifest) — without a checkpoint each one
+      // re-plans scan + stopwordRatio, i.e. three redundant corpus
+      // scans at 100 TB. Same lineage-cut policy as
+      // connectedComponents' `pairs` (see DedupQueries.scala:158).
       val gated = Tables.documents(s, dir)
         .filter(stopwordRatio(col("text")) >= 0.05)
+        .localCheckpoint()
       val pairs = DedupQueries.minhashVerifiedPairsOf(gated)
         .select(col("doc_a"), col("doc_b"))
       val labels = DedupQueries.connectedComponents(
