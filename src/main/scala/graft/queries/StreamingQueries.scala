@@ -45,6 +45,23 @@ object StreamingQueries {
     val ss = spark.newSession()
     ss.conf.set("spark.sql.shuffle.partitions",
       sys.env.getOrElse("SPARK_GRAFT_STREAM_PARTITIONS", "4"))
+    // State-store provider for the replay sessions. Default stays
+    // HDFSBackedStateStoreProvider: the r9 A/B probe (ProbeStateStore,
+    // results in SCALE.md "State-store provider") measured RocksDB +
+    // changelog checkpointing SLOWER at replay scale — per-micro-batch
+    // native-store open/commit overhead dominates when state is a few
+    // thousand rows on tmpfs. The switch is the per-deployment knob a
+    // production job with GB-scale state per partition would flip.
+    sys.props.get("graft.stateProvider")
+      .orElse(sys.env.get("SPARK_GRAFT_STATE_PROVIDER")) match {
+      case Some("rocksdb") =>
+        ss.conf.set("spark.sql.streaming.stateStore.providerClass",
+          "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+        ss.conf.set(
+          "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled",
+          "true")
+      case _ => ()
+    }
     // Without this, every data micro-batch is followed by a no-data
     // micro-batch that re-runs the whole stateful plan on zero rows to
     // apply the advanced watermark — measured at ~45% of replay cost
