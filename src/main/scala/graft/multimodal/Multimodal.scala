@@ -115,6 +115,106 @@ object Multimodal {
     }
   }
 
+  /** The audio-codec seam — the audio twin of [[ImageCodec]].
+    * [[WavCodec]] is the real decoder for the RIFF/WAV fixture.
+    */
+  trait AudioCodec extends Serializable {
+    /** payload → (sampleRate, channels, bitsPerSample, nFrames) */
+    def decodeAudio(payload: Array[Byte]): AudioInfo
+    /** The raw data-chunk bytes of an encoded clip (header stripped). */
+    def samples(payload: Array[Byte]): Array[Byte]
+  }
+
+  final case class AudioInfo(
+      sampleRate: Int, channels: Int, bitsPerSample: Int, nFrames: Long)
+
+  /** Real pure-JVM codec for RIFF/WAVE PCM — the uncompressed audio
+    * container: `RIFF <u32 size> WAVE` followed by tagged chunks, of
+    * which `fmt ` (format code, channels, sample rate, block align,
+    * bits/sample — all little-endian) and `data` (the PCM samples)
+    * matter; unknown chunks (LIST, etc.) are skipped by the even-padded
+    * chunk walk the spec requires. A real byte-format decoder (magic
+    * check, LE integer fields, chunk traversal), not a stub:
+    * `audioFromDocuments` encodes audio-kind rows in exactly this
+    * format — some with a LIST chunk injected before `data`, so a
+    * decoder that assumed a fixed 44-byte header would fail — and
+    * `multimodal_audio_meta` oracle-verifies the decode end-to-end,
+    * including the data-chunk sample sum.
+    */
+  object WavCodec extends AudioCodec {
+    final case class Header(
+        sampleRate: Int, channels: Int, bitsPerSample: Int,
+        blockAlign: Int, dataOffset: Int, dataSize: Int)
+
+    private def tag(p: Array[Byte], i: Int): String =
+      new String(p, i, 4, "US-ASCII")
+    private def u16(p: Array[Byte], i: Int): Int =
+      (p(i) & 0xff) | ((p(i + 1) & 0xff) << 8)
+    private def u32(p: Array[Byte], i: Int): Int = {
+      val v = (p(i) & 0xff).toLong | ((p(i + 1) & 0xff).toLong << 8) |
+        ((p(i + 2) & 0xff).toLong << 16) | ((p(i + 3) & 0xff).toLong << 24)
+      require(v <= Int.MaxValue, s"chunk size $v overflows")
+      v.toInt
+    }
+
+    def decodeHeader(p: Array[Byte]): Header = {
+      require(p.length >= 12 && tag(p, 0) == "RIFF" && tag(p, 8) == "WAVE",
+        "not a RIFF/WAVE file")
+      require(u32(p, 4) + 8 <= p.length, "truncated RIFF chunk")
+      var i = 12
+      var fmt: Option[(Int, Int, Int, Int)] = None // ch, rate, align, bits
+      var data: Option[(Int, Int)] = None // offset, size
+      while (i + 8 <= p.length && data.isEmpty) {
+        val id = tag(p, i)
+        val size = u32(p, i + 4)
+        id match {
+          case "fmt " =>
+            require(size >= 16, s"fmt chunk too small ($size)")
+            require(u16(p, i + 8) == 1, "only PCM (format 1) supported")
+            fmt = Some((u16(p, i + 10), u32(p, i + 12), u16(p, i + 20),
+              u16(p, i + 22)))
+          case "data" =>
+            require(i + 8 + size <= p.length, "truncated data chunk")
+            data = Some((i + 8, size))
+          case _ => () // LIST / fact / cue — skip
+        }
+        i += 8 + size + (size & 1) // RIFF chunks pad to even length
+      }
+      val (ch, rate, align, bits) =
+        fmt.getOrElse(throw new IllegalArgumentException("no fmt chunk"))
+      val (off, sz) =
+        data.getOrElse(throw new IllegalArgumentException("no data chunk"))
+      require(ch > 0 && rate > 0 && align > 0, s"bad fmt: ch=$ch rate=$rate align=$align")
+      Header(rate, ch, bits, align, off, sz)
+    }
+
+    override def decodeAudio(p: Array[Byte]): AudioInfo = {
+      val hd = decodeHeader(p)
+      AudioInfo(hd.sampleRate, hd.channels, hd.bitsPerSample,
+        hd.dataSize.toLong / hd.blockAlign)
+    }
+
+    override def samples(p: Array[Byte]): Array[Byte] = {
+      val hd = decodeHeader(p)
+      java.util.Arrays.copyOfRange(p, hd.dataOffset, hd.dataOffset + hd.dataSize)
+    }
+
+    def encode(
+        samples: Array[Byte], sampleRate: Int, channels: Int): Array[Byte] = {
+      val bb = java.nio.ByteBuffer
+        .allocate(44 + samples.length)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + samples.length)
+        .put("WAVE".getBytes("US-ASCII"))
+        .put("fmt ".getBytes("US-ASCII")).putInt(16)
+        .putShort(1).putShort(channels.toShort).putInt(sampleRate)
+        .putInt(sampleRate * channels).putShort(channels.toShort).putShort(8)
+        .put("data".getBytes("US-ASCII")).putInt(samples.length)
+        .put(samples)
+      bb.array()
+    }
+  }
+
   /** A media row: opaque payload + routing metadata. */
   final case class MediaItem(
       media_id: Long,
@@ -276,6 +376,92 @@ object Multimodal {
       kind.as("kind"),
       when(kind === "image", pgmPayload(col("text")))
         .otherwise(encode(col("text"), "UTF-8")).as("payload"))
+  }
+
+  /** Hex of an `nBytes`-wide little-endian integer field, as column
+    * arithmetic (byte i = (v >> 8i) & 255, two hex digits each) —
+    * the binary-header building block `unhex` assembles below.
+    */
+  private def leHex(v: Column, nBytes: Int): Column =
+    concat((0 until nBytes).map(i =>
+      lpad(conv(pmod(shiftright(v.cast("long"), 8 * i), lit(256)), 10, 16),
+        2, "0")): _*)
+
+  private def asciiHex(s: String): String =
+    s.getBytes("US-ASCII").map("%02X".format(_)).mkString
+
+  /** The RIFF/WAV payload of an audio-kind fixture row, as pure column
+    * arithmetic: the text bytes become 8-bit PCM samples behind a real
+    * RIFF header whose fields derive from doc_id (sample rate 8/12/16/
+    * 20 kHz, 1-2 channels). Every 5th doc additionally carries a LIST
+    * chunk between `fmt ` and `data`, so decoders must walk chunks,
+    * not assume byte 44. Binary little-endian fields are assembled as
+    * hex and `unhex`ed — `encode()`-style string concat can't emit
+    * bytes ≥ 0x80 (UTF-8 would multi-byte them). The oracle recomputes
+    * every decoded field from the same fixture math
+    * (MultimodalQueries), so green means the header the encoder wrote
+    * is the header WavCodec read.
+    */
+  private[graft] def wavPayload(text: Column, docId: Column): Column = {
+    val dataLen = length(text)
+    val channels = (docId % 2 + 1).cast("int")
+    val rate = (lit(8000) + (docId % 4) * 4000).cast("int")
+    val hasList = docId % 5 === 0
+    // LIST chunk: tag + u32 size + "GRFTINFO" body = 16 bytes, even
+    val listHex = asciiHex("LIST") + "08000000" + asciiHex("GRFTINFO")
+    val riffSize = lit(36) + when(hasList, 16).otherwise(0) + dataLen
+    val headerHex = concat(
+      lit(asciiHex("RIFF")), leHex(riffSize, 4), lit(asciiHex("WAVE")),
+      lit(asciiHex("fmt ")), leHex(lit(16), 4),
+      leHex(lit(1), 2), leHex(channels, 2), leHex(rate, 4),
+      leHex(rate * channels, 4), // byteRate = rate · blockAlign
+      leHex(channels, 2), // blockAlign = channels · 8/8
+      leHex(lit(8), 2), // bitsPerSample
+      when(hasList, listHex).otherwise(lit("")),
+      lit(asciiHex("data")), leHex(dataLen, 4))
+    unhex(concat(headerHex, hex(encode(text, "UTF-8"))))
+  }
+
+  /** Audio-kind documents rows (same round-robin as
+    * [[mediaFromDocuments]]) with genuine RIFF/WAV payloads. A separate
+    * frame rather than a `mediaFromDocuments` change: the existing
+    * multimodal oracles rebuild payloads as DuckDB VARCHAR, which can
+    * hold the ASCII PGM/text bytes but not WAV's NUL-bearing binary
+    * header — the audio oracle instead recomputes decoded fields from
+    * the fixture math.
+    */
+  def audioFromDocuments(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
+      .filter(col("doc_id") % 3 === 1)
+      .select(
+        col("doc_id").as("media_id"),
+        lit("audio").as("kind"),
+        wavPayload(col("text"), col("doc_id")).as("payload"))
+
+  final case class AudioMetaRow(
+      media_id: Long, sample_rate: Int, channels: Int, bits_per_sample: Int,
+      n_frames: Long, duration_us: Long, n_bytes: Long, sample_sum: Long)
+
+  /** Audio-decode stage: partition-parallel, typed, no shuffle — the
+    * audio twin of [[decodeImages]]. `sample_sum` (sum of the data
+    * chunk's bytes) pins the chunk-walk offset math in the oracle, not
+    * just the header fields; `duration_us` is integer math
+    * (frames · 1e6 / rate) so the hash check stays exact.
+    */
+  def decodeAudio(
+      media: DataFrame, codec: AudioCodec = WavCodec): Dataset[AudioMetaRow] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.filter(col("kind") === "audio").as[MediaItem]
+      .mapPartitions { it =>
+        it.map { m =>
+          val a = codec.decodeAudio(m.payload)
+          AudioMetaRow(m.media_id, a.sampleRate, a.channels, a.bitsPerSample,
+            a.nFrames, a.nFrames * 1000000L / a.sampleRate,
+            m.payload.length.toLong,
+            codec.samples(m.payload).foldLeft(0L)((s, b) => s + (b & 0xff)))
+        }
+      }
   }
 
   /** Image-decode stage: partition-parallel, typed, no shuffle. */

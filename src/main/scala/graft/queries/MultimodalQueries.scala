@@ -29,6 +29,17 @@ object MultimodalQueries {
     "multimodal_frames" -> ((s, dir) =>
       Multimodal.sampleVideoFrames(Multimodal.mediaFromDocuments(s, dir)).toDF()),
 
+    // Real RIFF/WAV decode through the typed mapPartitions stage:
+    // audio-kind rows are encoded as genuine WAV bytes (binary LE
+    // header, some with a LIST chunk forcing a real chunk walk) and
+    // WavCodec parses them back. The oracle recomputes every decoded
+    // field from the fixture math — green means the header the
+    // encoder wrote is the header the decoder read, same standard as
+    // multimodal_image_meta's PGM check; sample_sum pins the
+    // data-chunk offset the walk found.
+    "multimodal_audio_meta" -> ((s, dir) =>
+      Multimodal.decodeAudio(Multimodal.audioFromDocuments(s, dir)).toDF()),
+
     // Stub resize + feature-extraction stages. The float32 feature
     // fold isn't robustly SQL-comparable, but its exact integer twin
     // (per-lane byte sums) is — projected here alongside dim and the
@@ -167,6 +178,25 @@ object MultimodalQueries {
          |    ((((i // 64) * h) // 64) * w + (((i % 64) * w) // 64)) + 1, 1))
          |    for i in range(0, 64 * 64)]) AS BIGINT) AS pix_sum
          |FROM pm WHERE kind = 'image'""".stripMargin,
+    // Fixture-math twin of the WavCodec decode (Multimodal.wavPayload
+    // is the Spark-side encoder): rate/channels from doc_id, 8-bit PCM
+    // so n_frames = data bytes // channels, duration in exact integer
+    // µs, n_bytes = 44-byte canonical header (+16 for the LIST chunk
+    // every 5th doc) + data, sample_sum = Σ text byte values (ASCII
+    // corpus: 1 char = 1 byte).
+    "multimodal_audio_meta" ->
+      s"""SELECT doc_id AS media_id,
+         |  CAST(8000 + (doc_id % 4) * 4000 AS INT) AS sample_rate,
+         |  CAST(1 + doc_id % 2 AS INT) AS channels,
+         |  CAST(8 AS INT) AS bits_per_sample,
+         |  CAST(length(text) // (1 + doc_id % 2) AS BIGINT) AS n_frames,
+         |  CAST((length(text) // (1 + doc_id % 2)) * 1000000
+         |       // (8000 + (doc_id % 4) * 4000) AS BIGINT) AS duration_us,
+         |  CAST(44 + CASE WHEN doc_id % 5 = 0 THEN 16 ELSE 0 END
+         |       + length(text) AS BIGINT) AS n_bytes,
+         |  CAST(coalesce(list_sum([ascii(substring(text, i, 1))
+         |    for i in range(1, length(text) + 1)]), 0) AS BIGINT) AS sample_sum
+         |FROM documents WHERE doc_id % 3 = 1""".stripMargin,
     "multimodal_frames" ->
       s"""SELECT doc_id AS media_id, CAST(f AS INT) AS frame_idx,
          |  CAST(greatest(octet_length(encode(text)) // 8, 1) AS BIGINT) AS frame_bytes
