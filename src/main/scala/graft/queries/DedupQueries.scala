@@ -180,17 +180,28 @@ object DedupQueries {
       s: SparkSession, pairs: DataFrame, nodes: DataFrame): DataFrame =
     connectedComponentsWithIters(s, pairs, nodes)._1
 
+  /** Supersteps of plain propagation before pointer-jumping joins in.
+    * LSH near-dup graphs are in-bucket cliques (diameter 1-2) that
+    * converge well under this bound, so the default path never pays
+    * the jump's extra join; only an adversarial long-chain graph
+    * crosses it.
+    */
+  val CcJumpAfter = 6
+
   /** Returns (labels, supersteps). The iteration count is exposed so
-    * ConnectedComponentsSpec can pin iterations = O(graph diameter):
+    * ConnectedComponentsSpec can pin the convergence contract:
     * min-label propagation moves a component's minimum one hop per
-    * superstep, so a path of diameter d converges in exactly d + 1
-    * supersteps (the +1 detects the fixpoint). LSH near-dup graphs are
-    * in-bucket cliques (diameter 1-2); a corpus producing adversarially
-    * long chains would motivate the large-star/small-star iteration
-    * (alternating pointer-halving rounds, O(log d) supersteps) — the
-    * superstep skeleton, the convergence detection, and the oracle
-    * would all stay as they are, only the per-round transformation
-    * changes.
+    * superstep, so a path of diameter d ≤ [[CcJumpAfter]] converges in
+    * exactly d + 1 supersteps (the +1 detects the fixpoint). Beyond
+    * that, each superstep adds a pointer-jump (label := label of
+    * label — one self-join of the label table, the same
+    * shortcutting that drives the large-star/small-star CC of
+    * Kiveris et al., "Connected Components in MapReduce and Beyond"):
+    * the hop distance to the component minimum then halves per round,
+    * turning the worst case from O(diameter) to
+    * O([[CcJumpAfter]] + log d) without changing the oracle — label
+    * values are always same-component node ids, mins are preserved,
+    * and the monotone label-sum convergence check applies unchanged.
     */
   def connectedComponentsWithIters(
       s: SparkSession, pairs: DataFrame, nodes: DataFrame): (DataFrame, Int) = {
@@ -224,9 +235,29 @@ object DedupQueries {
         s"connectedComponents did not converge in $CcMaxIters supersteps")
       val prop = edges.join(labels, col("src") === col("doc_id"))
         .select(col("dst").as("doc_id"), col("component"))
-      val next = labels.union(prop)
+      var next = labels.union(prop)
         .groupBy("doc_id").agg(min("component").as("component"))
         .localCheckpoint()
+      if (iters >= CcJumpAfter) {
+        // pointer-jump: component := component's component. Left join:
+        // a label value is a same-component node id, but callers may
+        // pass `nodes` missing a pair endpoint — such labels keep
+        // their value rather than dropping the row. The join reads the
+        // checkpoint twice (no recompute); the superseded generation
+        // is freed like any other.
+        // explicit renames, not .as("x")/.as("y") qualifiers: both
+        // sides are the same checkpointed plan and qualified-attribute
+        // resolution fails on the deduplicated self-join
+        val parent = next.select(
+          col("doc_id").as("p_id"), col("component").as("p_comp"))
+        val jumped = next
+          .join(parent, col("component") === col("p_id"), "left")
+          .select(col("doc_id"),
+            coalesce(col("p_comp"), col("component")).as("component"))
+          .localCheckpoint()
+        unpersistCheckpoint(next)
+        next = jumped
+      }
       val newSum = labelSum(next)
       converged = newSum.compareTo(prevSum) == 0
       prevSum = newSum
