@@ -215,6 +215,120 @@ object Multimodal {
     }
   }
 
+  /** The video-codec seam — the video twin of [[ImageCodec]].
+    * [[Y4mCodec]] is the real decoder for the YUV4MPEG2 fixture; a
+    * compressed-container decoder (mp4/mkv via ffmpeg bindings) would
+    * implement this same trait.
+    */
+  trait VideoCodec extends Serializable {
+    /** payload → (width, height, fps numerator/denominator, frames) */
+    def decodeVideo(payload: Array[Byte]): VideoInfo
+    /** Every `everyNth`-th frame as (index, raw plane bytes). */
+    def sampleFrames(payload: Array[Byte], everyNth: Int): Seq[(Int, Array[Byte])]
+  }
+
+  final case class VideoInfo(
+      width: Int, height: Int, fpsNum: Int, fpsDen: Int, nFrames: Int)
+
+  /** Real pure-JVM codec for YUV4MPEG2 (y4m) — the uncompressed video
+    * interchange format: ASCII stream header
+    * `YUV4MPEG2 W<w> H<h> F<num>:<den> ... C<colorspace>\n`, then per
+    * frame an ASCII `FRAME[ params]\n` marker followed by the raw
+    * plane bytes (W·H for Cmono — luma only; 420/422/444 scale the
+    * chroma planes). A real byte-format decoder (magic check,
+    * tagged-parameter header scan, per-frame marker walk with offset
+    * math), not a stub: `mediaFromDocuments` encodes video-kind rows
+    * as genuine Cmono y4m, so `multimodal_frames` (and the md5 in
+    * `multimodal_meta`) verify a real container walk end-to-end.
+    */
+  object Y4mCodec extends VideoCodec {
+    private val Magic = "YUV4MPEG2"
+
+    final case class Header(
+        width: Int, height: Int, fpsNum: Int, fpsDen: Int,
+        colorspace: String, dataOffset: Int) {
+      def frameSize: Int = colorspace match {
+        case "mono" => width * height
+        case "420" | "420jpeg" | "420mpeg2" | "420paldv" =>
+          width * height * 3 / 2
+        case "422" => width * height * 2
+        case "444" => width * height * 3
+        case cs => throw new IllegalArgumentException(s"unsupported colorspace C$cs")
+      }
+    }
+
+    private def lineEnd(p: Array[Byte], from: Int): Int = {
+      var i = from
+      while (i < p.length && p(i) != '\n') i += 1
+      require(i < p.length, "unterminated y4m header line")
+      i
+    }
+
+    def decodeHeader(p: Array[Byte]): Header = {
+      require(p.length >= Magic.length + 1 &&
+        new String(p, 0, Magic.length, "US-ASCII") == Magic, "not a YUV4MPEG2 stream")
+      val end = lineEnd(p, Magic.length)
+      val params = new String(p, Magic.length, end - Magic.length, "US-ASCII")
+        .split(' ').filter(_.nonEmpty)
+      var w = -1; var h = -1; var fn = 25; var fd = 1; var cs = "420"
+      params.foreach { t =>
+        t.head match {
+          case 'W' => w = t.tail.toInt
+          case 'H' => h = t.tail.toInt
+          case 'F' =>
+            val Array(n, d) = t.tail.split(':'); fn = n.toInt; fd = d.toInt
+          case 'C' => cs = t.tail
+          case _ => () // I (interlace), A (aspect), X (extensions) — valid, unused
+        }
+      }
+      require(w > 0 && h > 0 && fd > 0, s"bad y4m header: W=$w H=$h F=$fn:$fd")
+      Header(w, h, fn, fd, cs, end + 1)
+    }
+
+    /** Walk the FRAME markers; returns each frame's plane offset. */
+    private def frameOffsets(p: Array[Byte], hd: Header): Seq[Int] = {
+      val fs = hd.frameSize
+      val offs = Seq.newBuilder[Int]
+      var i = hd.dataOffset
+      while (i < p.length) {
+        require(i + 5 <= p.length &&
+          new String(p, i, 5, "US-ASCII") == "FRAME", s"missing FRAME marker at byte $i")
+        val end = lineEnd(p, i + 5) // frame params (if any) run to \n
+        require(end + 1 + fs <= p.length, s"truncated frame at byte $i")
+        offs += end + 1
+        i = end + 1 + fs
+      }
+      offs.result()
+    }
+
+    override def decodeVideo(p: Array[Byte]): VideoInfo = {
+      val hd = decodeHeader(p)
+      VideoInfo(hd.width, hd.height, hd.fpsNum, hd.fpsDen, frameOffsets(p, hd).size)
+    }
+
+    override def sampleFrames(p: Array[Byte], everyNth: Int): Seq[(Int, Array[Byte])] = {
+      val hd = decodeHeader(p)
+      val fs = hd.frameSize
+      frameOffsets(p, hd).zipWithIndex.collect {
+        case (off, idx) if idx % everyNth == 0 =>
+          (idx, java.util.Arrays.copyOfRange(p, off, off + fs))
+      }
+    }
+
+    def encode(
+        frames: Seq[Array[Byte]], width: Int, height: Int,
+        fpsNum: Int = 25, fpsDen: Int = 1): Array[Byte] = {
+      require(frames.forall(_.length == width * height), "frame bytes != W*H (Cmono)")
+      val header = s"$Magic W$width H$height F$fpsNum:$fpsDen Cmono\n".getBytes("US-ASCII")
+      val marker = "FRAME\n".getBytes("US-ASCII")
+      val buf = new java.io.ByteArrayOutputStream(
+        header.length + frames.map(_.length + marker.length).sum)
+      buf.write(header)
+      frames.foreach { f => buf.write(marker); buf.write(f) }
+      buf.toByteArray
+    }
+  }
+
   /** A media row: opaque payload + routing metadata. */
   final case class MediaItem(
       media_id: Long,
@@ -231,7 +345,8 @@ object Multimodal {
   final case class FrameSample(
       media_id: Long,
       frame_idx: Int,
-      frame_bytes: Long)
+      frame_bytes: Long,
+      frame_sum: Long)
 
   /** Deterministic fake codecs — STUBS for the real decoders.
     * Everything derives from payload length/bytes so tests are stable
@@ -245,12 +360,6 @@ object Multimodal {
       val height = 16 + ((n / 64) % 64)
       val channels = if (n % 2 == 0) 3 else 1
       (width, height, channels)
-    }
-
-    /** STUB: a real implementation would demux + sample frames. */
-    def sampleFrames(payload: Array[Byte], everyNth: Int): Seq[(Int, Long)] = {
-      val chunk = math.max(1, payload.length / 8) // fake 8-frame video
-      (0 until 8 by everyNth).map(i => (i, chunk.toLong))
     }
 
     /** STUB: a real implementation would rescale pixel data; the fake
@@ -362,11 +471,39 @@ object Multimodal {
       text, call_function("repeat", lit(" "), pad)), "UTF-8")
   }
 
+  /** The YUV4MPEG2 payload of a video-kind fixture row, as pure column
+    * arithmetic: the text bytes become the luma samples of nf Cmono
+    * frames of w×2 pixels (w = 8 + len mod 16, nf = ⌈len/2w⌉ ≥ 1,
+    * space-padded to fill the last frame), each behind a real `FRAME`
+    * marker. The frame markers are interleaved by a DOTALL
+    * regexp_replace that wraps every frame-size chunk — the one
+    * column-level way to repeat a variable count of times — and the
+    * oracle rebuilds the identical byte string with the same regex in
+    * DuckDB (MultimodalQueries.payloadCte), so frame walks and digests
+    * are checked against genuinely encoded bytes.
+    */
+  private[graft] def y4mPayload(text: Column): Column = {
+    val len = length(text)
+    val w = lit(8) + (len % 16)
+    val fs = w * 2 // Cmono frame = w*h luma bytes, h = 2
+    val nf = greatest(lit(1), floor((len + fs - lit(1)).cast("double") / fs).cast("int"))
+    val padded = concat(text,
+      call_function("repeat", lit(" "), (nf * fs - len).cast("int")))
+    val framed = regexp_replace(
+      padded, concat(lit("(?s)(.{"), fs, lit("})")), lit("FRAME\n$1"))
+    encode(concat(
+      lit("YUV4MPEG2 W"), w.cast("string"), lit(" H2 F25:1 Cmono\n"),
+      framed), "UTF-8")
+  }
+
   /** Synthesizes a media table from `documents` (no binary test table
     * ships with the driver): image-kind payloads are real binary PGM
-    * encodings of the text bytes ([[pgmPayload]]); audio/video stay
-    * raw utf8 bytes behind the stub seam. Kind assigned round-robin.
-    * Deterministic on both engines.
+    * encodings of the text bytes ([[pgmPayload]]), video-kind are real
+    * YUV4MPEG2 streams ([[y4mPayload]]); audio stays raw utf8 bytes
+    * here — its real-format twin is [[audioFromDocuments]] (WAV's
+    * binary little-endian header can't ride the VARCHAR oracle these
+    * queries share). Kind assigned round-robin. Deterministic on both
+    * engines.
     */
   def mediaFromDocuments(spark: SparkSession, sfDir: String): DataFrame = {
     val kind = element_at(array(lit("image"), lit("audio"), lit("video")),
@@ -375,6 +512,7 @@ object Multimodal {
       col("doc_id").as("media_id"),
       kind.as("kind"),
       when(kind === "image", pgmPayload(col("text")))
+        .when(kind === "video", y4mPayload(col("text")))
         .otherwise(encode(col("text"), "UTF-8")).as("payload"))
   }
 
@@ -477,15 +615,22 @@ object Multimodal {
       }
   }
 
-  /** Video frame-sampling stage: 1→N expansion per partition. */
-  def sampleVideoFrames(media: DataFrame, everyNth: Int = 2): Dataset[FrameSample] = {
+  /** Video frame-sampling stage: 1→N expansion per partition, a real
+    * container walk — [[Y4mCodec]] parses the stream header and steps
+    * marker-to-marker; `frame_sum` (sum of the sampled frame's luma
+    * bytes) pins each frame's byte offset in the oracle.
+    */
+  def sampleVideoFrames(
+      media: DataFrame, everyNth: Int = 2,
+      codec: VideoCodec = Y4mCodec): Dataset[FrameSample] = {
     val spark = media.sparkSession
     import spark.implicits._
     media.filter(col("kind") === "video").as[MediaItem]
       .mapPartitions { it =>
         it.flatMap { m =>
-          StubCodecs.sampleFrames(m.payload, everyNth).map { case (i, b) =>
-            FrameSample(m.media_id, i, b)
+          codec.sampleFrames(m.payload, everyNth).map { case (i, f) =>
+            FrameSample(m.media_id, i, f.length.toLong,
+              f.foldLeft(0L)((s, b) => s + (b & 0xff)))
           }
         }
       }

@@ -25,7 +25,10 @@ object MultimodalQueries {
     "multimodal_image_meta" -> ((s, dir) =>
       Multimodal.decodeImages(Multimodal.mediaFromDocuments(s, dir)).toDF()),
 
-    // Stub video frame sampling (1→N expansion).
+    // Real YUV4MPEG2 frame sampling (1→N expansion): Y4mCodec walks
+    // the FRAME markers of genuinely encoded video payloads; the
+    // oracle re-derives every sampled frame's bytes and sum from the
+    // fixture math.
     "multimodal_frames" -> ((s, dir) =>
       Multimodal.sampleVideoFrames(Multimodal.mediaFromDocuments(s, dir)).toDF()),
 
@@ -106,19 +109,30 @@ object MultimodalQueries {
 
   /** CTE chain rebuilding `mediaFromDocuments`' payload bytes in SQL —
     * image rows as the full PGM byte string (header + text pixels +
-    * space padding; Multimodal.pgmPayload is the Spark twin), others
-    * as raw text. The corpus is ASCII, so VARCHAR concatenation is
-    * byte-identical to the binary payload and `ascii()`/`md5()`/
-    * `length()` operate on the same bytes Spark sees.
+    * space padding; Multimodal.pgmPayload is the Spark twin), video
+    * rows as the full YUV4MPEG2 stream (header + FRAME-marker-wrapped
+    * luma chunks via the same DOTALL regex interleave as
+    * Multimodal.y4mPayload), audio as raw text (its real-format twin
+    * is the WAV table — binary LE headers can't ride VARCHAR). The
+    * corpus is ASCII, so VARCHAR concatenation is byte-identical to
+    * the binary payload and `ascii()`/`md5()`/`length()` operate on
+    * the same bytes Spark sees.
     */
   private val payloadCte: String =
     s"""pm0 AS (SELECT doc_id, text, $kindSql AS kind,
-       |          length(text) AS n, 16 + length(text) % 32 AS w FROM documents),
-       |pm1 AS (SELECT *, greatest(1, (n + w - 1) // w) AS h FROM pm0),
+       |          length(text) AS n, 16 + length(text) % 32 AS w,
+       |          (8 + length(text) % 16) * 2 AS fs FROM documents),
+       |pm1 AS (SELECT *, greatest(1, (n + w - 1) // w) AS h,
+       |          greatest(1, (n + fs - 1) // fs) AS nf FROM pm0),
        |pm AS (SELECT doc_id, kind, text, n, w, h,
        |         CASE WHEN kind = 'image'
        |              THEN 'P5' || chr(10) || CAST(w AS VARCHAR) || ' ' || CAST(h AS VARCHAR) ||
        |                   chr(10) || '255' || chr(10) || text || repeat(' ', w * h - n)
+       |              WHEN kind = 'video'
+       |              THEN 'YUV4MPEG2 W' || CAST(fs // 2 AS VARCHAR) || ' H2 F25:1 Cmono' || chr(10) ||
+       |                   regexp_replace(text || repeat(' ', fs * nf - n),
+       |                     '(?s)(.{' || CAST(fs AS VARCHAR) || '})',
+       |                     'FRAME' || chr(10) || '\\1', 'g')
        |              ELSE text END AS payload
        |       FROM pm1)""".stripMargin
 
@@ -197,11 +211,23 @@ object MultimodalQueries {
          |  CAST(coalesce(list_sum([ascii(substring(text, i, 1))
          |    for i in range(1, length(text) + 1)]), 0) AS BIGINT) AS sample_sum
          |FROM documents WHERE doc_id % 3 = 1""".stripMargin,
+    // Real y4m frame walk: frame f's luma bytes are padded-text chunk
+    // [f·fs, (f+1)·fs); the sampled indices are every 2nd frame of a
+    // per-row variable frame count (UNNEST over a filtered range), and
+    // frame_sum re-adds each sampled chunk's byte values — pinning the
+    // marker-walk offsets Y4mCodec computed, not just the count.
     "multimodal_frames" ->
-      s"""SELECT doc_id AS media_id, CAST(f AS INT) AS frame_idx,
-         |  CAST(greatest(octet_length(encode(text)) // 8, 1) AS BIGINT) AS frame_bytes
-         |FROM documents, (VALUES (0), (2), (4), (6)) AS fr(f)
-         |WHERE $kindSql = 'video'""".stripMargin,
+      s"""WITH v0 AS (SELECT doc_id, text, length(text) AS n,
+         |              (8 + length(text) % 16) * 2 AS fs
+         |            FROM documents WHERE $kindSql = 'video'),
+         |v1 AS (SELECT *, greatest(1, (n + fs - 1) // fs) AS nf FROM v0),
+         |v2 AS (SELECT doc_id, fs, nf,
+         |         text || repeat(' ', fs * nf - n) AS padded FROM v1)
+         |SELECT doc_id AS media_id, CAST(f AS INT) AS frame_idx,
+         |  CAST(fs AS BIGINT) AS frame_bytes,
+         |  CAST(coalesce(list_sum([ascii(substring(padded, f * fs + i, 1))
+         |    for i in range(1, fs + 1)]), 0) AS BIGINT) AS frame_sum
+         |FROM v2, UNNEST([x for x in range(0, nf) if x % 2 = 0]) AS t(f)""".stripMargin,
     "multimodal_feature_knn" -> {
       val lanes = (0 until 16).map(l => s"${laneSumSql(l, "payload")} AS s${l}").mkString(",\n  ")
       def dot(a: String, b: String) =

@@ -12,13 +12,14 @@ class MultimodalSpec extends AnyFunSuite {
   lazy val spark = SparkTestSession.spark
   private val sf = "/root/testdata/sf0.001"
 
-  test("media table routes kinds; audio/video payloads byte-exact, image = real PGM") {
+  test("media table routes kinds; audio raw, image = real PGM, video = real y4m") {
     val media = Multimodal.mediaFromDocuments(spark, sf)
     assert(media.select(col("kind")).distinct().count() == 3)
-    // audio/video payload round-trips: decode utf8 back to the source text
+    // audio payload round-trips: decode utf8 back to the source text
+    // (the real-WAV twin is audioFromDocuments, tested below)
     val mismatch = media
       .join(Tables.documents(spark, sf), col("media_id") === col("doc_id"))
-      .filter(col("kind") =!= "image")
+      .filter(col("kind") === "audio")
       .filter(decode(col("payload"), "UTF-8") =!= col("text"))
       .count()
     assert(mismatch == 0)
@@ -36,6 +37,25 @@ class MultimodalSpec extends AnyFunSuite {
       val px = new String(Multimodal.PgmCodec.pixels(payload), "UTF-8")
       assert(px.startsWith(text))
       assert(px.drop(text.length).forall(_ == ' '))
+    }
+    // video payloads are genuine YUV4MPEG2 whose concatenated luma
+    // planes start with the source text (space-padded last frame)
+    val vids = media
+      .join(Tables.documents(spark, sf), col("media_id") === col("doc_id"))
+      .filter(col("kind") === "video")
+      .select(col("payload"), col("text"))
+      .collect()
+    assert(vids.nonEmpty)
+    vids.foreach { r =>
+      val payload = r.getAs[Array[Byte]](0)
+      val text = r.getString(1)
+      val info = Multimodal.Y4mCodec.decodeVideo(payload)
+      assert(info.height == 2 && info.fpsNum == 25)
+      val luma = Multimodal.Y4mCodec.sampleFrames(payload, 1)
+        .map(f => new String(f._2, "UTF-8")).mkString
+      assert(luma.length == info.width * 2 * info.nFrames)
+      assert(luma.startsWith(text))
+      assert(luma.drop(text.length).forall(_ == ' '))
     }
   }
 
@@ -122,12 +142,23 @@ class MultimodalSpec extends AnyFunSuite {
     assert(norms.filter(abs(col("n") - 1.0) > 1e-5).count() == 0)
   }
 
-  test("video frame sampling expands 1→N with the sampling stride") {
+  test("video frame sampling walks real FRAME markers with the sampling stride") {
     val media = Multimodal.mediaFromDocuments(spark, sf)
-    val nVideos = media.filter(col("kind") === "video").count()
-    val frames = Multimodal.sampleVideoFrames(media, everyNth = 2)
-    assert(frames.count() == nVideos * 4) // 8 fake frames, stride 2
-    val strides = frames.select(countDistinct(col("frame_idx"))).head().getLong(0)
-    assert(strides == 4)
+    // expected frame count per video from the fixture math:
+    // fs = 2·(8 + len%16), nf = max(1, ⌈len/fs⌉), sampled = ⌈nf/2⌉
+    val expected = Tables.documents(spark, sf)
+      .filter(col("doc_id") % 3 === 2)
+      .select(col("text")).collect()
+      .map { r =>
+        val n = r.getString(0).length
+        val fs = 2 * (8 + n % 16)
+        val nf = math.max(1, (n + fs - 1) / fs)
+        (nf + 1) / 2
+      }.sum
+    val frames = Multimodal.sampleVideoFrames(media, everyNth = 2).collect()
+    assert(frames.length == expected)
+    assert(frames.forall(_.frame_idx % 2 == 0)) // stride honored
+    // frame_bytes is the real Cmono plane size, constant per video
+    assert(frames.forall(f => f.frame_bytes >= 16 && f.frame_bytes <= 46))
   }
 }
