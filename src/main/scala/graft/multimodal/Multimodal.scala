@@ -11,14 +11,16 @@ import org.apache.spark.sql.functions._
   *
   * The Spark-side plumbing is real — schema, partition-parallel
   * `mapPartitions` over typed rows, batch shape, deterministic
-  * output. The IMAGE path decodes a real byte format: fixture image
-  * payloads are binary (P5) PGM, and [[PgmCodec]] is an actual header
-  * parser + pixel walker, so decode/resize verify real format math
-  * end-to-end. Audio/video codecs remain STUBBED (`StubCodecs`) —
-  * this container has no demux/audio libraries, so those produce a
-  * deterministic fake derived from the payload bytes. Swapping in a
-  * real decoder (JavaCPP/ffmpeg/ImageIO) implements [[ImageCodec]]
-  * (as PgmCodec does) and changes none of the dataflow.
+  * output — and ALL THREE modalities decode real byte formats:
+  * [[PgmCodec]] (binary P5 PGM header parse + pixel walk),
+  * [[WavCodec]] (RIFF/WAVE PCM little-endian header + even-padded
+  * chunk walk), [[Y4mCodec]] (YUV4MPEG2 tagged header + FRAME-marker
+  * walk). Each sits behind a trait seam ([[ImageCodec]] /
+  * [[AudioCodec]] / [[VideoCodec]]); a compressed-format decoder
+  * (JavaCPP/ffmpeg/ImageIO) implements the same trait and changes
+  * none of the dataflow. The only stub left is the learned feature
+  * encoder ([[StubCodecs.extractFeatures]] — stands in for model
+  * inference, which genuinely doesn't belong in this container).
   *
   * Scale shape: payloads never pass through a shuffle — metadata is
   * extracted in the scan stage and only the (narrow) metadata columns
@@ -29,8 +31,8 @@ object Multimodal {
 
   /** The image-codec seam: [[decodeImages]]/[[resizeImages]] are
     * generic over this. [[PgmCodec]] is the real decoder for the PGM
-    * fixture; [[StubCodecs]] the deterministic fake for formats this
-    * container cannot decode.
+    * fixture; an ImageIO-backed decoder for compressed formats would
+    * implement the same trait.
     */
   trait ImageCodec extends Serializable {
     /** payload → (width, height, channels) */
@@ -348,34 +350,13 @@ object Multimodal {
       frame_bytes: Long,
       frame_sum: Long)
 
-  /** Deterministic fake codecs — STUBS for the real decoders.
-    * Everything derives from payload length/bytes so tests are stable
-    * and the oracle can recompute `n_bytes`.
+  /** The one remaining stub — and the one that SHOULD be a stub in
+    * this container: the learned feature encoder (a vision/audio
+    * embedding model). Byte-format codecs above are all real; this
+    * fold stands in for model inference, deterministic on the payload
+    * bytes so the oracle can shadow it exactly in integer domain.
     */
-  object StubCodecs extends ImageCodec {
-    /** STUB: a real implementation would parse the image header. */
-    override def decodeImage(payload: Array[Byte]): (Int, Int, Int) = {
-      val n = payload.length
-      val width = 16 + (n % 64)
-      val height = 16 + ((n / 64) % 64)
-      val channels = if (n % 2 == 0) 3 else 1
-      (width, height, channels)
-    }
-
-    /** STUB: a real implementation would rescale pixel data; the fake
-      * derives the output payload deterministically (every k-th byte),
-      * preserving the real pipeline property that resize shrinks the
-      * payload in place of the scan stage.
-      */
-    override def resize(payload: Array[Byte], targetW: Int, targetH: Int): Array[Byte] = {
-      val target = math.max(1, math.min(payload.length, targetW * targetH / 64))
-      val step = math.max(1, payload.length / target)
-      payload.indices.by(step).map(payload).toArray
-    }
-
-    /** STUB formats have no header — every byte is a sample. */
-    override def pixels(payload: Array[Byte]): Array[Byte] = payload
-
+  object StubCodecs {
     /** STUB: a real implementation would run a vision/audio encoder;
       * the fake folds payload bytes into a deterministic unit-norm-ish
       * float vector with the real output shape (fixed dim).

@@ -102,6 +102,24 @@ class PlanShapeSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
   }
 
+  test("multimodal decode stages plan ZERO shuffles (payloads never leave the scan stage)") {
+    // meta/decode/resize/frames/audio are pure scan → mapPartitions →
+    // project pipelines; an exchange anywhere means payload bytes are
+    // crossing the network — the defining multimodal scale regression.
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      Seq("multimodal_meta", "multimodal_image_meta", "multimodal_resize",
+        "multimodal_frames", "multimodal_audio_meta").foreach { name =>
+        val p = SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan
+        val exchanges = p.collect {
+          case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+        }
+        assert(exchanges.isEmpty, s"$name plans a shuffle: payload crosses an exchange")
+      }
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+  }
+
   test("text_pack_sequences shuffles one narrow projection (secondary-sort shape)") {
     // One exchange on the bucket key, carrying only (doc_id, bucket,
     // n_tokens) — the text must stay in the scan stage; the sort below
