@@ -103,4 +103,53 @@ class PropertiesSpec extends AnyFunSuite {
       } && perm
     })
   }
+
+  test("PGM codec: encode→decode roundtrip over arbitrary dims and pixel bytes") {
+    import graft.multimodal.Multimodal.PgmCodec
+    val gen = for {
+      w <- Gen.choose(1, 60)
+      h <- Gen.choose(1, 40)
+      px <- Gen.containerOfN[Array, Byte](w * h, Gen.choose(Byte.MinValue, Byte.MaxValue))
+    } yield (w, h, px)
+    check(forAll(gen) { case (w, h, px) =>
+      val enc = PgmCodec.encode(px, w, h)
+      val hd = PgmCodec.decodeHeader(enc)
+      hd.width == w && hd.height == h &&
+        PgmCodec.pixels(enc).toSeq == px.toSeq
+    })
+  }
+
+  test("WAV codec: encode→decode roundtrip over arbitrary rates/channels/samples") {
+    import graft.multimodal.Multimodal.WavCodec
+    val gen = for {
+      rate <- Gen.choose(1, 192_000)
+      ch <- Gen.choose(1, 8)
+      data <- Gen.containerOf[Array, Byte](Gen.choose(Byte.MinValue, Byte.MaxValue))
+    } yield (rate, ch, data)
+    check(forAll(gen) { case (rate, ch, data) =>
+      val enc = WavCodec.encode(data, rate, ch)
+      val a = WavCodec.decodeAudio(enc)
+      a.sampleRate == rate && a.channels == ch &&
+        a.nFrames == data.length / ch &&
+        WavCodec.samples(enc).toSeq == data.toSeq
+    })
+  }
+
+  test("y4m codec: encode→decode roundtrip over arbitrary dims and frame counts") {
+    import graft.multimodal.Multimodal.Y4mCodec
+    val gen = for {
+      w <- Gen.choose(1, 24)
+      h <- Gen.choose(1, 8)
+      nf <- Gen.choose(0, 6)
+      frames <- Gen.listOfN(nf,
+        Gen.containerOfN[Array, Byte](w * h, Gen.choose(Byte.MinValue, Byte.MaxValue)))
+    } yield (w, h, frames)
+    check(forAll(gen) { case (w, h, frames) =>
+      val enc = Y4mCodec.encode(frames, w, h)
+      val info = Y4mCodec.decodeVideo(enc)
+      val out = Y4mCodec.sampleFrames(enc, 1)
+      info.width == w && info.height == h && info.nFrames == frames.size &&
+        out.map(_._2.toSeq) == frames.map(_.toSeq)
+    })
+  }
 }
