@@ -37,6 +37,21 @@ object TextFunctions {
       (a, b) => concat_ws(" ", a, b))
   }
 
+  /** Adjacent word n-grams ("w1 … wn") over an ALREADY-TOKENIZED
+    * array column — the contamination-check unit. Takes the token
+    * array (not raw text) so callers project `tokens(text)` once and
+    * the split isn't re-evaluated per slice. Same zip-of-slices shape
+    * as [[bigrams]], folded n-wide: zip_with children are evaluated
+    * once per row, so cost is n cheap slices, not n re-tokenizations.
+    * Empty for docs with < n tokens.
+    */
+  def ngrams(toks: Column, n: Int): Column = {
+    require(n >= 2, s"ngrams needs n >= 2, got $n")
+    val cnt = greatest(size(toks) - (n - 1), lit(0))
+    (1 to n).map(i => slice(toks, lit(i), cnt))
+      .reduce((a, b) => zip_with(a, b, (x, y) => concat_ws(" ", x, y)))
+  }
+
   /** Characters that are not lowercase letters, digits or space —
     * punctuation-ish, the usual quality heuristic numerator.
     */
@@ -103,6 +118,10 @@ object TextFunctions {
     def bigrams(text: String): String = {
       val t = tokens(text)
       s"[($t)[i] || ' ' || ($t)[i + 1] for i in range(1, len($t))]"
+    }
+    def ngrams(toks: String, n: Int): String = {
+      val parts = (0 until n).map(j => s"($toks)[i + $j]").mkString(" || ' ' || ")
+      s"[$parts for i in range(1, len($toks) - ${n - 2})]"
     }
     def punctCount(text: String): String =
       s"length(regexp_replace($text, '[a-z0-9 ]', '', 'g'))"

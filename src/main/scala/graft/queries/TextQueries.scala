@@ -2,7 +2,7 @@ package graft.queries
 
 import graft.Tables
 import graft.functions.TextFunctions._
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Text-analysis queries over the `documents` table (SURVEY.md §2.2 /
@@ -210,6 +210,56 @@ object TextQueries {
         .sortWithinPartitions("bucket", "doc_id")
         .mapPartitions(packScan _)
         .toDF("doc_id", "bucket", "seq_idx", "n_tokens")
+    }),
+
+    // Benchmark decontamination — the "did an eval question leak into
+    // the training corpus?" check every serious pretraining pipeline
+    // runs (word-n-gram overlap, GPT-3 appendix-C style; 13-grams in
+    // production, [[ContaminationN]] here because the synthetic docs
+    // are ~55 tokens). The stable-hash test split stands in for the
+    // benchmark suite. Scale contract: the benchmark side is MB-scale
+    // (eval suites, not corpora), so its distinct n-grams BROADCAST
+    // and the corpus side is one scan → explode → broadcast hash join
+    // → one shuffle of small (doc_id, n_grams, count) partial aggs.
+    // The corpus' n-grams are never collected, never distinct'd
+    // corpus-wide, and text never crosses an exchange. Output: each
+    // contaminated train doc with its total n-gram count and the
+    // number of n-gram occurrences shared with the eval split —
+    // integers, so the oracle hash is exact.
+    "text_contamination" -> ((s, dir) => {
+      val h = conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("long") % 100
+      val d = Tables.documents(s, dir).select(
+        col("doc_id"), tokens(col("text")).as("t"), h.as("h"))
+      val evalGrams = d.filter(col("h") >= 90)
+        .select(explode(ngrams(col("t"), ContaminationN)).as("g"))
+        .distinct()
+      val train = d.filter(col("h") < 80).select(
+        col("doc_id"),
+        size(ngrams(col("t"), ContaminationN)).as("n_grams"),
+        explode(ngrams(col("t"), ContaminationN)).as("g"))
+      train.join(broadcast(evalGrams), "g")
+        .groupBy(col("doc_id"), col("n_grams"))
+        .agg(count(lit(1)).as("n_shared"))
+    }),
+
+    // Weighted mixture sampling — the "2 epochs of wiki, 0.4 of web"
+    // corpus-composition step of a pretraining data recipe, as a
+    // deterministic per-source keep rate. The sampling hash is the
+    // stable doc_id key salted with ':mix' so it is INDEPENDENT of
+    // the split hash (sampling must not correlate with train/val/
+    // test) and re-runs keep identical docs. Pure map over the scan —
+    // no shuffle, no RNG; the rate table is one config literal
+    // ([[MixtureRates]]) rendered into both engines.
+    "text_mixture_sample" -> ((s, dir) => {
+      val rate = MixtureRates.foldRight(lit(0): Column) {
+        case ((src, r), els) => when(col("source") === src, lit(r)).otherwise(els)
+      }
+      val mh = tokenHash(concat(col("doc_id").cast("string"), lit(":mix"))) % 100
+      Tables.documents(s, dir)
+        .select(col("doc_id"), col("source"), rate.as("rate_pct"), mh.as("mh"))
+        .filter(col("mh") < col("rate_pct"))
+        .select(col("doc_id"), col("source"), col("rate_pct"))
     })
   )
 
@@ -238,6 +288,20 @@ object TextQueries {
     */
   val PackBudget = 512L
   val PackBuckets = 16
+
+  /** Contamination-check n-gram width. Production pipelines use ~13;
+    * the synthetic fixture docs are ~55 tokens, where 5-gram overlap
+    * is rare-but-present (the realistic shape: a handful of leaked
+    * docs, not hundreds) while 3-grams fire on ordinary phrase reuse.
+    */
+  val ContaminationN = 5
+
+  /** Per-source keep rates (percent) for `text_mixture_sample` — the
+    * corpus-composition config. One literal, rendered into the Spark
+    * CASE and the oracle CASE; change here, change nowhere else.
+    */
+  val MixtureRates: Seq[(String, Int)] =
+    (0 until 20).map(i => s"src$i" -> (100 - 4 * i))
 
   val oracleSql: Map[String, String] = Map(
     "text_stats" ->
@@ -349,6 +413,28 @@ object TextQueries {
          |    CASE WHEN p.cum + b.n_tokens > $PackBudget
          |         THEN b.n_tokens ELSE p.cum + b.n_tokens END
          |  FROM base b JOIN pack p ON b.bucket = p.bucket AND b.rn = p.rn + 1)
-         |SELECT doc_id, bucket, seq_idx, n_tokens FROM pack""".stripMargin
+         |SELECT doc_id, bucket, seq_idx, n_tokens FROM pack""".stripMargin,
+    "text_contamination" ->
+      s"""WITH d AS (
+         |  SELECT doc_id, ${Sql.tokens("text")} AS t,
+         |    ${Sql.tokenHash("CAST(doc_id AS VARCHAR)")} % 100 AS h
+         |  FROM documents),
+         |ev AS (
+         |  SELECT DISTINCT unnest(${Sql.ngrams("t", ContaminationN)}) AS g
+         |  FROM d WHERE h >= 90),
+         |tr AS (
+         |  SELECT doc_id, len(${Sql.ngrams("t", ContaminationN)}) AS n_grams,
+         |    unnest(${Sql.ngrams("t", ContaminationN)}) AS g
+         |  FROM d WHERE h < 80)
+         |SELECT doc_id, n_grams, COUNT(*) AS n_shared
+         |FROM tr JOIN ev USING (g)
+         |GROUP BY doc_id, n_grams""".stripMargin,
+    "text_mixture_sample" ->
+      s"""SELECT doc_id, source, rate_pct FROM (
+         |  SELECT doc_id, source,
+         |    CASE ${MixtureRates.map { case (src, r) => s"WHEN source = '$src' THEN $r" }.mkString(" ")} ELSE 0 END AS rate_pct,
+         |    ${Sql.tokenHash("CAST(doc_id AS VARCHAR) || ':mix'")} % 100 AS mh
+         |  FROM documents)
+         |WHERE mh < rate_pct""".stripMargin
   )
 }

@@ -65,6 +65,22 @@ class FunctionsSpec extends AnyFunSuite {
     assert(got == Seq("en", "de", "es", "und"))
   }
 
+  test("ngrams: n=2 equals bigrams, n=5 slides correctly, short docs empty") {
+    import spark.implicits._
+    val df = Seq("a b c d e f", "a b c d", "a b c d e", "x").toDF("text")
+    val t = TextFunctions.tokens(col("text"))
+    val both = df.select(
+      TextFunctions.ngrams(t, 2).as("n2"),
+      TextFunctions.bigrams(col("text")).as("b2"),
+      TextFunctions.ngrams(t, 5).as("n5"))
+    assert(both.filter(col("n2") =!= col("b2")).count() == 0)
+    val n5 = both.select(col("n5")).as[Seq[String]].collect().toSeq
+    assert(n5(0) == Seq("a b c d e", "b c d e f"))
+    assert(n5(1) == Seq.empty) // 4 tokens < n
+    assert(n5(2) == Seq("a b c d e"))
+    assert(n5(3) == Seq.empty)
+  }
+
   test("fingerprint is order-sensitive and deterministic") {
     import spark.implicits._
     val df = Seq("a b c", "a b c", "c b a").toDF("text")

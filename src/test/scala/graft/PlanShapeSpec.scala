@@ -120,6 +120,42 @@ class PlanShapeSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
   }
 
+  test("text_contamination broadcasts the eval grams; corpus text never crosses an exchange") {
+    // The benchmark side is MB-scale by contract, so it must reach the
+    // corpus join as a broadcast — a sort-merge flip here shuffles the
+    // entire corpus' exploded n-grams. The only shuffles allowed are
+    // on the SMALL side (eval-gram distinct) or narrow per-doc aggs;
+    // none may carry the text or the exploded corpus gram column wider
+    // than (g, doc_id, n_grams).
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val p = SparkEntry.queries("text_contamination")(spark, sf)
+        .queryExecution.executedPlan
+      assert(p.collect { case b: BroadcastHashJoinExec => b }.nonEmpty,
+        "eval grams not broadcast — corpus-side shuffle join planned")
+      p.collect {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+      }.foreach { ex =>
+        assert(!ex.child.output.exists(_.name == "text"),
+          s"text column crosses an exchange: ${ex.child.output.map(_.name)}")
+      }
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+  }
+
+  test("text_mixture_sample plans zero shuffles (pure map over the scan)") {
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val p = SparkEntry.queries("text_mixture_sample")(spark, sf)
+        .queryExecution.executedPlan
+      val exchanges = p.collect {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+      }
+      assert(exchanges.isEmpty, "mixture sampling must not shuffle")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+  }
+
   test("text_pack_sequences shuffles one narrow projection (secondary-sort shape)") {
     // One exchange on the bucket key, carrying only (doc_id, bucket,
     // n_tokens) — the text must stay in the scan stage; the sort below
