@@ -234,13 +234,82 @@ object TextQueries {
       val evalGrams = d.filter(col("h") >= 90)
         .select(explode(ngrams(col("t"), ContaminationN)).as("g"))
         .distinct()
+      // n_grams as arithmetic on the token count, NOT size(ngrams(…)):
+      // a size() over the gram array lands in the Project ABOVE the
+      // Generate and re-evaluates the whole interpreted zip_with chain
+      // once per EXPLODED row — O(tokens²) per doc, measured 16 s at
+      // sf0.1 vs <2 s with the arithmetic form.
       val train = d.filter(col("h") < 80).select(
         col("doc_id"),
-        size(ngrams(col("t"), ContaminationN)).as("n_grams"),
+        greatest(size(col("t")) - (ContaminationN - 1), lit(0)).as("n_grams"),
         explode(ngrams(col("t"), ContaminationN)).as("g"))
       train.join(broadcast(evalGrams), "g")
         .groupBy(col("doc_id"), col("n_grams"))
         .agg(count(lit(1)).as("n_shared"))
+    }),
+
+    // The END-TO-END pretraining data recipe as ONE dataflow — every
+    // curation stage this library implements, composed in production
+    // order: quality gate → near-dup clustering (keep cluster
+    // canonical) → benchmark decontamination (drop train/val docs
+    // overlapping the eval suite; the eval side comes from the FULL
+    // corpus' test split because a benchmark is external to curation)
+    // → weighted mixture sampling → stable split → sequence packing.
+    // Output: the packed-sequence manifest (doc_id, source, split,
+    // bucket, seq_idx, n_tokens) a trainer would consume. Scale
+    // anatomy is inherited piecewise from the component queries:
+    // one gated-scan checkpoint feeds all consumers, pairs
+    // materialize only in LSH buckets, eval grams broadcast, the
+    // pack shuffle carries narrow rows, and the final meta join is
+    // doc_id-keyed. Text never crosses an exchange anywhere.
+    "text_recipe_pipeline" -> ((s, dir) => {
+      import s.implicits._
+      val h = conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("long") % 100
+      val gated = Tables.documents(s, dir)
+        .filter(stopwordRatio(col("text")) >= 0.05)
+        .localCheckpoint()
+      val pairs = DedupQueries.minhashVerifiedPairsOf(gated)
+        .select(col("doc_a"), col("doc_b"))
+      val labels = DedupQueries.connectedComponents(
+        s, pairs, gated.select(col("doc_id")))
+      val canonical = labels
+        .filter(col("doc_id") === col("component")).select(col("doc_id"))
+      val manifest0 = gated
+        .join(canonical, "doc_id")
+        .select(col("doc_id"), col("source"),
+          when(h < 80, "train").when(h < 90, "val").otherwise("test").as("split"),
+          tokens(col("text")).as("t"))
+      val evalGrams = Tables.documents(s, dir)
+        .filter(h >= 90)
+        .select(explode(ngrams(tokens(col("text")), ContaminationN)).as("g"))
+        .distinct()
+      val contaminated = manifest0.filter(col("split") =!= "test")
+        .select(col("doc_id"), explode(ngrams(col("t"), ContaminationN)).as("g"))
+        .join(broadcast(evalGrams), "g")
+        .select(col("doc_id")).distinct()
+      val rate = MixtureRates.foldRight(lit(0): Column) {
+        case ((src, r), els) => when(col("source") === src, lit(r)).otherwise(els)
+      }
+      val mh = tokenHash(concat(col("doc_id").cast("string"), lit(":mix"))) % 100
+      val sampled = manifest0
+        .join(contaminated, Seq("doc_id"), "left_anti")
+        .filter(mh < rate)
+        .select(col("doc_id"), col("source"), col("split"),
+          size(col("t")).cast("long").as("n_tokens"))
+        .localCheckpoint() // feeds both the pack shuffle and the meta join
+      val packed = sampled
+        .select(col("doc_id"),
+          (tokenHash(col("doc_id").cast("string")) % PackBuckets).as("bucket"),
+          col("n_tokens"))
+        .as[(Long, Long, Long)]
+        .repartition(col("bucket"))
+        .sortWithinPartitions("bucket", "doc_id")
+        .mapPartitions(packScan _)
+        .toDF("doc_id", "bucket", "seq_idx", "n_tokens_p")
+      packed.join(sampled, "doc_id")
+        .select(col("doc_id"), col("source"), col("split"),
+          col("bucket"), col("seq_idx"), col("n_tokens"))
     }),
 
     // Weighted mixture sampling — the "2 epochs of wiki, 0.4 of web"
@@ -429,6 +498,62 @@ object TextQueries {
          |SELECT doc_id, n_grams, COUNT(*) AS n_shared
          |FROM tr JOIN ev USING (g)
          |GROUP BY doc_id, n_grams""".stripMargin,
+    "text_recipe_pipeline" ->
+      s"""WITH RECURSIVE docs_g AS (
+         |  SELECT * FROM documents WHERE ${Sql.stopwordRatio("text")} >= 0.05),
+         |${DedupQueries.minhashPairsCtes("docs_g")},
+         |pairs AS (${DedupQueries.minhashPairsSelect}),
+         |edges AS (SELECT * FROM (
+         |  SELECT doc_a AS ea, doc_b AS eb FROM pairs
+         |  UNION
+         |  SELECT doc_b, doc_a FROM pairs)),
+         |reach AS (
+         |  SELECT doc_id AS v, doc_id AS r FROM docs_g
+         |  UNION
+         |  SELECT reach.v, e.eb FROM reach JOIN edges e ON reach.r = e.ea),
+         |comp AS (SELECT v AS doc_id, MIN(r) AS component FROM reach GROUP BY v),
+         |manifest0 AS (
+         |  SELECT d.doc_id, d.source,
+         |    CASE WHEN h < 80 THEN 'train' WHEN h < 90 THEN 'val'
+         |         ELSE 'test' END AS split,
+         |    ${Sql.tokens("d.text")} AS t
+         |  FROM (SELECT doc_id, source, text,
+         |          ${Sql.tokenHash("CAST(doc_id AS VARCHAR)")} % 100 AS h
+         |        FROM docs_g) d
+         |  JOIN comp ON d.doc_id = comp.doc_id AND comp.doc_id = comp.component),
+         |ev AS (
+         |  SELECT DISTINCT unnest(${Sql.ngrams("t", ContaminationN)}) AS g
+         |  FROM (SELECT ${Sql.tokens("text")} AS t,
+         |          ${Sql.tokenHash("CAST(doc_id AS VARCHAR)")} % 100 AS h
+         |        FROM documents) WHERE h >= 90),
+         |contam AS (
+         |  SELECT DISTINCT tr.doc_id FROM (
+         |    SELECT doc_id, unnest(${Sql.ngrams("t", ContaminationN)}) AS g
+         |    FROM manifest0 WHERE split <> 'test') tr
+         |  JOIN ev ON tr.g = ev.g),
+         |sampled AS (
+         |  SELECT doc_id, source, split, len(t)::BIGINT AS n_tokens
+         |  FROM manifest0
+         |  WHERE doc_id NOT IN (SELECT doc_id FROM contam)
+         |    AND ${Sql.tokenHash("CAST(doc_id AS VARCHAR) || ':mix'")} % 100 <
+         |        CASE ${MixtureRates.map { case (src, r) => s"WHEN source = '$src' THEN $r" }.mkString(" ")} ELSE 0 END),
+         |base AS (
+         |  SELECT *, row_number() OVER (PARTITION BY bucket ORDER BY doc_id) AS rn
+         |  FROM (SELECT doc_id, source, split, n_tokens,
+         |          ${Sql.tokenHash("CAST(doc_id AS VARCHAR)")} % $PackBuckets AS bucket
+         |        FROM sampled)),
+         |pack AS (
+         |  SELECT doc_id, source, split, bucket, n_tokens, rn,
+         |    0::BIGINT AS seq_idx, n_tokens AS cum
+         |  FROM base WHERE rn = 1
+         |  UNION ALL
+         |  SELECT b.doc_id, b.source, b.split, b.bucket, b.n_tokens, b.rn,
+         |    CASE WHEN p.cum + b.n_tokens > $PackBudget
+         |         THEN p.seq_idx + 1 ELSE p.seq_idx END,
+         |    CASE WHEN p.cum + b.n_tokens > $PackBudget
+         |         THEN b.n_tokens ELSE p.cum + b.n_tokens END
+         |  FROM base b JOIN pack p ON b.bucket = p.bucket AND b.rn = p.rn + 1)
+         |SELECT doc_id, source, split, bucket, seq_idx, n_tokens FROM pack""".stripMargin,
     "text_mixture_sample" ->
       s"""SELECT doc_id, source, rate_pct FROM (
          |  SELECT doc_id, source,
