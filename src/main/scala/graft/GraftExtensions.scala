@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.expressions.{DotProductFloat, PackedTrigrams, SortedIntersectSize}
+import graft.functions.expressions.{DotProductFloat, PackedTrigrams, SortedIntersectSize, WordNgrams}
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.graftbridge.ColumnBridge
 
@@ -28,7 +28,10 @@ object GraftExtensions {
         org.apache.spark.sql.catalyst.expressions.Expression)] = Seq(
     "graft_dot" -> (exprs => DotProductFloat(exprs(0), exprs(1))),
     "graft_intersect_size" -> (exprs => SortedIntersectSize(exprs(0), exprs(1))),
-    "graft_trigrams" -> (exprs => PackedTrigrams(exprs(0))))
+    "graft_trigrams" -> (exprs => PackedTrigrams(exprs(0))),
+    // n must be a foldable int literal: graft_word_ngrams(text, 5)
+    "graft_word_ngrams" -> (exprs =>
+      WordNgrams(exprs(0), exprs(1).eval().asInstanceOf[Number].intValue)))
 
   /** Register on an already-built session. */
   def register(spark: SparkSession): Unit =

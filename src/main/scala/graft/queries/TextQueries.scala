@@ -227,22 +227,27 @@ object TextQueries {
     // number of n-gram occurrences shared with the eval split —
     // integers, so the oracle hash is exact.
     "text_contamination" -> ((s, dir) => {
+      import graft.functions.expressions.WordNgrams
       val h = conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
         .cast("long") % 100
       val d = Tables.documents(s, dir).select(
-        col("doc_id"), tokens(col("text")).as("t"), h.as("h"))
+        col("doc_id"), col("text"), h.as("h"))
       val evalGrams = d.filter(col("h") >= 90)
-        .select(explode(ngrams(col("t"), ContaminationN)).as("g"))
+        .select(explode(WordNgrams(col("text"), ContaminationN)).as("g"))
         .distinct()
       // n_grams as arithmetic on the token count, NOT size(ngrams(…)):
       // a size() over the gram array lands in the Project ABOVE the
-      // Generate and re-evaluates the whole interpreted zip_with chain
-      // once per EXPLODED row — O(tokens²) per doc, measured 16 s at
-      // sf0.1 vs <2 s with the arithmetic form.
-      val train = d.filter(col("h") < 80).select(
-        col("doc_id"),
-        greatest(size(col("t")) - (ContaminationN - 1), lit(0)).as("n_grams"),
-        explode(ngrams(col("t"), ContaminationN)).as("g"))
+      // Generate and re-evaluates the gram build once per EXPLODED row
+      // — O(tokens²) per doc, measured 16 s at sf0.1 vs ~2 s with the
+      // arithmetic form (and the pre-explode select pins it BELOW the
+      // Generate). WordNgrams is the native one-pass gram builder —
+      // the interpreted zip-of-slices HOF chain was the remaining cost.
+      val train = d.filter(col("h") < 80)
+        .select(col("doc_id"), col("text"),
+          greatest(tokenCount(col("text")) - (ContaminationN - 1), lit(0))
+            .as("n_grams"))
+        .select(col("doc_id"), col("n_grams"),
+          explode(WordNgrams(col("text"), ContaminationN)).as("g"))
       train.join(broadcast(evalGrams), "g")
         .groupBy(col("doc_id"), col("n_grams"))
         .agg(count(lit(1)).as("n_shared"))
@@ -279,13 +284,16 @@ object TextQueries {
         .join(canonical, "doc_id")
         .select(col("doc_id"), col("source"),
           when(h < 80, "train").when(h < 90, "val").otherwise("test").as("split"),
-          tokens(col("text")).as("t"))
+          col("text"),
+          tokenCount(col("text")).cast("long").as("n_tokens"))
       val evalGrams = Tables.documents(s, dir)
         .filter(h >= 90)
-        .select(explode(ngrams(tokens(col("text")), ContaminationN)).as("g"))
+        .select(explode(
+          graft.functions.expressions.WordNgrams(col("text"), ContaminationN)).as("g"))
         .distinct()
       val contaminated = manifest0.filter(col("split") =!= "test")
-        .select(col("doc_id"), explode(ngrams(col("t"), ContaminationN)).as("g"))
+        .select(col("doc_id"), explode(
+          graft.functions.expressions.WordNgrams(col("text"), ContaminationN)).as("g"))
         .join(broadcast(evalGrams), "g")
         .select(col("doc_id")).distinct()
       val rate = MixtureRates.foldRight(lit(0): Column) {
@@ -295,8 +303,7 @@ object TextQueries {
       val sampled = manifest0
         .join(contaminated, Seq("doc_id"), "left_anti")
         .filter(mh < rate)
-        .select(col("doc_id"), col("source"), col("split"),
-          size(col("t")).cast("long").as("n_tokens"))
+        .select(col("doc_id"), col("source"), col("split"), col("n_tokens"))
         .localCheckpoint() // feeds both the pack shuffle and the meta join
       val packed = sampled
         .select(col("doc_id"),

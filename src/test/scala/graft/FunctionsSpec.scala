@@ -81,6 +81,28 @@ class FunctionsSpec extends AnyFunSuite {
     assert(n5(3) == Seq.empty)
   }
 
+  test("WordNgrams equals the HOF ngrams over tokens, incl. odd whitespace") {
+    import spark.implicits._
+    import graft.functions.expressions.WordNgrams
+    val docs = Seq(
+      "a b c d e f",
+      "  leading and   multiple\tspaces\nnewlines\f\r mixed in here ok",
+      "four tokens only here",
+      "", "   ", "one",
+      "unicode tökens café naïve søren møller grams")
+    // plus a slice of the real corpus
+    val corpus = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("text")).as[String].take(50).toSeq
+    val df = (docs ++ corpus).toDF("text")
+    Seq(2, 3, 5).foreach { n =>
+      val bad = df.select(
+          WordNgrams(col("text"), n).as("fast"),
+          TextFunctions.ngrams(TextFunctions.tokens(col("text")), n).as("hof"))
+        .filter(col("fast") =!= col("hof")).count()
+      assert(bad == 0, s"WordNgrams(n=$n) diverges from the HOF reference")
+    }
+  }
+
   test("fingerprint is order-sensitive and deterministic") {
     import spark.implicits._
     val df = Seq("a b c", "a b c", "c b a").toDF("text")
