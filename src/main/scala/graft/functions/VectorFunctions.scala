@@ -1,6 +1,6 @@
 package graft.functions
 
-import graft.functions.expressions.DotProductFloat
+import graft.functions.expressions.{DotProductFloat, DotProductInt}
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
 
@@ -28,6 +28,25 @@ object VectorFunctions {
     */
   def cosine(a: Column, b: Column): Column =
     dot(a, b) / (norm(a) * norm(b))
+
+  /** Per-vector symmetric int8 scale: 127 / max|aᵢ|. The max-abs
+    * element maps to ±127 exactly; float→double promotion is exact, so
+    * the scale is bit-identical across engines.
+    */
+  def quantScale(a: Column): Column =
+    lit(127.0) / array_max(transform(a, x => abs(x)))
+
+  /** Symmetric int8 quantization: floor(x·scale + 0.5) per element.
+    * floor-plus-half, NOT round(): round's tie direction differs
+    * between engines (and Spark's own HALF_UP vs HALF_EVEN modes),
+    * while floor is floor everywhere — the formula is deterministic
+    * and identical in the DuckDB mirror by construction.
+    */
+  def quantize(a: Column, scale: Column): Column =
+    transform(a, x => floor(x * scale + lit(0.5)).cast("int"))
+
+  /** Σ aᵢ·bᵢ over int8 code arrays — exact in Long (codegen'd). */
+  def dotInt(a: Column, b: Column): Column = DotProductInt(a, b)
 
   /** Random-hyperplane LSH bucket id: k sign bits of dot products with
     * deterministic integer-lattice hyperplanes
@@ -80,6 +99,14 @@ object VectorFunctions {
           s"for i in range(1, ${dim + 1})]), (acc, v) -> acc + v)"
       }.mkString("[", ", ", "]")
 
+    // 127.0 is a DECIMAL literal in DuckDB and DECIMAL/FLOAT → FLOAT32
+    // — both operands must be DOUBLE to match Spark's double division
+    def quantScale(a: String): String =
+      s"127.0::DOUBLE / CAST(list_max([abs(x) for x in $a]) AS DOUBLE)"
+    def quantCodes(a: String, scale: String, dim: Int): String =
+      s"[CAST(floor($a[i] * $scale + 0.5) AS INT) for i in range(1, ${dim + 1})]"
+    def dotInt(a: String, b: String, dim: Int): String =
+      s"CAST(list_sum([$a[i]::BIGINT * $b[i] for i in range(1, ${dim + 1})]) AS BIGINT)"
     def dot(a: String, b: String, dim: Int): String =
       s"list_reduce(list_prepend(0.0::DOUBLE, " +
         s"[$a[i]::DOUBLE * $b[i]::DOUBLE for i in range(1, ${dim + 1})]), (acc, v) -> acc + v)"

@@ -91,6 +91,59 @@ object SimilarityQueries {
           round(col("cos"), 6).as("cos_r"))
     }),
 
+    // Symmetric int8 quantization of the embedding corpus — the 4×
+    // compression step a 100 TB vector store runs before anything
+    // else (float32 → int8 on the wire, in cache, in executor
+    // memory). Per-vector scale 127/max|x|; codes by floor(x·s+0.5)
+    // (floor-plus-half, deterministic in both engines — round() tie
+    // semantics are not). Pure map over the scan, no shuffle; codes
+    // posexploded to (vec_id, lane, code) rows so the driver compares
+    // exact integers, not array columns.
+    "embedding_quantize" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+        .select(col("vec_id"), col("embedding"),
+          VectorFunctions.quantScale(col("embedding")).as("scale"))
+      e.select(col("vec_id"), round(col("scale"), 6).as("scale_r"),
+          posexplode(VectorFunctions.quantize(col("embedding"), col("scale"))))
+        .select(col("vec_id"), col("scale_r"),
+          (col("pos") + 1).cast("int").as("lane"), col("col").as("code"))
+    }),
+
+    // ANN in the COMPRESSED domain: brute-force max-inner-product over
+    // the int8 codes, rescaled back by the two per-vector scales
+    // (est ≈ float dot; the integer dot itself is exact in a Long, so
+    // the ranking input is deterministic bit-for-bit). Same scale
+    // anatomy as knn_brute — broadcast queries, codegen'd DotProductInt
+    // kernel, bounded TopKByScore partial aggregation — but the corpus
+    // side it scans is 4× smaller. The est/exact-cosine gap is the
+    // quantization error a production store accepts for the memory
+    // win (recall is re-ranked against float vectors for the top
+    // candidates when it matters).
+    "knn_int8" -> ((s, dir) => {
+      import s.implicits._
+      val base = Tables.embeddings(s, dir)
+        .select(col("vec_id"), col("embedding"),
+          VectorFunctions.quantScale(col("embedding")).as("scale"))
+        .select(col("vec_id"), col("scale"),
+          VectorFunctions.quantize(col("embedding"), col("scale")).as("codes"))
+      val q = base.filter(col("vec_id") % 50 === 0)
+        .select(col("vec_id").as("query_id"), col("scale").as("q_scale"),
+          col("codes").as("q_codes"))
+      val scored = broadcast(q).join(base, col("query_id") =!= col("vec_id"))
+        .select(col("query_id"), col("vec_id"),
+          (VectorFunctions.dotInt(col("q_codes"), col("codes")).cast("double") /
+            (col("q_scale") * col("scale"))).as("est"))
+        .as[(Long, Long, Double)]
+      scored.groupByKey(_._1)
+        .mapValues(t => graft.functions.Scored(t._2, t._3))
+        .agg(new graft.functions.TopKByScore(K).toColumn)
+        .toDF("query_id", "topk")
+        .select(col("query_id"), posexplode(col("topk")))
+        .select(col("query_id"), col("col.vec_id").as("neighbor_id"),
+          (col("pos") + 1).cast("int").as("rnk"),
+          round(col("col.cos"), 6).as("est_r"))
+    }),
+
     // IVF ANN: coarse-quantizer cells instead of hyperplane buckets —
     // the inverted-file shape (corpus partitioned by nearest centroid,
     // queries probe their nprobe=2 nearest cells). Same scale anatomy
@@ -139,6 +192,29 @@ object SimilarityQueries {
          |    ROUND(${VectorFunctions.Sql.cosine("q.embedding", "e.embedding", Dim)}, 6) AS cos_r
          |  FROM embeddings q JOIN embeddings e ON q.vec_id != e.vec_id
          |  WHERE q.vec_id % 50 = 0
+         |) WHERE rnk <= $K""".stripMargin,
+    "embedding_quantize" ->
+      s"""SELECT e.vec_id, ROUND(scale, 6) AS scale_r, CAST(t.i AS INT) AS lane,
+         |  CAST(floor(e.embedding[t.i] * scale + 0.5) AS INT) AS code
+         |FROM (SELECT vec_id, embedding,
+         |        ${VectorFunctions.Sql.quantScale("embedding")} AS scale
+         |      FROM embeddings) e, range(1, ${Dim + 1}) t(i)""".stripMargin,
+    "knn_int8" ->
+      s"""WITH qz AS (
+         |  SELECT vec_id, scale,
+         |    ${VectorFunctions.Sql.quantCodes("embedding", "scale", Dim)} AS codes
+         |  FROM (SELECT vec_id, embedding,
+         |          ${VectorFunctions.Sql.quantScale("embedding")} AS scale
+         |        FROM embeddings))
+         |SELECT query_id, neighbor_id, rnk, est_r FROM (
+         |  SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+         |    ROW_NUMBER() OVER (PARTITION BY q.vec_id
+         |      ORDER BY ${VectorFunctions.Sql.dotInt("q.codes", "e.codes", Dim)}::DOUBLE /
+         |               (q.scale * e.scale) DESC,
+         |               e.vec_id ASC) AS rnk,
+         |    ROUND(${VectorFunctions.Sql.dotInt("q.codes", "e.codes", Dim)}::DOUBLE /
+         |          (q.scale * e.scale), 6) AS est_r
+         |  FROM qz q JOIN qz e ON q.vec_id % 50 = 0 AND q.vec_id != e.vec_id
          |) WHERE rnk <= $K""".stripMargin,
     "knn_lsh" -> {
       // same probe set as the Spark plan: exact bucket + Hamming-1

@@ -27,6 +27,28 @@ class FunctionsSpec extends AnyFunSuite {
     assert(diff == 0) // bit-identical, not approximately equal
   }
 
+  test("DotProductInt equals interpreted HOF dot product exactly; quantize bounds codes") {
+    import spark.implicits._
+    import graft.functions.VectorFunctions
+    val rnd = new scala.util.Random(2)
+    val rows = Seq.fill(200)((
+      Array.fill(64)(rnd.nextInt(255) - 127),
+      Array.fill(64)(rnd.nextInt(255) - 127)))
+    val df = rows.toDF("a", "b")
+    val hof = aggregate(
+      zip_with(col("a"), col("b"), (x, y) => x.cast("long") * y.cast("long")),
+      lit(0L), (acc, v) => acc + v)
+    val diff = df.select((VectorFunctions.dotInt(col("a"), col("b")) - hof).as("d"))
+      .filter(col("d") =!= 0L).count()
+    assert(diff == 0)
+    // quantization: codes bounded by ±127, max-abs lane hits exactly ±127
+    val emb = Seq.fill(100)(Array.fill(64)(rnd.nextFloat() * 2 - 1)).toDF("e")
+    val codes = emb.select(VectorFunctions.quantize(
+      col("e"), VectorFunctions.quantScale(col("e"))).as("c"))
+    assert(codes.filter(exists(col("c"), x => abs(x) > 127)).count() == 0)
+    assert(codes.filter(array_max(transform(col("c"), x => abs(x))) =!= 127).count() == 0)
+  }
+
   test("SortedIntersectSize equals size(array_intersect) on sorted distinct arrays") {
     import spark.implicits._
     val rnd = new scala.util.Random(2)

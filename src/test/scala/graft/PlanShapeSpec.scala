@@ -48,9 +48,10 @@ class PlanShapeSpec extends AnyFunSuite {
     // knn_brute is the deliberate brute-force ANN baseline: a non-equi
     // self-join (vec_id !=) over a broadcast query side; the composed
     // multimodal_feature_knn scores the same brute-force shape over
-    // extracted features. Nothing else may fall back to a nested-loop
+    // extracted features, and knn_int8 is the same contract in the
+    // quantized domain. Nothing else may fall back to a nested-loop
     // join.
-    val allowed = Set("knn_brute", "multimodal_feature_knn")
+    val allowed = Set("knn_brute", "multimodal_feature_knn", "knn_int8")
     (SparkEntry.queries.keySet -- streamingEntries -- allowed).toSeq.sorted.foreach { name =>
       val bnlj = plan(name).collect { case b: BroadcastNestedLoopJoinExec => b }
       assert(bnlj.isEmpty, s"$name plans BroadcastNestedLoopJoin")
