@@ -305,6 +305,46 @@ object DedupQueries {
     // is small — the property that makes this shape hold at 100 TB.
     "dedup_minhash_pairs" -> ((s, dir) => minhashVerifiedPairs(s, dir)),
 
+    // Incremental (delta-ingest) near-dup check: a NEW batch of
+    // documents probed against the ALREADY-INGESTED corpus — the shape
+    // every production pipeline actually runs day 2 (full-corpus
+    // re-clustering is a backfill, not the steady state). The stable
+    // split hash partitions the fixture: h < 90 = the index, h >= 90 =
+    // the arriving batch. The batch's band table joins the index's
+    // band table on (band, bhash) — at scale the index bands are a
+    // PERSISTED table bucketed on the band key, so only the (small)
+    // delta shuffles; candidates verify with the same codegen'd
+    // trigram-Jaccard >= 0.6 as minhashVerifiedPairsOf. Output: each
+    // batch doc with a near-dup already in the index, its canonical
+    // index partner, and the match count — exact integers.
+    "dedup_incremental" -> ((s, dir) => {
+      val h = conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("long") % 100
+      val docs = Tables.documents(s, dir).withColumn("h", h)
+      val bIdx = minhashBands(docs.filter(col("h") < 90))
+        .select(col("band"), col("bhash"), col("doc_id").as("idx_id"))
+      val bNew = minhashBands(docs.filter(col("h") >= 90))
+        .select(col("band"), col("bhash"), col("doc_id").as("new_id"))
+      val cand = bNew.join(bIdx, Seq("band", "bhash"))
+        .select(col("new_id"), col("idx_id")).distinct()
+      val tgIdx = docs.filter(col("h") < 90)
+        .select(col("doc_id").as("i_id"), trigrams("text").as("i_tg"))
+        .withColumn("i_sz", size(col("i_tg")))
+      val tgNew = docs.filter(col("h") >= 90)
+        .select(col("doc_id").as("n_id"), trigrams("text").as("n_tg"))
+        .withColumn("n_sz", size(col("n_tg")))
+      cand
+        .join(tgNew, col("new_id") === col("n_id"))
+        .join(tgIdx, col("idx_id") === col("i_id"))
+        .withColumn("inter",
+          graft.functions.expressions.SortedIntersectSize(col("n_tg"), col("i_tg")))
+        .filter(col("inter").cast("double") /
+          (col("n_sz") + col("i_sz") - col("inter")) >= 0.6)
+        .groupBy(col("new_id"))
+        .agg(min(col("idx_id")).as("dup_of"), count(lit(1)).as("n_dups"))
+        .select(col("new_id").as("doc_id"), col("dup_of"), col("n_dups"))
+    }),
+
     // Pair graph → duplicate CLUSTERS: connected components over the
     // verified near-dup pairs, the step that turns pairwise matches
     // into a canonical-doc assignment (keep component representative,
@@ -427,6 +467,24 @@ object DedupQueries {
     "dedup_minhash_pairs" ->
       s"""WITH ${minhashPairsCtes("documents")}
          |$minhashPairsSelect""".stripMargin,
+    "dedup_incremental" ->
+      s"""WITH bands AS (SELECT * FROM (${minhashBandsSql("documents")})),
+         |hh AS (SELECT doc_id,
+         |         ${TextFunctions.Sql.tokenHash("CAST(doc_id AS VARCHAR)")} % 100 AS h
+         |       FROM documents),
+         |cand AS (
+         |  SELECT DISTINCT n.doc_id AS new_id, i.doc_id AS idx_id
+         |  FROM bands n JOIN bands i ON n.band = i.band AND n.bhash = i.bhash
+         |  JOIN hh hn ON n.doc_id = hn.doc_id AND hn.h >= 90
+         |  JOIN hh hi ON i.doc_id = hi.doc_id AND hi.h < 90),
+         |tg AS (SELECT doc_id, ${trigramsSql("text")} AS tg FROM documents),
+         |ver AS (
+         |  SELECT new_id, idx_id FROM cand
+         |  JOIN tg dn ON new_id = dn.doc_id JOIN tg di ON idx_id = di.doc_id
+         |  WHERE len(list_intersect(dn.tg, di.tg))::DOUBLE /
+         |        len(list_distinct(list_concat(dn.tg, di.tg))) >= 0.6)
+         |SELECT new_id AS doc_id, MIN(idx_id) AS dup_of, COUNT(*) AS n_dups
+         |FROM ver GROUP BY new_id""".stripMargin,
     "dedup_components" ->
       s"""WITH RECURSIVE ${minhashPairsCtes("documents")},
          |pairs AS ($minhashPairsSelect),

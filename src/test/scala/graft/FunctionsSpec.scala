@@ -49,6 +49,23 @@ class FunctionsSpec extends AnyFunSuite {
     assert(codes.filter(array_max(transform(col("c"), x => abs(x))) =!= 127).count() == 0)
   }
 
+  test("knn_int8 recall@10 vs exact brute-force cosine is >= 0.9") {
+    // The quantized path's accuracy contract: int8 codes + rescaled
+    // integer dots must recover (nearly) the same top-10 as exact
+    // float cosine. On the fixture corpus recall is 1.0 (measured at
+    // sf0.001 and sf0.01); 0.9 leaves room for corpus regeneration
+    // without letting real quantization damage slip through.
+    val sf = "/root/testdata/sf0.001"
+    val brute = SparkEntry.queries("knn_brute")(spark, sf)
+      .select(col("query_id"), col("neighbor_id"))
+    val int8 = SparkEntry.queries("knn_int8")(spark, sf)
+      .select(col("query_id"), col("neighbor_id"))
+    val nQueries = brute.select(col("query_id")).distinct().count()
+    val hits = brute.join(int8, Seq("query_id", "neighbor_id")).count()
+    val recall = hits.toDouble / (nQueries * 10)
+    assert(recall >= 0.9, s"recall@10 = $recall")
+  }
+
   test("SortedIntersectSize equals size(array_intersect) on sorted distinct arrays") {
     import spark.implicits._
     val rnd = new scala.util.Random(2)
