@@ -54,6 +54,25 @@ class PropertiesSpec extends AnyFunSuite {
     })
   }
 
+  test("WordNgrams native eval equals the regex-split reference for arbitrary text") {
+    import graft.functions.expressions.WordNgrams
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.types.StringType
+    import org.apache.spark.sql.catalyst.util.ArrayData
+    val textGen = Gen.listOf(Gen.frequency(
+      6 -> Gen.alphaNumChar,
+      2 -> Gen.oneOf(' ', '\t', '\n', '\r', '\f', '\u000B'),
+      1 -> Gen.oneOf('é', 'ø', '字', '.', ','))).map(_.mkString)
+    check(forAll(textGen, Gen.choose(2, 6)) { (text, n) =>
+      val expected = text.split("\\s+").filter(_.nonEmpty).toSeq
+        .sliding(n).filter(_.size == n).map(_.mkString(" ")).toList
+      val got = WordNgrams(Literal.create(text, StringType), n)
+        .eval(null).asInstanceOf[ArrayData]
+        .toObjectArray(StringType).map(_.toString).toList
+      got == expected
+    })
+  }
+
   test("trigram packing is injective on printable ascii strings") {
     val ascii = Gen.listOfN(12, Gen.choose(32.toChar, 126.toChar)).map(_.mkString)
     check(forAll(ascii, ascii) { (a, b) =>
