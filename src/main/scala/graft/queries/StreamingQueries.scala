@@ -418,7 +418,57 @@ object StreamingQueries {
     ss.table(name).filter(col("user_id") >= 0)
   }
 
+  /** The curation recipe's streaming FRONT DOOR: documents arrive as
+    * an at-least-once stream (every doc delivered twice — the retry
+    * semantics of any real ingest bus), pass watermark-bounded
+    * exactly-once restoration (`dropDuplicatesWithinWatermark` on the
+    * stable doc_id key) and the quality gate, and emit the per-doc
+    * ingest manifest (doc_id, source, n_tokens). No aggregation, so
+    * rows emit on first arrival and no flush sentinel is needed;
+    * dedup state is evicted as the watermark passes (bounded, the
+    * at-scale contract). The oracle is the BATCH gate over the table —
+    * green means streaming ingest hands the recipe exactly the corpus
+    * its batch stages expect. Event time is docId-derived (1 s spacing)
+    * so replay is deterministic; text rides the stream but the emitted
+    * manifest is narrow.
+    */
+  def docsIngestStream(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.functions.TextFunctions
+    val ss = streamSession(spark)
+    import ss.implicits._
+    val docs = graft.Tables.documents(ss, sfDir)
+      .select(col("doc_id"), col("text"), col("source"))
+      .collect().map(r => DocEvent(r.getLong(0), 1_700_000_000_000L + r.getLong(0) * 1000L,
+        r.getString(1), r.getString(2)))
+      .toSeq.sortBy(_.docId)
+    val fed = docs.flatMap(d => Seq(d, d)) // at-least-once: every doc twice
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = ss.sqlContext
+    val ms = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[DocEvent]
+    val name = "ingest_" + UUID.randomUUID().toString.replace("-", "")
+    val ckpt = TempDir.create("graft-ckpt-")
+    val q = ms.toDF().withColumn("ts", timestamp_millis(col("tMs")))
+      .withWatermark("ts", "60 seconds")
+      .dropDuplicatesWithinWatermark("docId")
+      .filter(TextFunctions.stopwordRatio(col("text")) >= 0.05)
+      .select(col("docId").as("doc_id"), col("source"),
+        TextFunctions.tokenCount(col("text")).as("n_tokens"))
+      .writeStream.outputMode("append")
+      .option("checkpointLocation", ckpt.toString)
+      .format("memory").queryName(name)
+      .start()
+    try {
+      val size = math.max(1, math.ceil(fed.size.toDouble / 4).toInt)
+      fed.grouped(size).foreach { b => ms.addData(b); q.processAllAvailable() }
+    } finally {
+      q.stop()
+      TempDir.deleteRecursively(ckpt.toString)
+      StateStoreBridge.unloadAll()
+    }
+    ss.table(name)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "docs_ingest_stream" -> (docsIngestStream _),
     "taxi_total_stream" -> (totalStream _),
     "taxi_sliding_stream" -> (slidingStream _),
     "taxi_sliding_file_stream" -> (slidingFileStream _),
@@ -437,6 +487,12 @@ object StreamingQueries {
 
   /** Streaming results must converge to the batch oracles. */
   val oracleSql: Map[String, String] = Map(
+    // exactly-once restoration + gate must equal the batch gate
+    "docs_ingest_stream" ->
+      s"""SELECT doc_id, source,
+         |  ${graft.functions.TextFunctions.Sql.tokenCount("text")} AS n_tokens
+         |FROM documents
+         |WHERE ${graft.functions.TextFunctions.Sql.stopwordRatio("text")} >= 0.05""".stripMargin,
     "taxi_total_stream" -> TaxiQueries.oracleSql("taxi_total_count"),
     "taxi_sliding_stream" -> TaxiQueries.oracleSql("taxi_sliding_count"),
     "taxi_sliding_file_stream" -> TaxiQueries.slidingSecondsSql,

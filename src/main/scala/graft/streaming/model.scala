@@ -36,6 +36,12 @@ final case class RunningState(sum: Long, pending: List[(Long, Long, Long)])
   */
 final case class UserEvent(userId: Long, tMs: Long, value: Double)
 
+/** One arriving document for the streaming curation front door
+  * (`docs_ingest_stream`): the `documents` row plus a synthetic
+  * arrival event time (docId-derived, deterministic).
+  */
+final case class DocEvent(docId: Long, tMs: Long, text: String, source: String)
+
 /** Output of the windowed pipelines: count for one (cell, window) pane.
   * `isFinal` distinguishes the early-trigger's partial fires (Flink
   * `TriggerResult.FIRE`) from the watermark-driven final fire
