@@ -319,14 +319,39 @@ object TextQueries {
           col("bucket"), col("seq_idx"), col("n_tokens"))
     }),
 
-    // Weighted mixture sampling — the "2 epochs of wiki, 0.4 of web"
-    // corpus-composition step of a pretraining data recipe, as a
-    // deterministic per-source keep rate. The sampling hash is the
-    // stable doc_id key salted with ':mix' so it is INDEPENDENT of
-    // the split hash (sampling must not correlate with train/val/
-    // test) and re-runs keep identical docs. Pure map over the scan —
-    // no shuffle, no RNG; the rate table is one config literal
-    // ([[MixtureRates]]) rendered into both engines.
+    // Epoch upsampling — the other half of mixture composition:
+    // sources weighted ABOVE 1.0 epochs ("2.5 epochs of wiki") emit
+    // multiple copies per doc. n_copies = ⌊rate/100⌋ plus one more
+    // when the ':epoch'-salted stable hash lands under rate mod 100 —
+    // so a 250% source emits 2 copies for all docs and 3 for a
+    // deterministic half. The integer division is folded into the
+    // CASE literals at build time (no runtime division); the explode
+    // fans out 1..n_copies with a copy index the downstream packer /
+    // shuffler can key on. Pure map + generate, no shuffle, no RNG.
+    "text_mixture_epochs" -> ((s, dir) => {
+      val nFull = EpochRates.foldRight(lit(0): Column) {
+        case ((src, r), els) => when(col("source") === src, lit(r / 100)).otherwise(els)
+      }
+      val frac = EpochRates.foldRight(lit(0): Column) {
+        case ((src, r), els) => when(col("source") === src, lit(r % 100)).otherwise(els)
+      }
+      val mh = tokenHash(concat(col("doc_id").cast("string"), lit(":epoch"))) % 100
+      Tables.documents(s, dir)
+        .select(col("doc_id"), col("source"),
+          (nFull + (mh < frac).cast("int")).as("n_copies"))
+        .filter(col("n_copies") >= 1) // sequence(1, 0) is illegal in Spark
+        .select(col("doc_id"), col("source"),
+          explode(sequence(lit(1), col("n_copies"))).as("copy_idx"))
+    }),
+
+    // Weighted mixture sampling — the "0.4 epochs of web" downsampling
+    // half of corpus composition, as a deterministic per-source keep
+    // rate. The sampling hash is the stable doc_id key salted with
+    // ':mix' so it is INDEPENDENT of the split hash (sampling must not
+    // correlate with train/val/test) and re-runs keep identical docs.
+    // Pure map over the scan — no shuffle, no RNG; the rate table is
+    // one config literal ([[MixtureRates]]) rendered into both
+    // engines.
     "text_mixture_sample" -> ((s, dir) => {
       val rate = MixtureRates.foldRight(lit(0): Column) {
         case ((src, r), els) => when(col("source") === src, lit(r)).otherwise(els)
@@ -378,6 +403,13 @@ object TextQueries {
     */
   val MixtureRates: Seq[(String, Int)] =
     (0 until 20).map(i => s"src$i" -> (100 - 4 * i))
+
+  /** Per-source epoch weights in percent for `text_mixture_epochs`
+    * (250 = 2.5 epochs … 60 = 0.6 epochs) — upsampling config, same
+    * single-literal contract as [[MixtureRates]].
+    */
+  val EpochRates: Seq[(String, Int)] =
+    (0 until 20).map(i => s"src$i" -> (250 - 10 * i))
 
   val oracleSql: Map[String, String] = Map(
     "text_stats" ->
@@ -561,6 +593,15 @@ object TextQueries {
          |         THEN b.n_tokens ELSE p.cum + b.n_tokens END
          |  FROM base b JOIN pack p ON b.bucket = p.bucket AND b.rn = p.rn + 1)
          |SELECT doc_id, source, split, bucket, seq_idx, n_tokens FROM pack""".stripMargin,
+    "text_mixture_epochs" ->
+      s"""SELECT doc_id, source, CAST(u AS INT) AS copy_idx FROM (
+         |  SELECT doc_id, source,
+         |    unnest(range(1,
+         |      CASE ${EpochRates.map { case (src, r) => s"WHEN source = '$src' THEN ${r / 100}" }.mkString(" ")} ELSE 0 END
+         |      + CASE WHEN ${Sql.tokenHash("CAST(doc_id AS VARCHAR) || ':epoch'")} % 100 <
+         |               CASE ${EpochRates.map { case (src, r) => s"WHEN source = '$src' THEN ${r % 100}" }.mkString(" ")} ELSE 0 END
+         |             THEN 1 ELSE 0 END + 1)) AS u
+         |  FROM documents)""".stripMargin,
     "text_mixture_sample" ->
       s"""SELECT doc_id, source, rate_pct FROM (
          |  SELECT doc_id, source,
