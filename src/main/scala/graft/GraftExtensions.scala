@@ -29,9 +29,19 @@ object GraftExtensions {
     "graft_dot" -> (exprs => DotProductFloat(exprs(0), exprs(1))),
     "graft_intersect_size" -> (exprs => SortedIntersectSize(exprs(0), exprs(1))),
     "graft_trigrams" -> (exprs => PackedTrigrams(exprs(0))),
-    // n must be a foldable int literal: graft_word_ngrams(text, 5)
-    "graft_word_ngrams" -> (exprs =>
-      WordNgrams(exprs(0), exprs(1).eval().asInstanceOf[Number].intValue)))
+    // n must be a foldable int literal: graft_word_ngrams(text, 5).
+    // Validated here so misuse surfaces as a clear message at plan
+    // time, not a ClassCastException/NPE from a raw eval().
+    "graft_word_ngrams" -> { exprs =>
+      val nExpr = exprs(1)
+      val n = if (nExpr.foldable) nExpr.eval() else null
+      n match {
+        case i: Number => WordNgrams(exprs(0), i.intValue)
+        case _ => throw new IllegalArgumentException(
+          "graft_word_ngrams(text, n): n must be a non-null integer literal, " +
+            s"got ${nExpr.sql}")
+      }
+    })
 
   /** Register on an already-built session. */
   def register(spark: SparkSession): Unit =

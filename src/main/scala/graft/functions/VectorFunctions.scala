@@ -31,10 +31,14 @@ object VectorFunctions {
 
   /** Per-vector symmetric int8 scale: 127 / max|aᵢ|. The max-abs
     * element maps to ±127 exactly; float→double promotion is exact, so
-    * the scale is bit-identical across engines.
+    * the scale is bit-identical across engines. The max-abs is floored
+    * at 1e-30 so an all-zero vector gets a finite scale and all-zero
+    * codes — without it, Spark's 127/0 = Inf feeds floor(0·Inf + 0.5)
+    * = floor(NaN) → silently NULL codes, while the DuckDB mirror hard
+    * errors casting NaN: a divergent, unguarded edge.
     */
   def quantScale(a: Column): Column =
-    lit(127.0) / array_max(transform(a, x => abs(x)))
+    lit(127.0) / greatest(array_max(transform(a, x => abs(x))).cast("double"), lit(1e-30))
 
   /** Symmetric int8 quantization: floor(x·scale + 0.5) per element.
     * floor-plus-half, NOT round(): round's tie direction differs
@@ -100,9 +104,10 @@ object VectorFunctions {
       }.mkString("[", ", ", "]")
 
     // 127.0 is a DECIMAL literal in DuckDB and DECIMAL/FLOAT → FLOAT32
-    // — both operands must be DOUBLE to match Spark's double division
+    // — both operands must be DOUBLE to match Spark's double division.
+    // greatest(…, 1e-30) mirrors the zero-vector guard above.
     def quantScale(a: String): String =
-      s"127.0::DOUBLE / CAST(list_max([abs(x) for x in $a]) AS DOUBLE)"
+      s"127.0::DOUBLE / greatest(CAST(list_max([abs(x) for x in $a]) AS DOUBLE), 1e-30)"
     def quantCodes(a: String, scale: String, dim: Int): String =
       s"[CAST(floor($a[i] * $scale + 0.5) AS INT) for i in range(1, ${dim + 1})]"
     def dotInt(a: String, b: String, dim: Int): String =

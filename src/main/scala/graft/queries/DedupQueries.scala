@@ -318,9 +318,7 @@ object DedupQueries {
     // batch doc with a near-dup already in the index, its canonical
     // index partner, and the match count — exact integers.
     "dedup_incremental" -> ((s, dir) => {
-      val h = conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
-        .cast("long") % 100
-      val docs = Tables.documents(s, dir).withColumn("h", h)
+      val docs = Tables.documents(s, dir).withColumn("h", TextQueries.splitHash)
       val bIdx = minhashBands(docs.filter(col("h") < 90))
         .select(col("band"), col("bhash"), col("doc_id").as("idx_id"))
       val bNew = minhashBands(docs.filter(col("h") >= 90))

@@ -138,27 +138,11 @@ object TextQueries {
     // connectedComponents' bounded-bucket pair generation and
     // O(diameter) supersteps (in-bucket cliques → 2-3 here).
     "text_curation_neardup" -> ((s, dir) => {
-      val h = conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
-        .cast("long") % 100
-      // The gated scan feeds four consumers (signatures, trigram
-      // verify, CC nodes, manifest) — without a checkpoint each one
-      // re-plans scan + stopwordRatio, i.e. three redundant corpus
-      // scans at 100 TB. Same lineage-cut policy as
-      // connectedComponents' `pairs` (see DedupQueries.scala:158).
-      val gated = Tables.documents(s, dir)
-        .filter(stopwordRatio(col("text")) >= 0.05)
-        .localCheckpoint()
-      val pairs = DedupQueries.minhashVerifiedPairsOf(gated)
-        .select(col("doc_a"), col("doc_b"))
-      val labels = DedupQueries.connectedComponents(
-        s, pairs, gated.select(col("doc_id")))
-      val canonical = labels
-        .filter(col("doc_id") === col("component")).select(col("doc_id"))
+      val gated = gatedDocs(s, dir)
       val manifest = gated.select(
-        col("doc_id"), col("source"),
-        when(h < 80, "train").when(h < 90, "val").otherwise("test").as("split"),
+        col("doc_id"), col("source"), splitCol.as("split"),
         tokenCount(col("text")).as("n_tokens"))
-      manifest.join(canonical, "doc_id")
+      manifest.join(canonicalOf(s, gated), "doc_id")
     }),
 
     // Repetition quality signal (Gopher-style): per doc, the dominant
@@ -228,13 +212,6 @@ object TextQueries {
     // integers, so the oracle hash is exact.
     "text_contamination" -> ((s, dir) => {
       import graft.functions.expressions.WordNgrams
-      val h = conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
-        .cast("long") % 100
-      val d = Tables.documents(s, dir).select(
-        col("doc_id"), col("text"), h.as("h"))
-      val evalGrams = d.filter(col("h") >= 90)
-        .select(explode(WordNgrams(col("text"), ContaminationN)).as("g"))
-        .distinct()
       // n_grams as arithmetic on the token count, NOT size(ngrams(…)):
       // a size() over the gram array lands in the Project ABOVE the
       // Generate and re-evaluates the gram build once per EXPLODED row
@@ -242,13 +219,13 @@ object TextQueries {
       // arithmetic form (and the pre-explode select pins it BELOW the
       // Generate). WordNgrams is the native one-pass gram builder —
       // the interpreted zip-of-slices HOF chain was the remaining cost.
-      val train = d.filter(col("h") < 80)
+      val train = Tables.documents(s, dir).filter(splitHash < 80)
         .select(col("doc_id"), col("text"),
           greatest(tokenCount(col("text")) - (ContaminationN - 1), lit(0))
             .as("n_grams"))
         .select(col("doc_id"), col("n_grams"),
           explode(WordNgrams(col("text"), ContaminationN)).as("g"))
-      train.join(broadcast(evalGrams), "g")
+      train.join(broadcast(evalGramsOf(s, dir)), "g")
         .groupBy(col("doc_id"), col("n_grams"))
         .agg(count(lit(1)).as("n_shared"))
     }),
@@ -269,32 +246,16 @@ object TextQueries {
     // doc_id-keyed. Text never crosses an exchange anywhere.
     "text_recipe_pipeline" -> ((s, dir) => {
       import s.implicits._
-      val h = conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
-        .cast("long") % 100
-      val gated = Tables.documents(s, dir)
-        .filter(stopwordRatio(col("text")) >= 0.05)
-        .localCheckpoint()
-      val pairs = DedupQueries.minhashVerifiedPairsOf(gated)
-        .select(col("doc_a"), col("doc_b"))
-      val labels = DedupQueries.connectedComponents(
-        s, pairs, gated.select(col("doc_id")))
-      val canonical = labels
-        .filter(col("doc_id") === col("component")).select(col("doc_id"))
+      val gated = gatedDocs(s, dir)
       val manifest0 = gated
-        .join(canonical, "doc_id")
-        .select(col("doc_id"), col("source"),
-          when(h < 80, "train").when(h < 90, "val").otherwise("test").as("split"),
+        .join(canonicalOf(s, gated), "doc_id")
+        .select(col("doc_id"), col("source"), splitCol.as("split"),
           col("text"),
           tokenCount(col("text")).cast("long").as("n_tokens"))
-      val evalGrams = Tables.documents(s, dir)
-        .filter(h >= 90)
-        .select(explode(
-          graft.functions.expressions.WordNgrams(col("text"), ContaminationN)).as("g"))
-        .distinct()
       val contaminated = manifest0.filter(col("split") =!= "test")
         .select(col("doc_id"), explode(
           graft.functions.expressions.WordNgrams(col("text"), ContaminationN)).as("g"))
-        .join(broadcast(evalGrams), "g")
+        .join(broadcast(evalGramsOf(s, dir)), "g")
         .select(col("doc_id")).distinct()
       val rate = MixtureRates.foldRight(lit(0): Column) {
         case ((src, r), els) => when(col("source") === src, lit(r)).otherwise(els)
@@ -363,6 +324,49 @@ object TextQueries {
         .select(col("doc_id"), col("source"), col("rate_pct"))
     })
   )
+
+  /** The stable split hash in [0, 100): [[TextFunctions.tokenHash]] of
+    * the doc_id string — the ONE spelling of the train/val/test
+    * partitioner (80/10/10) shared by every query that splits.
+    */
+  private[queries] def splitHash: Column =
+    tokenHash(col("doc_id").cast("string")) % 100
+
+  /** The split label column derived from [[splitHash]]. */
+  private def splitCol: Column =
+    when(splitHash < 80, "train").when(splitHash < 90, "val").otherwise("test")
+
+  /** Quality-gated corpus, localCheckpointed ONCE: the gated scan
+    * feeds several consumers (signatures, trigram verify, CC nodes,
+    * manifest) — without the checkpoint each one re-plans scan +
+    * stopwordRatio, i.e. redundant corpus scans at 100 TB. Same
+    * lineage-cut policy as connectedComponents' `pairs`.
+    */
+  private def gatedDocs(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .filter(stopwordRatio(col("text")) >= 0.05)
+      .localCheckpoint()
+
+  /** Near-dup cluster canonicals (minimum-id doc per connected
+    * component of the LSH-verified pair graph) over a gated corpus —
+    * the keep-set of cluster-then-keep dedup, shared by
+    * `text_curation_neardup` and the composed recipe.
+    */
+  private def canonicalOf(s: SparkSession, gated: DataFrame): DataFrame = {
+    val pairs = DedupQueries.minhashVerifiedPairsOf(gated)
+      .select(col("doc_a"), col("doc_b"))
+    DedupQueries.connectedComponents(s, pairs, gated.select(col("doc_id")))
+      .filter(col("doc_id") === col("component")).select(col("doc_id"))
+  }
+
+  /** Distinct word n-grams of the corpus' test split — the MB-scale
+    * eval-suite stand-in both contamination consumers broadcast.
+    */
+  private def evalGramsOf(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir).filter(splitHash >= 90)
+      .select(explode(graft.functions.expressions.WordNgrams(
+        col("text"), ContaminationN)).as("g"))
+      .distinct()
 
   /** The greedy packing recurrence over (doc_id, bucket, n_tokens)
     * rows already sorted by (bucket, doc_id) — per bucket: seq_idx
