@@ -280,6 +280,29 @@ object TextQueries {
           col("bucket"), col("seq_idx"), col("n_tokens"))
     }),
 
+    // Document chunking — fixed-size token windows with stride overlap
+    // ([[ChunkSize]]/[[ChunkStride]]), the context-length splitting
+    // step before embedding or training long docs. Chunk starts are
+    // 1, 1+S, 1+2S, … while ≤ n_tokens (trailing chunks may be short);
+    // the generator input is a cheap integer sequence and the chunk
+    // text is a slice of the ALREADY-TOKENIZED array projected below
+    // the Generate — per-exploded-row work is an array slice + join,
+    // never re-tokenization (the text_contamination lesson). One scan,
+    // no shuffle.
+    "text_chunk" -> ((s, dir) => {
+      Tables.documents(s, dir)
+        .select(col("doc_id"), tokens(col("text")).as("t"))
+        .filter(size(col("t")) >= 1) // sequence(1, 0) is illegal in Spark
+        .select(col("doc_id"), col("t"),
+          posexplode(sequence(lit(1), size(col("t")), lit(ChunkStride))))
+        .select(col("doc_id"),
+          col("pos").cast("int").as("chunk_idx"),
+          col("col").cast("int").as("chunk_start"),
+          least(lit(ChunkSize), size(col("t")) - col("col") + 1).cast("int")
+            .as("n_chunk_tokens"),
+          array_join(slice(col("t"), col("col"), lit(ChunkSize)), " ").as("chunk_text"))
+    }),
+
     // Epoch upsampling — the other half of mixture composition:
     // sources weighted ABOVE 1.0 epochs ("2.5 epochs of wiki") emit
     // multiple copies per doc. n_copies = ⌊rate/100⌋ plus one more
@@ -414,6 +437,13 @@ object TextQueries {
     */
   val EpochRates: Seq[(String, Int)] =
     (0 until 20).map(i => s"src$i" -> (250 - 10 * i))
+
+  /** Token window size / stride for `text_chunk` (8-token overlap —
+    * the usual embedding-chunking shape, scaled to ~55-token fixture
+    * docs; production uses e.g. 512/384 with the same plan).
+    */
+  val ChunkSize = 32
+  val ChunkStride = 24
 
   val oracleSql: Map[String, String] = Map(
     "text_stats" ->
@@ -597,6 +627,15 @@ object TextQueries {
          |         THEN b.n_tokens ELSE p.cum + b.n_tokens END
          |  FROM base b JOIN pack p ON b.bucket = p.bucket AND b.rn = p.rn + 1)
          |SELECT doc_id, source, split, bucket, seq_idx, n_tokens FROM pack""".stripMargin,
+    "text_chunk" ->
+      s"""SELECT doc_id, CAST(k AS INT) AS chunk_idx,
+         |  CAST(1 + k * $ChunkStride AS INT) AS chunk_start,
+         |  CAST(least($ChunkSize, n - (1 + k * $ChunkStride) + 1) AS INT) AS n_chunk_tokens,
+         |  array_to_string(t[(1 + k * $ChunkStride) : (k * $ChunkStride + $ChunkSize)], ' ') AS chunk_text
+         |FROM (
+         |  SELECT doc_id, t, len(t) AS n,
+         |    unnest(range(0, (len(t) - 1) // $ChunkStride + 1)) AS k
+         |  FROM (SELECT doc_id, ${Sql.tokens("text")} AS t FROM documents))""".stripMargin,
     "text_mixture_epochs" ->
       s"""SELECT doc_id, source, CAST(u AS INT) AS copy_idx FROM (
          |  SELECT doc_id, source,
