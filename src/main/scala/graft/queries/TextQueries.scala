@@ -280,6 +280,37 @@ object TextQueries {
           col("bucket"), col("seq_idx"), col("n_tokens"))
     }),
 
+    // Per-doc salient terms by tf·idf — the keyword/topic signal of a
+    // corpus-analysis pass. Two-phase: document frequencies from one
+    // explode→distinct→count aggregation (the DF table is vocabulary-
+    // sized — small, broadcast into the scoring join), then per-doc
+    // term counts scored tf·(N/df) and window-ranked to the top 3.
+    // idf is the RAW ratio N/df, not log(N/df): scoring is monotone
+    // in it either way, and keeping the arithmetic in exact-rational
+    // double (int·int/int) avoids cross-engine transcendental-libm
+    // last-ulp drift that would break hash equality. Ties break on
+    // token asc — deterministic both sides.
+    "text_tfidf" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val docs = Tables.documents(s, dir)
+      val nDocs = docs.count() // corpus size: one tiny job, scalar
+      val tf = docs
+        .select(col("doc_id"), explode(tokens(col("text"))).as("token"))
+        .groupBy(col("doc_id"), col("token"))
+        .agg(count(lit(1)).as("tf"))
+      val df = tf.groupBy(col("token"))
+        .agg(count(lit(1)).as("df"))
+      val w = Window.partitionBy(col("doc_id"))
+        .orderBy(col("score").desc, col("token").asc)
+      tf.join(broadcast(df), "token")
+        .withColumn("score",
+          col("tf").cast("double") * lit(nDocs.toDouble) / col("df").cast("double"))
+        .withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") <= 3)
+        .select(col("doc_id"), col("rnk"), col("token"),
+          col("tf"), col("df"), round(col("score"), 6).as("score_r"))
+    }),
+
     // Document chunking — fixed-size token windows with stride overlap
     // ([[ChunkSize]]/[[ChunkStride]]), the context-length splitting
     // step before embedding or training long docs. Chunk starts are
@@ -627,6 +658,21 @@ object TextQueries {
          |         THEN b.n_tokens ELSE p.cum + b.n_tokens END
          |  FROM base b JOIN pack p ON b.bucket = p.bucket AND b.rn = p.rn + 1)
          |SELECT doc_id, source, split, bucket, seq_idx, n_tokens FROM pack""".stripMargin,
+    "text_tfidf" ->
+      s"""WITH tf AS (
+         |  SELECT doc_id, token, COUNT(*) AS tf
+         |  FROM (SELECT doc_id, unnest(${Sql.tokens("text")}) AS token FROM documents)
+         |  GROUP BY doc_id, token),
+         |df AS (SELECT token, COUNT(*) AS df FROM tf GROUP BY token),
+         |n AS (SELECT COUNT(*)::DOUBLE AS n_docs FROM documents)
+         |SELECT doc_id, rnk, token, tf, df, score_r FROM (
+         |  SELECT tf.doc_id, tf.token, tf.tf, df.df,
+         |    ROW_NUMBER() OVER (PARTITION BY tf.doc_id
+         |      ORDER BY tf.tf::DOUBLE * n.n_docs / df.df::DOUBLE DESC,
+         |               tf.token ASC) AS rnk,
+         |    ROUND(tf.tf::DOUBLE * n.n_docs / df.df::DOUBLE, 6) AS score_r
+         |  FROM tf JOIN df USING (token) CROSS JOIN n
+         |) WHERE rnk <= 3""".stripMargin,
     "text_chunk" ->
       s"""SELECT doc_id, CAST(k AS INT) AS chunk_idx,
          |  CAST(1 + k * $ChunkStride AS INT) AS chunk_start,
