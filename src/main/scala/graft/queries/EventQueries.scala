@@ -13,6 +13,12 @@ object EventQueries {
 
   private val GapMs = 1800000L // 30-minute session gap
 
+  /** The fixture's event-type domain — the explicit pivot column list
+    * (and the oracle's FILTER list), one literal for both engines.
+    */
+  val EventTypes: Seq[String] =
+    Seq("click", "error", "purchase", "signup", "view")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Sessionization via session_window: per (user, session) the
     // start, last-event time, event count and exact value sum. One
@@ -28,6 +34,24 @@ object EventQueries {
           col("user_id"),
           unix_millis(col("sw.start")).as("session_start_ms"),
           col("last_t_ms"), col("n_events"), col("sum_value"))
+    }),
+
+    // Pivot (long→wide reshape): per-user event counts, one column
+    // per event type — the DataFrame API surface no other entry
+    // exercises. The pivot VALUES are passed explicitly
+    // ([[EventTypes]]): with an explicit list Spark skips the extra
+    // distinct-collect job AND the output schema is deterministic —
+    // both what a production job wants (a late-arriving new type
+    // can't silently widen the table). Single shuffle on user_id;
+    // the per-type conditional counts are map-side partial aggs.
+    // Absent (user, type) combos are 0, matching the oracle's
+    // COUNT(*) FILTER semantics.
+    "events_pivot" -> ((s, dir) => {
+      Tables.events(s, dir)
+        .groupBy(col("user_id"))
+        .pivot("event_type", EventTypes)
+        .agg(count(lit(1)))
+        .na.fill(0, EventTypes)
     }),
 
     // JSON scalar extraction from the props column (json functions:
@@ -90,6 +114,10 @@ object EventQueries {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "events_pivot" ->
+      s"""SELECT user_id,
+         |${EventTypes.map(t => s"  COUNT(*) FILTER (WHERE event_type = '$t') AS \"$t\"").mkString(",\n")}
+         |FROM events GROUP BY user_id""".stripMargin,
     // Gap-based session reconstruction: new session when the gap from
     // the previous event is ≥ 30 min (session_window intervals are
     // half-open, so exactly-at-gap starts a new session).
