@@ -31,14 +31,19 @@ object VectorFunctions {
 
   /** Per-vector symmetric int8 scale: 127 / max|aᵢ|. The max-abs
     * element maps to ±127 exactly; float→double promotion is exact, so
-    * the scale is bit-identical across engines. The max-abs is floored
-    * at 1e-30 so an all-zero vector gets a finite scale and all-zero
-    * codes — without it, Spark's 127/0 = Inf feeds floor(0·Inf + 0.5)
-    * = floor(NaN) → silently NULL codes, while the DuckDB mirror hard
-    * errors casting NaN: a divergent, unguarded edge.
+    * the scale is bit-identical across engines. ONLY the exact-zero
+    * vector is special-cased (denominator 1 → finite scale, all-zero
+    * codes): without it, Spark's 127/0 = Inf feeds floor(0·Inf + 0.5)
+    * = floor(NaN) → silently NULL codes while the DuckDB mirror hard
+    * errors casting NaN. A magnitude floor (e.g. greatest(m, 1e-30))
+    * would instead silently zero the codes of tiny-but-nonzero
+    * vectors, breaking the ±127 invariant — the guard must not touch
+    * any nonzero magnitude.
     */
-  def quantScale(a: Column): Column =
-    lit(127.0) / greatest(array_max(transform(a, x => abs(x))).cast("double"), lit(1e-30))
+  def quantScale(a: Column): Column = {
+    val m = array_max(transform(a, x => abs(x))).cast("double")
+    lit(127.0) / when(m === 0.0, lit(1.0)).otherwise(m)
+  }
 
   /** Symmetric int8 quantization: floor(x·scale + 0.5) per element.
     * floor-plus-half, NOT round(): round's tie direction differs
@@ -105,9 +110,11 @@ object VectorFunctions {
 
     // 127.0 is a DECIMAL literal in DuckDB and DECIMAL/FLOAT → FLOAT32
     // — both operands must be DOUBLE to match Spark's double division.
-    // greatest(…, 1e-30) mirrors the zero-vector guard above.
-    def quantScale(a: String): String =
-      s"127.0::DOUBLE / greatest(CAST(list_max([abs(x) for x in $a]) AS DOUBLE), 1e-30)"
+    // The CASE mirrors the exact-zero-only guard above.
+    def quantScale(a: String): String = {
+      val m = s"CAST(list_max([abs(x) for x in $a]) AS DOUBLE)"
+      s"127.0::DOUBLE / (CASE WHEN $m = 0 THEN 1.0::DOUBLE ELSE $m END)"
+    }
     def quantCodes(a: String, scale: String, dim: Int): String =
       s"[CAST(floor($a[i] * $scale + 0.5) AS INT) for i in range(1, ${dim + 1})]"
     def dotInt(a: String, b: String, dim: Int): String =

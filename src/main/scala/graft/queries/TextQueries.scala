@@ -82,12 +82,10 @@ object TextQueries {
     // splits (leakage). Pure map over the scan, no shuffle; the
     // 10%-per-source sample predicate composes the same way.
     "text_split_assign" -> ((s, dir) => {
-      val h = conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
-        .cast("long") % 100
       Tables.documents(s, dir).select(
         col("doc_id"), col("source"),
-        when(h < 80, "train").when(h < 90, "val").otherwise("test").as("split"),
-        (h < 10).cast("int").as("in_sample_10pct"))
+        splitCol.as("split"),
+        (splitHash < 10).cast("int").as("in_sample_10pct"))
     }),
 
     // The composed curation DAG — the training-data pipeline's
@@ -108,8 +106,6 @@ object TextQueries {
     // surviving doc is oracle-verified individually — id, source,
     // split, and token count.
     "text_curation_pipeline" -> ((s, dir) => {
-      val h = conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
-        .cast("long") % 100
       Tables.documents(s, dir)
         .filter(stopwordRatio(col("text")) >= 0.05)
         .select(
@@ -117,8 +113,7 @@ object TextQueries {
           col("doc_id"),
           struct(
             col("doc_id"), col("source"),
-            when(h < 80, "train").when(h < 90, "val").otherwise("test")
-              .as("split"),
+            splitCol.as("split"),
             tokenCount(col("text")).as("n_tokens")).as("manifest"))
         .groupBy("chash")
         .agg(min_by(col("manifest"), col("doc_id")).as("w"))
@@ -294,10 +289,15 @@ object TextQueries {
       import org.apache.spark.sql.expressions.Window
       val docs = Tables.documents(s, dir)
       val nDocs = docs.count() // corpus size: one tiny job, scalar
+      // tf feeds BOTH the df aggregation and the scoring join —
+      // checkpointed once so the corpus is scanned and explode-
+      // aggregated once, not twice (same multi-consumer lineage-cut
+      // policy as gatedDocs).
       val tf = docs
         .select(col("doc_id"), explode(tokens(col("text"))).as("token"))
         .groupBy(col("doc_id"), col("token"))
         .agg(count(lit(1)).as("tf"))
+        .localCheckpoint()
       val df = tf.groupBy(col("token"))
         .agg(count(lit(1)).as("df"))
       val w = Window.partitionBy(col("doc_id"))
@@ -681,7 +681,11 @@ object TextQueries {
          |FROM (
          |  SELECT doc_id, t, len(t) AS n,
          |    unnest(range(0, (len(t) - 1) // $ChunkStride + 1)) AS k
-         |  FROM (SELECT doc_id, ${Sql.tokens("text")} AS t FROM documents))""".stripMargin,
+         |  -- len >= 1 mirrors the Spark-side guard: DuckDB's // is
+         |  -- TRUNCATION toward zero, so (0-1)//S + 1 = 1 and an
+         |  -- empty-token doc would otherwise emit a spurious chunk
+         |  FROM (SELECT doc_id, ${Sql.tokens("text")} AS t FROM documents)
+         |  WHERE len(t) >= 1)""".stripMargin,
     "text_mixture_epochs" ->
       s"""SELECT doc_id, source, CAST(u AS INT) AS copy_idx FROM (
          |  SELECT doc_id, source,

@@ -47,12 +47,15 @@ class FunctionsSpec extends AnyFunSuite {
       col("e"), VectorFunctions.quantScale(col("e"))).as("c"))
     assert(codes.filter(exists(col("c"), x => abs(x) > 127)).count() == 0)
     assert(codes.filter(array_max(transform(col("c"), x => abs(x))) =!= 127).count() == 0)
-    // the zero-vector edge: finite scale, all-zero codes (not NULLs)
-    val zero = Seq(Array.fill(64)(0.0f)).toDF("e")
+    // the zero-vector edge: finite scale, all-zero codes (not NULLs);
+    // a tiny-but-NONZERO vector must keep the ±127 invariant (the
+    // guard special-cases exactly zero, it is not a magnitude floor)
+    val edge = Seq(Array.fill(64)(0.0f), Array.fill(64)(1e-35f)).toDF("e")
       .select(VectorFunctions.quantize(
         col("e"), VectorFunctions.quantScale(col("e"))).as("c"))
-      .as[Seq[Int]].head
-    assert(zero == Seq.fill(64)(0))
+      .as[Seq[Int]].collect()
+    assert(edge(0) == Seq.fill(64)(0))
+    assert(edge(1) == Seq.fill(64)(127))
   }
 
   test("knn_int8 recall@10 vs exact brute-force cosine is >= 0.9") {
