@@ -2,7 +2,7 @@ package graft.queries
 
 import graft.Tables
 import graft.functions.VectorFunctions
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -25,6 +25,9 @@ object SimilarityQueries {
   private val LshBits = 8
   private val IvfCentroids = 8
   private val IvfMask = -1e300 // argmax mask sentinel, far below any dot
+  private val KmMask = 1e300 // argmin mask sentinel, far above any score
+  private val FxScale = 16777216.0 // 2²⁴ — fixed-point lift scale
+  private val KmIters = 2 // Lloyd rounds after the lattice init
 
   /** Every 50th vector is a query — deterministic on both engines.
     * Norms ride along so each scored pair costs one dot product.
@@ -40,6 +43,97 @@ object SimilarityQueries {
 
   private def cosCol = VectorFunctions.dot(col("q_emb"), col("embedding")) /
     (col("q_nrm") * col("nrm"))
+
+  /** A learned IVF centroid as driver-held model parameters: the cell
+    * id it refines, its float-rounded coordinates, and the precomputed
+    * Σc_i² term of the assignment score. 8×65 doubles total — the
+    * MLlib-KMeans pattern of centroids living on the driver between
+    * Lloyd rounds; the DATA never leaves executors (updates reduce to
+    * one 65-value row per cell via partial aggregation).
+    */
+  private case class KmCentroid(cell: Int, cf: Array[Float], cc: Double)
+
+  /** Exact fixed-point lift of embedding lane `i` (1-based):
+    * floor(x·2²⁴ + 0.5) as a long. float→double is exact, ·2²⁴ is an
+    * exponent shift (exact), and |x·2²⁴| < 2⁵² keeps the +0.5 and
+    * floor exact — so centroid-update SUMS are integer arithmetic:
+    * order-independent, hence bit-identical regardless of partitioning
+    * or shuffle order. This is what makes iterative k-means
+    * oracle-checkable cross-engine: the one order-sensitive operation
+    * of Lloyd's algorithm (the mean's summation) is made associative.
+    */
+  private def fxLane(x: Column, i: Int): Column =
+    floor(element_at(x, i).cast("double") * FxScale + lit(0.5)).cast("long")
+
+  /** One Lloyd UPDATE step: per-cell exact integer lane sums + count,
+    * one shuffle reduced to ≤ |cells| rows by partial aggregation,
+    * collected as model parameters. Centroid lane value
+    * (s/n)/2²⁴ is rounded to float so the ASSIGN step's dot product
+    * reuses the codegen'd float kernel; the rounding is IEEE-defined,
+    * mirrored by the oracle's CAST(… AS FLOAT).
+    */
+  private def updateCentroids(assigned: DataFrame): Seq[KmCentroid] = {
+    val aggs = count(lit(1)).as("n") +:
+      (1 to Dim).map(i => sum(fxLane(col("embedding"), i)).as(s"s$i"))
+    assigned.groupBy(col("cell")).agg(aggs.head, aggs.tail: _*)
+      .collect()
+      .map { r =>
+        val n = r.getAs[Long]("n")
+        val cf = Array.tabulate(Dim) { i =>
+          ((r.getAs[Long](s"s${i + 1}").toDouble / n.toDouble) / FxScale).toFloat
+        }
+        var cc = 0.0
+        var i = 0
+        while (i < Dim) { cc += cf(i).toDouble * cf(i).toDouble; i += 1 }
+        KmCentroid(r.getAs[Number]("cell").intValue, cf, cc)
+      }
+      .sortBy(_.cell).toSeq
+  }
+
+  /** Assignment scores [score_c] in cell order: Lloyd assigns by min
+    * squared distance |x−c|² = |x|² − 2x·c + |c|²; |x|² is common to
+    * every cell, so argmin(|c|² − 2x·c) picks the same cell without
+    * computing it — one codegen'd literal-array dot per centroid,
+    * exactly the lattice `centroidDots` shape.
+    */
+  private def kmScores(cents: Seq[KmCentroid], x: Column): Column =
+    array(cents.map(c =>
+      lit(c.cc) - lit(2.0) * VectorFunctions.dot(x, array(c.cf.map(lit(_)): _*))): _*)
+
+  /** Map an argmin position (1-based, long) back to its cell id. */
+  private def kmCellAt(cents: Seq[KmCentroid], pos: Column): Column =
+    element_at(array(cents.map(c => lit(c.cell)): _*), pos.cast("int"))
+
+  /** Corpus-side ASSIGN: nearest learned centroid, first-occurrence
+    * (= lowest cell id) tie-break on both engines.
+    */
+  private def kmAssign(cents: Seq[KmCentroid], x: Column): Column = {
+    val s = kmScores(cents, x)
+    kmCellAt(cents, array_position(s, array_min(s)))
+  }
+
+  /** Learned IVF centroids: init from the deterministic lattice cells
+    * (refining an existing coarse quantizer — the production warm-start
+    * shape), then [[KmIters]] fixed-count Lloyd rounds. Each round is
+    * one broadcast-free narrow ASSIGN pass (literal centroids, no
+    * join) plus one UPDATE shuffle that partial-aggregates to ≤ 8
+    * rows — the per-round cost at 100 TB is one corpus scan, the same
+    * as MLlib's KMeans iteration. Cells that lose all members simply
+    * drop out of the centroid list (both engines derive the list from
+    * the same groupBy). Fixed iteration count + exact-integer update
+    * sums + IEEE-defined assign scores make the whole training run
+    * deterministic and therefore DuckDB-expressible, CTE per round.
+    */
+  private def learnedCentroids(emb: DataFrame): Seq[KmCentroid] = {
+    val a0 = emb
+      .withColumn("dots", VectorFunctions.centroidDots(col("embedding"), Dim, IvfCentroids))
+      .withColumn("cell", array_position(col("dots"), array_max(col("dots"))))
+    var cents = updateCentroids(a0)
+    for (_ <- 1 until KmIters)
+      cents = updateCentroids(emb.withColumn("cell", kmAssign(cents, col("embedding"))))
+    require(cents.size >= 2, s"k-means degenerated to ${cents.size} cell(s)")
+    cents
+  }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Exact top-k: broadcast queries × corpus scored partition-local,
@@ -179,8 +273,92 @@ object SimilarityQueries {
         .filter(col("rnk") <= K)
         .select(col("query_id"), col("vec_id").as("neighbor_id"), col("rnk"),
           round(col("cos"), 6).as("cos_r"))
+    }),
+
+    // The learned coarse quantizer itself, exported lane-by-lane —
+    // pins the full k-means training run (lattice init + KmIters Lloyd
+    // rounds of exact-integer updates) against the oracle's
+    // CTE-per-round mirror, independent of any retrieval on top.
+    "ivf_kmeans_centroids" -> ((s, dir) => {
+      import s.implicits._
+      learnedCentroids(Tables.embeddings(s, dir))
+        .flatMap(c => c.cf.iterator.zipWithIndex.map {
+          case (v, i) => (c.cell, i + 1, v)
+        })
+        .toDF("cell", "lane", "c")
+    }),
+
+    // IVF ANN over LEARNED cells (closes the knn_ivf scaladoc's
+    // stand-in): identical retrieval anatomy — probes explode on the
+    // query side, corpus-side plan stays one cell equi-join — but the
+    // cell column now comes from k-means, so cells fit the data
+    // distribution (recall ≥ the lattice's, asserted by
+    // IvfKmeansSpec). nprobe=2 via argmin + masked-argmin runner-up,
+    // the min-space twin of knn_ivf's masked argmax.
+    "knn_ivf_kmeans" -> ((s, dir) => {
+      val emb0 = corpus(s, dir)
+      val cents = learnedCentroids(emb0)
+      val emb = emb0.withColumn("cell", kmAssign(cents, col("embedding")))
+      val q = queriesOf(emb0)
+        .withColumn("sc", kmScores(cents, col("q_emb")))
+        .withColumn("pp1", array_position(col("sc"), array_min(col("sc"))))
+        .withColumn("masked", transform(sequence(lit(1), lit(cents.size)),
+          i => when(i.cast("long") === col("pp1"), lit(KmMask))
+            .otherwise(element_at(col("sc"), i))))
+        .withColumn("pp2", array_position(col("masked"), array_min(col("masked"))))
+        .withColumn("cell", explode(array(
+          kmCellAt(cents, col("pp1")), kmCellAt(cents, col("pp2")))))
+        .drop("sc", "masked", "pp1", "pp2")
+      val w = Window.partitionBy(col("query_id"))
+        .orderBy(col("cos").desc, col("vec_id").asc)
+      broadcast(q).join(emb, Seq("cell"))
+        .filter(col("query_id") =!= col("vec_id"))
+        .withColumn("cos", cosCol)
+        .withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") <= K)
+        .select(col("query_id"), col("vec_id").as("neighbor_id"), col("rnk"),
+          round(col("cos"), 6).as("cos_r"))
     })
   )
+
+  /** CTE chain mirroring [[learnedCentroids]] round for round: fx =
+    * the fixed-point lift, a0 = lattice init, then per Lloyd round an
+    * UPDATE (exact BIGINT lane sums) and an ASSIGN (row_number over
+    * score asc, cell asc = Spark's first-occurrence argmin). Ends with
+    * centroid CTE `c$KmIters` and assignment CTE `a$KmIters`.
+    */
+  private def kmeansCtes: String = {
+    val fxList = s"[CAST(floor(embedding[i]::DOUBLE * $FxScale + 0.5) AS BIGINT) " +
+      s"for i in range(1, ${Dim + 1})]"
+    val laneSums = (1 to Dim).map(i => s"SUM(fx[$i])").mkString("[", ", ", "]")
+    val centList = s"[CAST((s[i]::DOUBLE / n::DOUBLE) / $FxScale AS FLOAT) " +
+      s"for i in range(1, ${Dim + 1})]"
+    val ccExpr = "list_reduce(list_prepend(0.0::DOUBLE, " +
+      s"[c[i]::DOUBLE * c[i]::DOUBLE for i in range(1, ${Dim + 1})]), (acc, v) -> acc + v)"
+    def update(prev: String) =
+      s"(SELECT cell, COUNT(*) AS n, $laneSums AS s FROM $prev GROUP BY cell)"
+    def cents(m: String) =
+      s"(SELECT cell, c, $ccExpr AS cc FROM (SELECT cell, n, $centList AS c FROM $m))"
+    def assign(c: String) =
+      s"""(SELECT vec_id, embedding, fx, cell FROM (
+         |  SELECT f.vec_id, f.embedding, f.fx, c.cell,
+         |    ROW_NUMBER() OVER (PARTITION BY f.vec_id ORDER BY
+         |      c.cc - 2 * ${VectorFunctions.Sql.dot("f.embedding", "c.c", Dim)} ASC,
+         |      c.cell ASC) AS rn
+         |  FROM fx f CROSS JOIN $c c) WHERE rn = 1)""".stripMargin
+    val rounds = (1 to KmIters).map { r =>
+      s"""m$r AS ${update(s"a${r - 1}")},
+         |c$r AS ${cents(s"m$r")},
+         |a$r AS ${assign(s"c$r")}""".stripMargin
+    }.mkString(",\n")
+    s"""fx AS (
+       |  SELECT vec_id, embedding, $fxList AS fx,
+       |    ${VectorFunctions.Sql.centroidDots("embedding", Dim, IvfCentroids)} AS dots
+       |  FROM embeddings),
+       |a0 AS (SELECT vec_id, embedding, fx,
+       |         list_position(dots, list_max(dots)) AS cell FROM fx),
+       |$rounds""".stripMargin
+  }
 
   val oracleSql: Map[String, String] = Map(
     "knn_brute" ->
@@ -265,6 +443,34 @@ object SimilarityQueries {
          |    ROUND(${VectorFunctions.Sql.cosine("q2.embedding", "c.embedding", Dim)}, 6) AS cos_r
          |  FROM q2 JOIN c
          |    ON (c.cell = q2.p1 OR c.cell = q2.p2) AND q2.vec_id != c.vec_id
+         |) WHERE rnk <= $K""".stripMargin,
+    "ivf_kmeans_centroids" ->
+      s"""WITH $kmeansCtes
+         |SELECT cell, CAST(t.i AS INT) AS lane, c[t.i] AS c
+         |FROM c$KmIters, range(1, ${Dim + 1}) t(i)""".stripMargin,
+    "knn_ivf_kmeans" ->
+      // probes = rn ≤ 2 over (score asc, cell asc) — identical pair to
+      // Spark's argmin + position-masked runner-up (the mask removes
+      // the POSITION, not the value, so score ties resolve to the two
+      // lowest cell ids on both engines)
+      s"""WITH $kmeansCtes,
+         |qp AS (
+         |  SELECT vec_id, cell FROM (
+         |    SELECT f.vec_id, c.cell,
+         |      ROW_NUMBER() OVER (PARTITION BY f.vec_id ORDER BY
+         |        c.cc - 2 * ${VectorFunctions.Sql.dot("f.embedding", "c.c", Dim)} ASC,
+         |        c.cell ASC) AS rn
+         |    FROM fx f CROSS JOIN c$KmIters c WHERE f.vec_id % 50 = 0)
+         |  WHERE rn <= 2)
+         |SELECT query_id, neighbor_id, rnk, cos_r FROM (
+         |  SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+         |    ROW_NUMBER() OVER (PARTITION BY q.vec_id
+         |      ORDER BY ${VectorFunctions.Sql.cosine("q.embedding", "e.embedding", Dim)} DESC,
+         |               e.vec_id ASC) AS rnk,
+         |    ROUND(${VectorFunctions.Sql.cosine("q.embedding", "e.embedding", Dim)}, 6) AS cos_r
+         |  FROM (SELECT qp.vec_id, qp.cell, f.embedding
+         |        FROM qp JOIN fx f ON qp.vec_id = f.vec_id) q
+         |  JOIN a$KmIters e ON q.cell = e.cell AND q.vec_id != e.vec_id
          |) WHERE rnk <= $K""".stripMargin
   )
 }
