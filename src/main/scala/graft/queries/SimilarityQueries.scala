@@ -275,6 +275,50 @@ object SimilarityQueries {
           round(col("cos"), 6).as("cos_r"))
     }),
 
+    // Two-stage retrieval — the production pattern the knn_int8
+    // scaladoc names: the 4×-smaller int8 corpus produces a k′ = 3K
+    // shortlist per query (cheap scan, bounded TopKByScore partial
+    // agg), then ONLY the shortlist rows are re-ranked by exact float
+    // cosine. Stage 2 touches Q×3K vectors instead of Q×N — the float
+    // corpus is joined by vec_id against the broadcast shortlist, so
+    // at 100 TB the expensive float reads are a point-lookup join, not
+    // a second full scan. Quantization error now only matters below
+    // rank 3K; the emitted top-K ordering is exact-cosine.
+    "knn_int8_rerank" -> ((s, dir) => {
+      import s.implicits._
+      val base = Tables.embeddings(s, dir)
+        .select(col("vec_id"), col("embedding"),
+          VectorFunctions.quantScale(col("embedding")).as("scale"))
+        .select(col("vec_id"), col("scale"),
+          VectorFunctions.quantize(col("embedding"), col("scale")).as("codes"))
+      val q = base.filter(col("vec_id") % 50 === 0)
+        .select(col("vec_id").as("query_id"), col("scale").as("q_scale"),
+          col("codes").as("q_codes"))
+      val scored = broadcast(q).join(base, col("query_id") =!= col("vec_id"))
+        .select(col("query_id"), col("vec_id"),
+          (VectorFunctions.dotInt(col("q_codes"), col("codes")).cast("double") /
+            (col("q_scale") * col("scale"))).as("est"))
+        .as[(Long, Long, Double)]
+      val shortlist = scored.groupByKey(_._1)
+        .mapValues(t => graft.functions.Scored(t._2, t._3))
+        .agg(new graft.functions.TopKByScore(3 * K).toColumn)
+        .toDF("query_id", "topk")
+        .select(col("query_id"), explode(col("topk.vec_id")).as("vec_id"))
+      val emb = corpus(s, dir)
+      val qf = emb.filter(col("vec_id") % 50 === 0)
+        .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
+          col("nrm").as("q_nrm"))
+      val w = Window.partitionBy(col("query_id"))
+        .orderBy(col("cos").desc, col("vec_id").asc)
+      broadcast(shortlist).join(emb, Seq("vec_id"))
+        .join(broadcast(qf), Seq("query_id"))
+        .withColumn("cos", cosCol)
+        .withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") <= K)
+        .select(col("query_id"), col("vec_id").as("neighbor_id"), col("rnk"),
+          round(col("cos"), 6).as("cos_r"))
+    }),
+
     // The learned coarse quantizer itself, exported lane-by-lane —
     // pins the full k-means training run (lattice init + KmIters Lloyd
     // rounds of exact-integer updates) against the oracle's
@@ -443,6 +487,33 @@ object SimilarityQueries {
          |    ROUND(${VectorFunctions.Sql.cosine("q2.embedding", "c.embedding", Dim)}, 6) AS cos_r
          |  FROM q2 JOIN c
          |    ON (c.cell = q2.p1 OR c.cell = q2.p2) AND q2.vec_id != c.vec_id
+         |) WHERE rnk <= $K""".stripMargin,
+    "knn_int8_rerank" ->
+      // stage 1 = the knn_int8 shortlist CTE at rnk ≤ 3K; stage 2 =
+      // exact-cosine re-rank over shortlist rows only
+      s"""WITH qz AS (
+         |  SELECT vec_id, scale,
+         |    ${VectorFunctions.Sql.quantCodes("embedding", "scale", Dim)} AS codes
+         |  FROM (SELECT vec_id, embedding,
+         |          ${VectorFunctions.Sql.quantScale("embedding")} AS scale
+         |        FROM embeddings)),
+         |sl AS (
+         |  SELECT query_id, neighbor_id FROM (
+         |    SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+         |      ROW_NUMBER() OVER (PARTITION BY q.vec_id
+         |        ORDER BY ${VectorFunctions.Sql.dotInt("q.codes", "e.codes", Dim)}::DOUBLE /
+         |                 (q.scale * e.scale) DESC,
+         |                 e.vec_id ASC) AS rnk
+         |    FROM qz q JOIN qz e ON q.vec_id % 50 = 0 AND q.vec_id != e.vec_id
+         |  ) WHERE rnk <= ${3 * K})
+         |SELECT query_id, neighbor_id, rnk, cos_r FROM (
+         |  SELECT sl.query_id, sl.neighbor_id,
+         |    ROW_NUMBER() OVER (PARTITION BY sl.query_id
+         |      ORDER BY ${VectorFunctions.Sql.cosine("qe.embedding", "ne.embedding", Dim)} DESC,
+         |               sl.neighbor_id ASC) AS rnk,
+         |    ROUND(${VectorFunctions.Sql.cosine("qe.embedding", "ne.embedding", Dim)}, 6) AS cos_r
+         |  FROM sl JOIN embeddings qe ON sl.query_id = qe.vec_id
+         |          JOIN embeddings ne ON sl.neighbor_id = ne.vec_id
          |) WHERE rnk <= $K""".stripMargin,
     "ivf_kmeans_centroids" ->
       s"""WITH $kmeansCtes

@@ -48,10 +48,12 @@ class PlanShapeSpec extends AnyFunSuite {
     // knn_brute is the deliberate brute-force ANN baseline: a non-equi
     // self-join (vec_id !=) over a broadcast query side; the composed
     // multimodal_feature_knn scores the same brute-force shape over
-    // extracted features, and knn_int8 is the same contract in the
-    // quantized domain. Nothing else may fall back to a nested-loop
-    // join.
-    val allowed = Set("knn_brute", "multimodal_feature_knn", "knn_int8")
+    // extracted features, knn_int8 is the same contract in the
+    // quantized domain, and knn_int8_rerank's stage 1 IS that int8
+    // scan (its stage-2 joins are equi-joins). Nothing else may fall
+    // back to a nested-loop join.
+    val allowed = Set("knn_brute", "multimodal_feature_knn", "knn_int8",
+      "knn_int8_rerank")
     (SparkEntry.queries.keySet -- streamingEntries -- allowed).toSeq.sorted.foreach { name =>
       val bnlj = plan(name).collect { case b: BroadcastNestedLoopJoinExec => b }
       assert(bnlj.isEmpty, s"$name plans BroadcastNestedLoopJoin")
