@@ -432,26 +432,46 @@ object StreamingQueries {
     * so replay is deterministic; text rides the stream but the emitted
     * manifest is narrow.
     */
-  def docsIngestStream(spark: SparkSession, sfDir: String): DataFrame = {
+  /** The ingest pipeline itself — shared by the MemoryStream and
+    * file-stream front doors: watermark-bounded exactly-once
+    * restoration on the stable doc key, the quality gate, and the
+    * narrow per-doc manifest projection. Takes ANY streaming frame
+    * with (docId, ts, text, source).
+    */
+  private def ingestManifest(df: DataFrame): DataFrame = {
     import graft.functions.TextFunctions
-    val ss = streamSession(spark)
-    import ss.implicits._
-    val docs = graft.Tables.documents(ss, sfDir)
-      .select(col("doc_id"), col("text"), col("source"))
-      .collect().map(r => DocEvent(r.getLong(0), 1_700_000_000_000L + r.getLong(0) * 1000L,
-        r.getString(1), r.getString(2)))
-      .toSeq.sortBy(_.docId)
-    val fed = docs.flatMap(d => Seq(d, d)) // at-least-once: every doc twice
-    implicit val sqlCtx: org.apache.spark.sql.SQLContext = ss.sqlContext
-    val ms = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[DocEvent]
-    val name = "ingest_" + UUID.randomUUID().toString.replace("-", "")
-    val ckpt = TempDir.create("graft-ckpt-")
-    val q = ms.toDF().withColumn("ts", timestamp_millis(col("tMs")))
-      .withWatermark("ts", "60 seconds")
+    df.withWatermark("ts", "60 seconds")
       .dropDuplicatesWithinWatermark("docId")
       .filter(TextFunctions.stopwordRatio(col("text")) >= 0.05)
       .select(col("docId").as("doc_id"), col("source"),
         TextFunctions.tokenCount(col("text")).as("n_tokens"))
+  }
+
+  /** Fixture docs as replay events: docId-derived 1 s event-time
+    * spacing (deterministic), delivered TWICE each (at-least-once
+    * retry semantics). The collect is replay HARNESS, like the taxi
+    * MemoryStream feed — but unlike the taxi rows it carries the
+    * corpus' widest column, so driver memory bounds the usable SF for
+    * the MemoryStream variant; the file-stream variant only holds the
+    * fixture long enough to write the chunk files.
+    */
+  private def docEvents(ss: SparkSession, sfDir: String): Seq[DocEvent] =
+    graft.Tables.documents(ss, sfDir)
+      .select(col("doc_id"), col("text"), col("source"))
+      .collect().map(r => DocEvent(r.getLong(0), 1_700_000_000_000L + r.getLong(0) * 1000L,
+        r.getString(1), r.getString(2)))
+      .toSeq.sortBy(_.docId)
+      .flatMap(d => Seq(d, d)) // at-least-once: every doc twice
+
+  def docsIngestStream(spark: SparkSession, sfDir: String): DataFrame = {
+    val ss = streamSession(spark)
+    import ss.implicits._
+    val fed = docEvents(ss, sfDir)
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = ss.sqlContext
+    val ms = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[DocEvent]
+    val name = "ingest_" + UUID.randomUUID().toString.replace("-", "")
+    val ckpt = TempDir.create("graft-ckpt-")
+    val q = ingestManifest(ms.toDF().withColumn("ts", timestamp_millis(col("tMs"))))
       .writeStream.outputMode("append")
       .option("checkpointLocation", ckpt.toString)
       .format("memory").queryName(name)
@@ -467,8 +487,40 @@ object StreamingQueries {
     ss.table(name)
   }
 
+  /** The file-source twin of [[docsIngestStream]] — the corpus front
+    * door in its production ingress form: gzipped JSONL chunk files
+    * consumed by `readStream` with one chunk per micro-batch
+    * ([[DocsReplay.fileStream]]), mirroring what
+    * `taxi_sliding_file_stream` does for the taxi wire format. Same
+    * pipeline, same batch-gate oracle; the duplicate deliveries
+    * straddle chunk boundaries, so the dedup state is exercised
+    * ACROSS micro-batches, not just within one. No flush sentinel:
+    * the pipeline has no aggregation, rows emit on first arrival.
+    */
+  def docsIngestFileStream(spark: SparkSession, sfDir: String): DataFrame = {
+    val ss = streamSession(spark)
+    val fed = docEvents(ss, sfDir)
+    val (stream, chunkDir) = DocsReplay.fileStream(ss, fed, nChunks = 3)
+    val name = "ingestfile_" + UUID.randomUUID().toString.replace("-", "")
+    val ckpt = TempDir.create("graft-ckpt-")
+    val q = ingestManifest(stream)
+      .writeStream.outputMode("append")
+      .option("checkpointLocation", ckpt.toString)
+      .format("memory").queryName(name)
+      .start()
+    try q.processAllAvailable()
+    finally {
+      q.stop()
+      TempDir.deleteRecursively(ckpt.toString)
+      TempDir.deleteRecursively(chunkDir)
+      StateStoreBridge.unloadAll()
+    }
+    ss.table(name)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "docs_ingest_stream" -> (docsIngestStream _),
+    "docs_ingest_file_stream" -> (docsIngestFileStream _),
     "taxi_total_stream" -> (totalStream _),
     "taxi_sliding_stream" -> (slidingStream _),
     "taxi_sliding_file_stream" -> (slidingFileStream _),
@@ -489,6 +541,12 @@ object StreamingQueries {
   val oracleSql: Map[String, String] = Map(
     // exactly-once restoration + gate must equal the batch gate
     "docs_ingest_stream" ->
+      s"""SELECT doc_id, source,
+         |  ${graft.functions.TextFunctions.Sql.tokenCount("text")} AS n_tokens
+         |FROM documents
+         |WHERE ${graft.functions.TextFunctions.Sql.stopwordRatio("text")} >= 0.05""".stripMargin,
+    // file ingress must converge to the identical batch gate
+    "docs_ingest_file_stream" ->
       s"""SELECT doc_id, source,
          |  ${graft.functions.TextFunctions.Sql.tokenCount("text")} AS n_tokens
          |FROM documents

@@ -1,0 +1,76 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** File-based streaming ingress for the documents corpus — the LLM
+  * pipeline's front door in its production shape: docs arrive as
+  * gzipped JSONL chunk files (the wire format of every large corpus
+  * drop — one JSON object per line, gz per chunk), consumed by
+  * `readStream.text` + `from_json` with `maxFilesPerTrigger = 1`, one
+  * chunk per micro-batch. The MemoryStream variant
+  * (`docs_ingest_stream`) is the low-latency harness; this is the
+  * object-store-listing path a 100 TB ingest actually runs — text
+  * never touches the driver once the fixture chunks are on disk
+  * (chunk WRITING is test harness, exactly like
+  * [[TaxiReplay.fileStream]]'s CSV chunks).
+  */
+object DocsReplay {
+
+  val Schema: StructType = StructType(Seq(
+    StructField("docId", LongType),
+    StructField("tMs", LongType),
+    StructField("text", StringType),
+    StructField("source", StringType)))
+
+  /** Minimal JSON string escape: quote, backslash, control chars —
+    * everything `from_json` needs to round-trip arbitrary fixture
+    * text.
+    */
+  private def jsonStr(s: String): String =
+    "\"" + s.flatMap {
+      case '"'  => "\\\""
+      case '\\' => "\\\\"
+      case '\n' => "\\n"
+      case '\r' => "\\r"
+      case '\t' => "\\t"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    } + "\""
+
+  /** Write `docs` as `nChunks` gzipped JSONL chunk files and return a
+    * parsed streaming DataFrame over them (+ the chunk dir the caller
+    * must delete after the query stops). Mod times are stamped
+    * strictly increasing so FileStreamSource's mod-time ordering
+    * replays chunks in feed order (same trap as
+    * [[TaxiReplay.fileStream]]).
+    */
+  def fileStream(
+      spark: SparkSession,
+      docs: Seq[DocEvent],
+      nChunks: Int): (DataFrame, String) = {
+    val dir = TempDir.create("graft-docs-")
+    val chunkSize = math.max(1, math.ceil(docs.size.toDouble / nChunks).toInt)
+    docs.grouped(chunkSize).zipWithIndex.foreach { case (chunk, i) =>
+      val lines = chunk.map { d =>
+        s"""{"docId":${d.docId},"tMs":${d.tMs},"text":${jsonStr(d.text)},"source":${jsonStr(d.source)}}"""
+      }
+      val bos = new java.io.ByteArrayOutputStream()
+      val gz = new java.util.zip.GZIPOutputStream(bos)
+      gz.write(lines.mkString("\n").getBytes("UTF-8")); gz.close()
+      val p = java.nio.file.Files.write(
+        dir.resolve(f"docs-$i%05d.jsonl.gz"), bos.toByteArray)
+      java.nio.file.Files.setLastModifiedTime(p,
+        java.nio.file.attribute.FileTime.fromMillis(1000000000000L + i * 1000L))
+    }
+    val parsed = spark.readStream
+      .option("maxFilesPerTrigger", "1")
+      .text(dir.toString)
+      .select(from_json(col("value"), Schema).as("j"))
+      .select(col("j.docId").as("docId"), col("j.tMs").as("tMs"),
+        col("j.text").as("text"), col("j.source").as("source"))
+      .withColumn("ts", timestamp_millis(col("tMs")))
+    (parsed, dir.toString)
+  }
+}
