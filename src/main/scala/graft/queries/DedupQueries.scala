@@ -57,7 +57,7 @@ object DedupQueries {
   }
 
   /** doc_id, band index, band hash — the LSH bucketing relation. */
-  private def minhashBands(docs: DataFrame): DataFrame = {
+  private[queries] def minhashBands(docs: DataFrame): DataFrame = {
     val sigs = minhashSigsOf(docs)
     val sigCols = (0 until MinHash.NumHashes).map(i => col(s"sig$i"))
     val bands = (0 until MinHash.NumBands).map(b =>
@@ -66,7 +66,7 @@ object DedupQueries {
       .select(col("doc_id"), col("bb.band").as("band"), col("bb.bhash").as("bhash"))
   }
 
-  private def minhashBandsSql(src: String): String = {
+  private[queries] def minhashBandsSql(src: String): String = {
     def bandExpr(b: Int): String = {
       val cols = (b * MinHash.BandSize until (b + 1) * MinHash.BandSize).map(i => s"sig$i")
       s"SELECT doc_id, $b AS band, md5(concat_ws(',', ${cols.mkString(", ")})) AS bhash FROM sigs"
@@ -82,10 +82,10 @@ object DedupQueries {
     * per-pair intersection is an allocation-free codegen'd two-pointer
     * int merge (SortedIntersectSize).
     */
-  private def trigrams(textCol: String): org.apache.spark.sql.Column =
+  private[queries] def trigrams(textCol: String): org.apache.spark.sql.Column =
     graft.functions.expressions.PackedTrigrams(col(textCol))
 
-  private def trigramsSql(text: String): String =
+  private[queries] def trigramsSql(text: String): String =
     s"list_distinct([ascii(substring($text, i, 1)) * 65536 + " +
       s"ascii(substring($text, i + 1, 1)) * 256 + ascii(substring($text, i + 2, 1)) " +
       s"for i in range(1, greatest(length($text) - 2, 1) + 1)])"

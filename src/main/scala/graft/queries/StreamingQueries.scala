@@ -518,9 +518,91 @@ object StreamingQueries {
     ss.table(name)
   }
 
+  /** Streaming INCREMENTAL curation — the day-2 steady state of a
+    * corpus pipeline, run as a stream: the already-ingested corpus
+    * (split hash < 90) is a PERSISTED near-dup index (band table +
+    * trigram table, checkpointed once — at 100 TB these are bucketed
+    * tables on the band key / doc_id); the delta (split hash ≥ 90)
+    * arrives as doubled gz JSONL chunks through the file-stream front
+    * door, is restored to exactly-once by watermark dedup, and each
+    * micro-batch then runs `dedup_incremental`'s probe inside
+    * `foreachBatch`: delta bands join the index bands, candidates
+    * verify by trigram Jaccard ≥ 0.6, and only NON-duplicate delta
+    * docs append to the manifest table — a real parquet append, the
+    * transactional-table write a production job does, not a memory
+    * sink. Only the (small) delta is ever scanned per batch; the
+    * index is probed, never rebuilt. Output: the grown manifest,
+    * index ∪ surviving delta — which is exactly the batch oracle.
+    */
+  def docsIncrementalStream(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.functions.TextFunctions
+    val ss = streamSession(spark)
+    val docs = graft.Tables.documents(ss, sfDir).withColumn("h", TextQueries.splitHash)
+    val idxDocs = docs.filter(col("h") < 90).select(col("doc_id"), col("text"))
+    val idxBands = DedupQueries.minhashBands(idxDocs)
+      .select(col("band"), col("bhash"), col("doc_id").as("idx_id"))
+      .localCheckpoint()
+    val idxTg = idxDocs
+      .select(col("doc_id").as("i_id"), DedupQueries.trigrams("text").as("i_tg"))
+      .withColumn("i_sz", size(col("i_tg")))
+      .localCheckpoint()
+    val delta = docs.filter(col("h") >= 90)
+      .select(col("doc_id"), col("text"), col("source"))
+      .collect().map(r => DocEvent(r.getLong(0), 1_700_000_000_000L + r.getLong(0) * 1000L,
+        r.getString(1), r.getString(2)))
+      .toSeq.sortBy(_.docId)
+      .flatMap(d => Seq(d, d)) // at-least-once, straddling chunk bounds
+    val (stream, chunkDir) = DocsReplay.fileStream(ss, delta, nChunks = 3)
+    val outDir = TempDir.create("graft-manifest-")
+    val ckpt = TempDir.create("graft-ckpt-")
+    val q = stream
+      .withWatermark("ts", "60 seconds")
+      .dropDuplicatesWithinWatermark("docId")
+      .writeStream.outputMode("append")
+      .option("checkpointLocation", ckpt.toString)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val b = batch.select(col("docId").as("doc_id"), col("text"))
+        val bNew = DedupQueries.minhashBands(b)
+          .select(col("band"), col("bhash"), col("doc_id").as("new_id"))
+        val cand = bNew.join(idxBands, Seq("band", "bhash"))
+          .select(col("new_id"), col("idx_id")).distinct()
+        val tgNew = b
+          .select(col("doc_id").as("n_id"), DedupQueries.trigrams("text").as("n_tg"))
+          .withColumn("n_sz", size(col("n_tg")))
+        val dupIds = cand
+          .join(tgNew, col("new_id") === col("n_id"))
+          .join(idxTg, col("idx_id") === col("i_id"))
+          .withColumn("inter", graft.functions.expressions.SortedIntersectSize(
+            col("n_tg"), col("i_tg")))
+          .filter(col("inter").cast("double") /
+            (col("n_sz") + col("i_sz") - col("inter")) >= 0.6)
+          .select(col("new_id").as("doc_id")).distinct()
+        b.join(dupIds, Seq("doc_id"), "left_anti")
+          .select(col("doc_id"), lit("delta").as("origin"),
+            TextFunctions.tokenCount(col("text")).as("n_tokens"))
+          .write.mode("append").parquet(outDir.toString)
+        ()
+      }
+      .start()
+    try {
+      q.processAllAvailable()
+      val idxManifest = docs.filter(col("h") < 90)
+        .select(col("doc_id"), lit("index").as("origin"),
+          TextFunctions.tokenCount(col("text")).as("n_tokens"))
+      idxManifest.union(ss.read.parquet(outDir.toString)).localCheckpoint()
+    } finally {
+      q.stop()
+      TempDir.deleteRecursively(ckpt.toString)
+      TempDir.deleteRecursively(chunkDir)
+      TempDir.deleteRecursively(outDir.toString)
+      StateStoreBridge.unloadAll()
+    }
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "docs_ingest_stream" -> (docsIngestStream _),
     "docs_ingest_file_stream" -> (docsIngestFileStream _),
+    "docs_incremental_stream" -> (docsIncrementalStream _),
     "taxi_total_stream" -> (totalStream _),
     "taxi_sliding_stream" -> (slidingStream _),
     "taxi_sliding_file_stream" -> (slidingFileStream _),
@@ -545,6 +627,34 @@ object StreamingQueries {
          |  ${graft.functions.TextFunctions.Sql.tokenCount("text")} AS n_tokens
          |FROM documents
          |WHERE ${graft.functions.TextFunctions.Sql.stopwordRatio("text")} >= 0.05""".stripMargin,
+    // the grown manifest must equal the batch "index ∪ non-dup delta":
+    // the dup set is dedup_incremental's verified-probe relation
+    "docs_incremental_stream" -> {
+      import graft.functions.TextFunctions
+      s"""WITH bands AS (SELECT * FROM (${DedupQueries.minhashBandsSql("documents")})),
+         |hh AS (SELECT doc_id,
+         |         ${TextFunctions.Sql.tokenHash("CAST(doc_id AS VARCHAR)")} % 100 AS h
+         |       FROM documents),
+         |cand AS (
+         |  SELECT DISTINCT n.doc_id AS new_id, i.doc_id AS idx_id
+         |  FROM bands n JOIN bands i ON n.band = i.band AND n.bhash = i.bhash
+         |  JOIN hh hn ON n.doc_id = hn.doc_id AND hn.h >= 90
+         |  JOIN hh hi ON i.doc_id = hi.doc_id AND hi.h < 90),
+         |tg AS (SELECT doc_id, ${DedupQueries.trigramsSql("text")} AS tg FROM documents),
+         |dup AS (
+         |  SELECT DISTINCT new_id FROM cand
+         |  JOIN tg dn ON new_id = dn.doc_id JOIN tg di ON idx_id = di.doc_id
+         |  WHERE len(list_intersect(dn.tg, di.tg))::DOUBLE /
+         |        len(list_distinct(list_concat(dn.tg, di.tg))) >= 0.6)
+         |SELECT d.doc_id, 'index' AS origin,
+         |  ${TextFunctions.Sql.tokenCount("d.text")} AS n_tokens
+         |FROM documents d JOIN hh ON d.doc_id = hh.doc_id AND hh.h < 90
+         |UNION ALL
+         |SELECT d.doc_id, 'delta' AS origin,
+         |  ${TextFunctions.Sql.tokenCount("d.text")} AS n_tokens
+         |FROM documents d JOIN hh ON d.doc_id = hh.doc_id AND hh.h >= 90
+         |WHERE d.doc_id NOT IN (SELECT new_id FROM dup)""".stripMargin
+    },
     // file ingress must converge to the identical batch gate
     "docs_ingest_file_stream" ->
       s"""SELECT doc_id, source,
