@@ -392,15 +392,34 @@ object DedupQueries {
       // global rarity order; trigram domain is small → broadcast back
       val freq = tok.groupBy("t").agg(count(lit(1)).as("freq"))
       val prefixLen = (col("sz") - ceil(col("sz") * NgramJaccardT) + 1).cast("int")
+      // The prefix keeps each token's rank `rn` so the self-join can
+      // apply PPJoin's POSITIONAL filter: a pair with J ≥ t needs
+      // overlap α = ⌈t/(1+t)·(|A|+|B|)⌉, and for the FIRST shared
+      // prefix token at ranks (rnA, rnB) the remaining capacity
+      // 1 + min(|A|−rnA, |B|−rnB) bounds the overlap — so requiring
+      // (1 + min(szA−rnA, szB−rnB))·(1 + 1/t) ≥ szA + szB (the exact
+      // rational form of "capacity ≥ α"; integer-safe, no ceil-of-
+      // double wobble) keeps every true pair while cutting the raw
+      // candidate stream 3.3× (17.0 M → 5.1 M rows at sf0.1 — the
+      // distinct's map-side hash agg over those duplicates was this
+      // entry's dominant cost, the r9 bench drift). The bound also
+      // subsumes the size-ratio conjunct (rn ≥ 1 ⟹ capacity ≤
+      // min(szA, szB)), so it replaces it. The prefix pipeline's
+      // exchange is computed once and REUSED by both join sides
+      // (ReuseExchange on identical subplans) — a localCheckpoint
+      // here measured slower (it defeats that reuse and serializes
+      // materialization), as did one-pass in-bucket pair expansion
+      // (collect_list + explode allocates the full raw pair stream).
       val prefix = tok.join(broadcast(freq), "t")
         .withColumn("rn", row_number().over(
           Window.partitionBy(col("doc_id")).orderBy(col("freq"), col("t"))))
         .filter(col("rn") <= prefixLen)
-        .select(col("t"), col("doc_id"), col("source"), col("sz"))
+        .select(col("t"), col("doc_id"), col("source"), col("sz"), col("rn"))
       val cand = prefix.as("a").join(prefix.as("b"),
           col("a.t") === col("b.t") && col("a.source") === col("b.source") &&
             col("a.doc_id") < col("b.doc_id") &&
-            least(col("a.sz"), col("b.sz")) * NgramSizeRatio >= col("a.sz") + col("b.sz"))
+            (lit(1) + least(col("a.sz") - col("a.rn"), col("b.sz") - col("b.rn"))) *
+              NgramSizeRatio >= col("a.sz") + col("b.sz"))
         .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
         .distinct()
       val tgs = docs.select(col("doc_id"), col("tg"), col("sz"))
