@@ -29,16 +29,19 @@ object GraftExtensions {
     "graft_dot" -> (exprs => DotProductFloat(exprs(0), exprs(1))),
     "graft_intersect_size" -> (exprs => SortedIntersectSize(exprs(0), exprs(1))),
     "graft_trigrams" -> (exprs => PackedTrigrams(exprs(0))),
-    // n must be a foldable int literal: graft_word_ngrams(text, 5).
+    // n must be a foldable int literal ≥ 2: graft_word_ngrams(text, 5).
     // Validated here so misuse surfaces as a clear message at plan
-    // time, not a ClassCastException/NPE from a raw eval().
+    // time — not a ClassCastException/NPE from a raw eval(), and not
+    // WordNgrams' bare require() for n < 2. eval() only runs on a
+    // RESOLVED foldable expression (an unresolved one would throw an
+    // unhelpful UnresolvedException at registration time).
     "graft_word_ngrams" -> { exprs =>
       val nExpr = exprs(1)
-      val n = if (nExpr.foldable) nExpr.eval() else null
+      val n = if (nExpr.resolved && nExpr.foldable) nExpr.eval() else null
       n match {
-        case i: Number => WordNgrams(exprs(0), i.intValue)
+        case i: Number if i.intValue >= 2 => WordNgrams(exprs(0), i.intValue)
         case _ => throw new IllegalArgumentException(
-          "graft_word_ngrams(text, n): n must be a non-null integer literal, " +
+          "graft_word_ngrams(text, n): n must be an integer literal >= 2, " +
             s"got ${nExpr.sql}")
       }
     })

@@ -21,6 +21,23 @@ case class DotProductInt(left: Expression, right: Expression)
 
   override def dataType: DataType = LongType
 
+  /** Both sides must be array<int>: `ArrayData.getInt` reads 4 bytes
+    * of an 8-byte slot on bigint/float/double arrays — silent garbage,
+    * not an error — so the mismatch must fail analysis, not eval.
+    */
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    import org.apache.spark.sql.types.{ArrayType, IntegerType}
+    (left.dataType, right.dataType) match {
+      case (ArrayType(IntegerType, _), ArrayType(IntegerType, _)) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case (l, r) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"graft_dot_int requires (array<int>, array<int>), got " +
+            s"(${l.simpleString(3)}, ${r.simpleString(3)})")
+    }
+  }
+
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]

@@ -356,19 +356,15 @@ object DedupQueries {
           (col("doc_id") === col("component")).cast("int"))
     }),
 
-    // 16-bit SimHash per doc: explode tokens once, 16 bit-sums, fold
-    // into the fingerprint. One shuffle on doc_id.
+    // 16-bit SimHash per doc as ONE native pass over the scan — zero
+    // shuffle, zero aggregation state (see SimHash16's scaladoc for
+    // the explode + 16-bit-sums shape it replaces and why). NULL =
+    // tokenless doc, filtered to match the oracle's absent group.
     "dedup_simhash" -> ((s, dir) => {
-      val tok = Tables.documents(s, dir)
-        .select(col("doc_id"), explode(TextFunctions.tokens(col("text"))).as("t"))
-        .withColumn("h", TextFunctions.tokenHash(col("t")))
-      val bitSums = (0 until 16).map(b =>
-        sum(shiftright(col("h"), b) % 2 * 2 - 1).as(s"s$b"))
-      val fp = (0 until 16).map(b =>
-        when(col(s"s$b") > 0, lit(1L << b)).otherwise(lit(0L))).reduce(_ + _)
-      tok.groupBy(col("doc_id"))
-        .agg(bitSums.head, bitSums.tail: _*)
-        .select(col("doc_id"), fp.as("simhash"))
+      Tables.documents(s, dir)
+        .select(col("doc_id"),
+          graft.functions.expressions.SimHash16(col("text")).as("simhash"))
+        .filter(col("simhash").isNotNull)
     }),
 
     // EXACT n-gram Jaccard near-dup via prefix filtering (the PPJoin

@@ -183,6 +183,46 @@ class FunctionsSpec extends AnyFunSuite {
     assert(r.getInt(2) == 2)
   }
 
+  test("graft_word_ngrams rejects n < 2 and non-literal n with the friendly message") {
+    GraftExtensions.register(spark)
+    Seq("graft_word_ngrams('a b c', 1)", "graft_word_ngrams('a b c', NULL)").foreach { call =>
+      val e = intercept[Exception](spark.sql(s"SELECT $call").head())
+      assert(e.getMessage.contains("must be an integer literal >= 2"),
+        s"$call: ${e.getMessage}")
+    }
+    // and the valid form still works
+    assert(spark.sql("SELECT graft_word_ngrams('a b c', 2) AS g").head()
+      .getSeq[String](0) == Seq("a b", "b c"))
+  }
+
+  test("DotProductInt fails analysis on non-int arrays instead of reading garbage") {
+    import spark.implicits._
+    val df = Seq((Seq(1L, 2L), Seq(3L, 4L))).toDF("a", "b")
+    val e = intercept[Exception](
+      df.select(graft.functions.VectorFunctions.dotInt(col("a"), col("b"))).head())
+    assert(e.getMessage.toLowerCase.contains("array<int>") ||
+      e.getMessage.contains("DATATYPE_MISMATCH"), e.getMessage)
+  }
+
+  test("SimHash16 equals the explode + 16-bit-sums formulation; tokenless docs are NULL") {
+    import spark.implicits._
+    val df = Seq("the cat sat", "a b a b a", "единственный", "  ", "")
+      .toDF("text")
+    val native = df.select(
+      graft.functions.expressions.SimHash16(col("text")).as("fp")).collect()
+    assert(native(3).isNullAt(0) && native(4).isNullAt(0))
+    val tok = df.withColumn("id", monotonically_increasing_id())
+      .select(col("id"), explode(graft.functions.TextFunctions.tokens(col("text"))).as("t"))
+      .withColumn("h", graft.functions.TextFunctions.tokenHash(col("t")))
+    val bitSums = (0 until 16).map(b =>
+      sum(shiftright(col("h"), b) % 2 * 2 - 1).as(s"s$b"))
+    val fp = (0 until 16).map(b =>
+      when(col(s"s$b") > 0, lit(1L << b)).otherwise(lit(0L))).reduce(_ + _)
+    val legacy = tok.groupBy(col("id")).agg(bitSums.head, bitSums.tail: _*)
+      .select(col("id"), fp.as("fp")).orderBy("id").collect().map(_.getLong(1))
+    assert(native.take(3).map(_.getLong(0)).toSeq == legacy.toSeq)
+  }
+
   test("SortedIntersectSize on int and long arrays matches array_intersect") {
     import spark.implicits._
     val rnd = new scala.util.Random(4)
