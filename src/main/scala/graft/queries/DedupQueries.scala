@@ -119,7 +119,7 @@ object DedupQueries {
     * `dedup_minhash_pairs` (which exports it) and `dedup_components`
     * (which clusters it).
     */
-  private def minhashVerifiedPairs(s: SparkSession, dir: String): DataFrame =
+  private[graft] def minhashVerifiedPairs(s: SparkSession, dir: String): DataFrame =
     minhashVerifiedPairsOf(Tables.documents(s, dir))
 
   private[queries] def minhashVerifiedPairsOf(documents: DataFrame): DataFrame = {
@@ -356,6 +356,31 @@ object DedupQueries {
           (col("doc_id") === col("component")).cast("int"))
     }),
 
+    // Cluster → canonical-doc collapse: the stage after connected
+    // components that actually shrinks the corpus. Per multi-member
+    // component, the representative is the LONGEST member (doc_id
+    // tiebreak) — "keep the most complete near-duplicate", the usual
+    // production rule — plus the member count the drop report needs.
+    // The rank window and the rollup both key on `component`, so the
+    // label table crosses ONE exchange and the groupBy reuses its
+    // partitioning; only (id, int) columns flow, never text.
+    "dedup_representatives" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val pairs = minhashVerifiedPairs(s, dir)
+      val docs = Tables.documents(s, dir)
+      val labels = connectedComponents(
+        s, pairs.select(col("doc_a"), col("doc_b")), docs.select(col("doc_id")))
+      val w = Window.partitionBy(col("component"))
+        .orderBy(col("n_chars").desc, col("doc_id"))
+      labels.join(docs.select(col("doc_id"), col("n_chars")), "doc_id")
+        .withColumn("rk", row_number().over(w))
+        .groupBy(col("component"))
+        .agg(count(lit(1)).as("n_members"),
+          max(when(col("rk") === 1, col("doc_id"))).as("rep_id"),
+          max(when(col("rk") === 1, col("n_chars"))).as("rep_chars"))
+        .filter(col("n_members") > 1)
+    }),
+
     // 16-bit SimHash per doc as ONE native pass over the scan — zero
     // shuffle, zero aggregation state (see SimHash16's scaladoc for
     // the explode + 16-bit-sums shape it replaces and why). NULL =
@@ -512,6 +537,27 @@ object DedupQueries {
          |SELECT v AS doc_id, MIN(r) AS component,
          |  CAST(v = MIN(r) AS INT) AS is_canonical
          |FROM reach GROUP BY v""".stripMargin,
+    "dedup_representatives" ->
+      s"""WITH RECURSIVE ${minhashPairsCtes("documents")},
+         |pairs AS ($minhashPairsSelect),
+         |edges AS (SELECT * FROM (
+         |  SELECT doc_a AS ea, doc_b AS eb FROM pairs
+         |  UNION
+         |  SELECT doc_b, doc_a FROM pairs)),
+         |reach AS (
+         |  SELECT doc_id AS v, doc_id AS r FROM documents
+         |  UNION
+         |  SELECT reach.v, e.eb FROM reach JOIN edges e ON reach.r = e.ea),
+         |comp AS (SELECT v AS doc_id, MIN(r) AS component FROM reach GROUP BY v),
+         |ranked AS (
+         |  SELECT c.component, c.doc_id, d.n_chars,
+         |    ROW_NUMBER() OVER (PARTITION BY c.component
+         |      ORDER BY d.n_chars DESC, c.doc_id) AS rk
+         |  FROM comp c JOIN documents d ON c.doc_id = d.doc_id)
+         |SELECT component, COUNT(*) AS n_members,
+         |  MAX(CASE WHEN rk = 1 THEN doc_id END) AS rep_id,
+         |  MAX(CASE WHEN rk = 1 THEN n_chars END) AS rep_chars
+         |FROM ranked GROUP BY component HAVING COUNT(*) > 1""".stripMargin,
     "dedup_simhash" ->
       s"""WITH tok AS (
          |  SELECT doc_id, ${TextFunctions.Sql.tokenHash("t")} AS h

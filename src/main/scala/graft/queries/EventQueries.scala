@@ -13,6 +13,12 @@ object EventQueries {
 
   private val GapMs = 1800000L // 30-minute session gap
 
+  /** Funnel per-step conversion window (24 h) in epoch millis —
+    * the table's native precision ([[graft.Tables.events]] reads the
+    * ns column as ms, and every event entry compares in ms space).
+    */
+  val FunnelWindowMs: Long = 24L * 3600 * 1000
+
   /** The fixture's event-type domain — the explicit pivot column list
     * (and the oracle's FILTER list), one literal for both engines.
     */
@@ -98,6 +104,35 @@ object EventQueries {
           sum(col("v")).cast("double").as("sum_value"))
     }),
 
+    // Conversion funnel view → click → purchase with a 24 h window
+    // per step: the classic ordered-sequence event query. Each stage
+    // is "first qualifying event strictly after the previous stage,
+    // within [[FunnelWindowMs]]" — so the three stage tables build by
+    // chained join+min, every join and aggregation keyed on user_id:
+    // the first groupBy's hash partitioning carries through all later
+    // stages (one exchange of the event scan per stage filter, small
+    // per-user stage tables after). Timestamps compare as exact epoch
+    // micros — no interval arithmetic to drift between engines.
+    "events_funnel" -> ((s, dir) => {
+      val ev = Tables.events(s, dir).select(
+        col("user_id"), col("event_type"), unix_millis(col("ts")).as("t_ms"))
+      def stage(etype: String, prev: DataFrame, prevT: String, out: String) =
+        ev.filter(col("event_type") === etype)
+          .join(prev.select(col("user_id"), col(prevT)), "user_id")
+          .filter(col("t_ms") > col(prevT) &&
+            col("t_ms") <= col(prevT) + lit(FunnelWindowMs))
+          .groupBy(col("user_id")).agg(min(col("t_ms")).as(out))
+      val s1 = ev.filter(col("event_type") === "view")
+        .groupBy(col("user_id")).agg(min(col("t_ms")).as("t1_ms"))
+      val s2 = stage("click", s1, "t1_ms", "t2_ms")
+      val s3 = stage("purchase", s2, "t2_ms", "t3_ms")
+      s1.join(s2, Seq("user_id"), "left").join(s3, Seq("user_id"), "left")
+        .select(col("user_id"),
+          (lit(1) + col("t2_ms").isNotNull.cast("int") +
+            col("t3_ms").isNotNull.cast("int")).as("reached"),
+          col("t1_ms"), col("t2_ms"), col("t3_ms"))
+    }),
+
     // Per-event-type user stats: exact distinct users (oracle-checked)
     // + counts. approx_count_distinct (HLL) is the 100 TB variant —
     // same plan shape, sketch merge instead of distinct shuffle; it is
@@ -155,6 +190,25 @@ object EventQueries {
       """SELECT event_type, COUNT(*) AS n_events,
         |  CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
         |FROM events GROUP BY event_type""".stripMargin,
+    "events_funnel" ->
+      s"""WITH ev AS (SELECT user_id, event_type,
+         |  epoch_ms(date_trunc('millisecond', ts)) AS t_ms FROM events),
+         |s1 AS (SELECT user_id, MIN(t_ms) AS t1_ms FROM ev
+         |       WHERE event_type = 'view' GROUP BY user_id),
+         |s2 AS (SELECT ev.user_id, MIN(ev.t_ms) AS t2_ms FROM ev
+         |       JOIN s1 ON ev.user_id = s1.user_id
+         |       WHERE ev.event_type = 'click' AND ev.t_ms > s1.t1_ms
+         |         AND ev.t_ms <= s1.t1_ms + $FunnelWindowMs GROUP BY ev.user_id),
+         |s3 AS (SELECT ev.user_id, MIN(ev.t_ms) AS t3_ms FROM ev
+         |       JOIN s2 ON ev.user_id = s2.user_id
+         |       WHERE ev.event_type = 'purchase' AND ev.t_ms > s2.t2_ms
+         |         AND ev.t_ms <= s2.t2_ms + $FunnelWindowMs GROUP BY ev.user_id)
+         |SELECT s1.user_id,
+         |  CAST(1 + CASE WHEN s2.user_id IS NULL THEN 0 ELSE 1 END
+         |         + CASE WHEN s3.user_id IS NULL THEN 0 ELSE 1 END AS INT) AS reached,
+         |  s1.t1_ms, s2.t2_ms, s3.t3_ms
+         |FROM s1 LEFT JOIN s2 ON s1.user_id = s2.user_id
+         |LEFT JOIN s3 ON s2.user_id = s3.user_id""".stripMargin,
     "events_user_stats" ->
       """SELECT event_type,
         |  COUNT(DISTINCT user_id) AS n_users,

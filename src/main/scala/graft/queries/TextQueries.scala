@@ -376,6 +376,35 @@ object TextQueries {
         .select(col("doc_id"), col("source"), rate.as("rate_pct"), mh.as("mh"))
         .filter(col("mh") < col("rate_pct"))
         .select(col("doc_id"), col("source"), col("rate_pct"))
+    }),
+
+    // Deterministic global training-order shuffle: every doc gets a
+    // unique position 1..N under the ':shuf'-salted stable hash order.
+    // The scale-honest total order: a single ROW_NUMBER() with no
+    // PARTITION BY collapses the corpus onto one task, so instead the
+    // order is (bucket, hash, doc_id) where bucket = hash % ShuffleBuckets
+    // acts as the range-partition id — positions are bucket offsets
+    // (a ShuffleBuckets-row cumulative sum, broadcast) plus an
+    // in-bucket rank (parallel window per bucket). Same two-level
+    // construction a sort-based global shuffle uses on a real cluster;
+    // re-runs are bit-identical (no RNG).
+    "text_global_shuffle" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val docs = Tables.documents(s, dir)
+        .select(col("doc_id"),
+          tokenHash(concat(lit("shuf:"), col("doc_id").cast("string"))).as("h"))
+        .withColumn("b", (col("h") % ShuffleBuckets).cast("int"))
+      val offs = docs.groupBy(col("b")).agg(count(lit(1)).as("cnt"))
+        .withColumn("off", coalesce(
+          sum(col("cnt")).over(
+            Window.orderBy(col("b")).rowsBetween(Window.unboundedPreceding, -1)),
+          lit(0L)))
+        .select(col("b"), col("off"))
+      docs.join(broadcast(offs), "b")
+        .withColumn("pos", col("off") +
+          row_number().over(Window.partitionBy(col("b"))
+            .orderBy(col("h"), col("doc_id"))))
+        .select(col("doc_id"), col("pos"))
     })
   )
 
@@ -454,6 +483,13 @@ object TextQueries {
     * docs, not hundreds) while 3-grams fire on ordinary phrase reuse.
     */
   val ContaminationN = 5
+
+  /** Range-partition count for `text_global_shuffle`'s two-level
+    * global order — at cluster scale this is the shuffle parallelism
+    * (thousands); small here so sf0.01's 500 docs still put ~16 rows
+    * in every bucket.
+    */
+  val ShuffleBuckets = 32
 
   /** Per-source keep rates (percent) for `text_mixture_sample` — the
     * corpus-composition config. One literal, rendered into the Spark
@@ -701,6 +737,18 @@ object TextQueries {
          |    CASE ${MixtureRates.map { case (src, r) => s"WHEN source = '$src' THEN $r" }.mkString(" ")} ELSE 0 END AS rate_pct,
          |    ${Sql.tokenHash("CAST(doc_id AS VARCHAR) || ':mix'")} % 100 AS mh
          |  FROM documents)
-         |WHERE mh < rate_pct""".stripMargin
+         |WHERE mh < rate_pct""".stripMargin,
+    "text_global_shuffle" ->
+      s"""WITH bs AS (
+         |  SELECT doc_id, h, h % $ShuffleBuckets AS b FROM (
+         |    SELECT doc_id,
+         |      ${Sql.tokenHash("'shuf:' || CAST(doc_id AS VARCHAR)")} AS h
+         |    FROM documents)),
+         |cnts AS (SELECT b, COUNT(*) AS cnt FROM bs GROUP BY b),
+         |offs AS (SELECT b, COALESCE(SUM(cnt) OVER (ORDER BY b
+         |  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off FROM cnts)
+         |SELECT bs.doc_id, CAST(offs.off + ROW_NUMBER() OVER (
+         |  PARTITION BY bs.b ORDER BY bs.h, bs.doc_id) AS BIGINT) AS pos
+         |FROM bs JOIN offs ON bs.b = offs.b""".stripMargin
   )
 }
