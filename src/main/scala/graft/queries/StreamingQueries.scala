@@ -41,7 +41,7 @@ object StreamingQueries {
     * the SparkContext but isolates the conf, so batch queries on the
     * parent session keep their partitioning.
     */
-  private def streamSession(spark: SparkSession): SparkSession = {
+  private[graft] def streamSession(spark: SparkSession): SparkSession = {
     val ss = spark.newSession()
     ss.conf.set("spark.sql.shuffle.partitions",
       sys.env.getOrElse("SPARK_GRAFT_STREAM_PARTITIONS", "4"))
@@ -438,7 +438,7 @@ object StreamingQueries {
     * narrow per-doc manifest projection. Takes ANY streaming frame
     * with (docId, ts, text, source).
     */
-  private def ingestManifest(df: DataFrame): DataFrame = {
+  private[graft] def ingestManifest(df: DataFrame): DataFrame = {
     import graft.functions.TextFunctions
     df.withWatermark("ts", "60 seconds")
       .dropDuplicatesWithinWatermark("docId")

@@ -378,6 +378,25 @@ object TextQueries {
         .select(col("doc_id"), col("source"), col("rate_pct"))
     }),
 
+    // Stratified sampling with EXACT per-source quotas: the balanced-
+    // subset op ("exactly K docs per source") that rate-based sampling
+    // ([[MixtureRates]]) can't express. Selection is the first
+    // [[StratQuota]] docs per source under the ':strat'-salted stable
+    // hash order — deterministic, independent of split and mixture
+    // hashes, and re-runs pick identical docs. One rank window
+    // partitioned by source (parallel per key; only id+hash columns
+    // cross the exchange).
+    "text_stratified_sample" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("source")).orderBy(col("sh"), col("doc_id"))
+      Tables.documents(s, dir)
+        .select(col("doc_id"), col("source"),
+          tokenHash(concat(col("doc_id").cast("string"), lit(":strat"))).as("sh"))
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= StratQuota)
+        .select(col("doc_id"), col("source"), col("rk"))
+    }),
+
     // Deterministic global training-order shuffle: every doc gets a
     // unique position 1..N under the ':shuf'-salted stable hash order.
     // The scale-honest total order: a single ROW_NUMBER() with no
@@ -483,6 +502,9 @@ object TextQueries {
     * docs, not hundreds) while 3-grams fire on ordinary phrase reuse.
     */
   val ContaminationN = 5
+
+  /** Exact per-source quota for `text_stratified_sample`. */
+  val StratQuota = 10
 
   /** Range-partition count for `text_global_shuffle`'s two-level
     * global order — at cluster scale this is the shuffle parallelism
@@ -738,6 +760,14 @@ object TextQueries {
          |    ${Sql.tokenHash("CAST(doc_id AS VARCHAR) || ':mix'")} % 100 AS mh
          |  FROM documents)
          |WHERE mh < rate_pct""".stripMargin,
+    "text_stratified_sample" ->
+      s"""SELECT doc_id, source, CAST(rk AS INT) AS rk FROM (
+         |  SELECT doc_id, source, ROW_NUMBER() OVER (
+         |    PARTITION BY source ORDER BY sh, doc_id) AS rk
+         |  FROM (SELECT doc_id, source,
+         |    ${Sql.tokenHash("CAST(doc_id AS VARCHAR) || ':strat'")} AS sh
+         |  FROM documents))
+         |WHERE rk <= $StratQuota""".stripMargin,
     "text_global_shuffle" ->
       s"""WITH bs AS (
          |  SELECT doc_id, h, h % $ShuffleBuckets AS b FROM (

@@ -39,12 +39,41 @@ object DocsReplay {
       case c => c.toString
     } + "\""
 
+  /** Write one gzipped JSONL chunk file into `dir`. Mod times are
+    * stamped strictly increasing by chunk index so FileStreamSource's
+    * mod-time ordering replays chunks in feed order (same trap as
+    * [[TaxiReplay.fileStream]]); a chunk written AFTER a query started
+    * (or after a restart) is picked up by the next file listing — the
+    * arrival path `StreamRecoverySpec` drives.
+    */
+  def writeChunk(dir: String, i: Int, chunk: Seq[DocEvent]): Unit = {
+    val lines = chunk.map { d =>
+      s"""{"docId":${d.docId},"tMs":${d.tMs},"text":${jsonStr(d.text)},"source":${jsonStr(d.source)}}"""
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    val gz = new java.util.zip.GZIPOutputStream(bos)
+    gz.write(lines.mkString("\n").getBytes("UTF-8")); gz.close()
+    val p = java.nio.file.Files.write(
+      java.nio.file.Paths.get(dir).resolve(f"docs-$i%05d.jsonl.gz"), bos.toByteArray)
+    java.nio.file.Files.setLastModifiedTime(p,
+      java.nio.file.attribute.FileTime.fromMillis(1000000000000L + i * 1000L))
+  }
+
+  /** Parsed streaming DataFrame over the chunk files in `dir`, one
+    * chunk per micro-batch.
+    */
+  def openStream(spark: SparkSession, dir: String): DataFrame =
+    spark.readStream
+      .option("maxFilesPerTrigger", "1")
+      .text(dir)
+      .select(from_json(col("value"), Schema).as("j"))
+      .select(col("j.docId").as("docId"), col("j.tMs").as("tMs"),
+        col("j.text").as("text"), col("j.source").as("source"))
+      .withColumn("ts", timestamp_millis(col("tMs")))
+
   /** Write `docs` as `nChunks` gzipped JSONL chunk files and return a
     * parsed streaming DataFrame over them (+ the chunk dir the caller
-    * must delete after the query stops). Mod times are stamped
-    * strictly increasing so FileStreamSource's mod-time ordering
-    * replays chunks in feed order (same trap as
-    * [[TaxiReplay.fileStream]]).
+    * must delete after the query stops).
     */
   def fileStream(
       spark: SparkSession,
@@ -53,24 +82,8 @@ object DocsReplay {
     val dir = TempDir.create("graft-docs-")
     val chunkSize = math.max(1, math.ceil(docs.size.toDouble / nChunks).toInt)
     docs.grouped(chunkSize).zipWithIndex.foreach { case (chunk, i) =>
-      val lines = chunk.map { d =>
-        s"""{"docId":${d.docId},"tMs":${d.tMs},"text":${jsonStr(d.text)},"source":${jsonStr(d.source)}}"""
-      }
-      val bos = new java.io.ByteArrayOutputStream()
-      val gz = new java.util.zip.GZIPOutputStream(bos)
-      gz.write(lines.mkString("\n").getBytes("UTF-8")); gz.close()
-      val p = java.nio.file.Files.write(
-        dir.resolve(f"docs-$i%05d.jsonl.gz"), bos.toByteArray)
-      java.nio.file.Files.setLastModifiedTime(p,
-        java.nio.file.attribute.FileTime.fromMillis(1000000000000L + i * 1000L))
+      writeChunk(dir.toString, i, chunk)
     }
-    val parsed = spark.readStream
-      .option("maxFilesPerTrigger", "1")
-      .text(dir.toString)
-      .select(from_json(col("value"), Schema).as("j"))
-      .select(col("j.docId").as("docId"), col("j.tMs").as("tMs"),
-        col("j.text").as("text"), col("j.source").as("source"))
-      .withColumn("ts", timestamp_millis(col("tMs")))
-    (parsed, dir.toString)
+    (openStream(spark, dir.toString), dir.toString)
   }
 }
