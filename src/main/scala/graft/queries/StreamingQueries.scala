@@ -418,6 +418,51 @@ object StreamingQueries {
     ss.table(name).filter(col("user_id") >= 0)
   }
 
+  /** The conversion funnel run AS A STREAM ([[graft.streaming.Funnel]]
+    * — CEP-style per-user state machine, watermark-ordered fold,
+    * single final row per user on the finality bound). Batch twin and
+    * oracle: `events_funnel`. The replay feeds only the three funnel
+    * event types (the filter the scan would push at scale), sorted,
+    * across 4 micro-batches; a far-future sentinel (user −1, filtered)
+    * advances the watermark past every finality bound so all users
+    * flush.
+    */
+  def funnelStream(spark: SparkSession, sfDir: String): DataFrame = {
+    import java.util.UUID
+    val ss = streamSession(spark)
+    import ss.implicits._
+    val evs = graft.Tables.events(ss, sfDir)
+      .filter(col("event_type").isin("view", "click", "purchase"))
+      .select(col("user_id"), unix_millis(col("ts")).as("t_ms"), col("event_type"))
+      .collect().map(r => FunnelEvent(r.getLong(0), r.getLong(1), r.getString(2)))
+      .toSeq.sortBy(e => (e.tMs, e.userId))
+    val maxT = evs.map(_.tMs).maxOption.getOrElse(0L)
+    val fed = evs :+ FunnelEvent(-1L, maxT + 2 * Funnel.WindowMs + 3600000L, "view")
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = ss.sqlContext
+    val ms = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[FunnelEvent]
+    val name = "funnel_" + UUID.randomUUID().toString.replace("-", "")
+    val ckpt = TempDir.create("graft-ckpt-")
+    val q = Funnel.funnelResults(
+        ms.toDF().withColumn("ts", timestamp_millis(col("tMs")))
+          .withWatermark("ts", "60 seconds")
+          .as[FunnelEvent])
+      .toDF()
+      .writeStream.outputMode("append")
+      .option("checkpointLocation", ckpt.toString)
+      .format("memory").queryName(name)
+      .start()
+    try {
+      val size = math.max(1, math.ceil(fed.size.toDouble / 4).toInt)
+      fed.grouped(size).foreach { b => ms.addData(b); q.processAllAvailable() }
+      ms.addData(Seq(fed.last)); q.processAllAvailable()
+    } finally {
+      q.stop()
+      TempDir.deleteRecursively(ckpt.toString)
+      StateStoreBridge.unloadAll()
+    }
+    ss.table(name).filter(col("user_id") >= 0)
+  }
+
   /** The curation recipe's streaming FRONT DOOR: documents arrive as
     * an at-least-once stream (every doc delivered twice — the retry
     * semantics of any real ingest bus), pass watermark-bounded
@@ -609,6 +654,7 @@ object StreamingQueries {
     "taxi_dedup_stream" -> (dedupStream _),
     "taxi_late_drop" -> (lateDropStream _),
     "events_sessionize_stream" -> (sessionizeStream _),
+    "events_funnel_stream" -> (funnelStream _),
     "taxi_early_stream" -> ((s, d) => earlyStream(s, d)),
     // threshold 3, not the reference's 50: the sf-scaled rides view
     // tops out at ~6 passengers per (cell, pane), so 50 would never
@@ -669,6 +715,8 @@ object StreamingQueries {
     // sliding count over the fixture exactly as if nothing was injected
     "taxi_late_drop" -> TaxiQueries.oracleSql("taxi_sliding_count"),
     "events_sessionize_stream" -> EventQueries.oracleSql("events_sessionize"),
+    // the streamed funnel must converge to the batch chained-min funnel
+    "events_funnel_stream" -> EventQueries.oracleSql("events_funnel"),
     "taxi_early_stream" -> TaxiQueries.slidingNoCentersSql,
     "taxi_early_fires" -> TaxiQueries.earlyFiresSql(3),
     "taxi_duration_stream" -> TaxiQueries.rideDurationSql,

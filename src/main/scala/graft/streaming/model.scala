@@ -48,3 +48,23 @@ final case class DocEvent(docId: Long, tMs: Long, text: String, source: String)
   * (`FIRE_AND_PURGE`, `examples/EarlyArrivalCount.scala:144-151`).
   */
 final case class WindowCount(cell: Int, wEndMs: Long, cnt: Long, isFinal: Boolean)
+
+/** One funnel-relevant `events` row for the streaming funnel replay. */
+final case class FunnelEvent(userId: Long, tMs: Long, etype: String)
+
+/** Streaming funnel per-user state: stage timestamps (−1 = not yet
+  * reached) + the buffer of (tMs, etype) the watermark has not passed.
+  * `done` is the post-decision tombstone — the funnel is a per-user
+  * LIFETIME query (stage 1 is the min view over all time), so a
+  * decided user must be remembered or later events would start a
+  * spurious second funnel; the tombstone is O(1) with no buffer and
+  * no timeout.
+  */
+final case class FunnelState(
+    t1: Long, t2: Long, t3: Long, pending: List[(Long, String)], done: Boolean)
+
+/** Final funnel outcome for one user (equals the batch
+  * `events_funnel` row).
+  */
+final case class FunnelResult(
+    user_id: Long, reached: Int, t1_ms: Long, t2_ms: Option[Long], t3_ms: Option[Long])
