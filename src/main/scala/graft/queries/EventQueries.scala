@@ -133,6 +133,27 @@ object EventQueries {
           col("t1_ms"), col("t2_ms"), col("t3_ms"))
     }),
 
+    // Inter-event gap profile per user — the lag/lead window surface
+    // (dwell-time / churn-signal analytics): gap = time since the
+    // user's previous event under the deterministic (t_ms, event_id)
+    // order. One window + one aggregation, both keyed on user_id, so
+    // the partitioning is computed once; all outputs are exact
+    // integer millis.
+    "events_gaps" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("user_id")).orderBy(col("t_ms"), col("event_id"))
+      Tables.events(s, dir)
+        .select(col("user_id"), col("event_id"), unix_millis(col("ts")).as("t_ms"))
+        .withColumn("gap", col("t_ms") - lag(col("t_ms"), 1).over(w))
+        .filter(col("gap").isNotNull)
+        .groupBy(col("user_id"))
+        .agg(
+          count(lit(1)).as("n_gaps"),
+          max(col("gap")).as("max_gap_ms"),
+          min(col("gap")).as("min_gap_ms"),
+          sum((col("gap") > GapMs * 2).cast("long")).as("n_gaps_over_1h"))
+    }),
+
     // Per-event-type user stats: exact distinct users (oracle-checked)
     // + counts. approx_count_distinct (HLL) is the 100 TB variant —
     // same plan shape, sketch merge instead of distinct shuffle; it is
@@ -190,6 +211,16 @@ object EventQueries {
       """SELECT event_type, COUNT(*) AS n_events,
         |  CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
         |FROM events GROUP BY event_type""".stripMargin,
+    "events_gaps" ->
+      s"""WITH g AS (
+         |  SELECT user_id,
+         |    t_ms - lag(t_ms) OVER (PARTITION BY user_id ORDER BY t_ms, event_id) AS gap
+         |  FROM (SELECT user_id, event_id,
+         |          epoch_ms(date_trunc('millisecond', ts)) AS t_ms FROM events))
+         |SELECT user_id, COUNT(*) AS n_gaps, MAX(gap) AS max_gap_ms,
+         |  MIN(gap) AS min_gap_ms,
+         |  CAST(COUNT(*) FILTER (WHERE gap > ${GapMs * 2}) AS BIGINT) AS n_gaps_over_1h
+         |FROM g WHERE gap IS NOT NULL GROUP BY user_id""".stripMargin,
     "events_funnel" ->
       s"""WITH ev AS (SELECT user_id, event_type,
          |  epoch_ms(date_trunc('millisecond', ts)) AS t_ms FROM events),

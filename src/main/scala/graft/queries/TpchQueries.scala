@@ -145,6 +145,31 @@ object TpchQueries {
           count(lit(1)).as("n"))
     }),
 
+    // TPC-H Q17 shape through the SQL front door: a correlated scalar
+    // subquery ("small-quantity" = below a fifth of the part's own
+    // average) that Catalyst must DECORRELATE into an aggregate +
+    // join — the optimizer surface none of the DataFrame-built
+    // entries exercise (and `MergeScalarSubqueries` can fuse the two
+    // correlated aggregates over the same group into one). The
+    // threshold is the rational rewrite 5·qty·cnt < sum_qty — exact
+    // DECIMAL/integer arithmetic, where the textbook `0.2 * avg(..)`
+    // compares engine-ordered double sums and can flip edge rows.
+    "q12_correlated_subquery" -> ((s, dir) => {
+      Tables.lineitem(s, dir).createOrReplaceTempView("q12_lineitem")
+      Tables.part(s, dir).createOrReplaceTempView("q12_part")
+      s.sql("""
+        SELECT CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) / 7.0 AS avg_yearly,
+               COUNT(*) AS n_small
+        FROM q12_lineitem l JOIN q12_part p ON l.l_partkey = p.p_partkey
+        WHERE p.p_brand = 'Brand#1'
+          AND CAST(5 * l.l_quantity AS DECIMAL(18,4)) *
+              (SELECT COUNT(*) FROM q12_lineitem l2
+               WHERE l2.l_partkey = l.l_partkey)
+            < (SELECT SUM(CAST(l3.l_quantity AS DECIMAL(18,4)))
+               FROM q12_lineitem l3 WHERE l3.l_partkey = l.l_partkey)
+      """)
+    }),
+
     // Distinct aggregation + exact distinct counting.
     "q8_distinct_agg" -> ((s, dir) => {
       Tables.lineitem(s, dir)
@@ -230,6 +255,18 @@ object TpchQueries {
         |  COUNT(DISTINCT l_partkey) AS n_parts,
         |  COUNT(DISTINCT l_suppkey) AS n_supps,
         |  COUNT(*) AS n_rows
-        |FROM lineitem GROUP BY l_returnflag""".stripMargin
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+    // decorrelated form: the per-part aggregate the subqueries become
+    "q12_correlated_subquery" ->
+      """WITH pa AS (
+        |  SELECT l_partkey AS pk,
+        |    SUM(CAST(l_quantity AS DECIMAL(18,4))) AS sq, COUNT(*) AS cnt
+        |  FROM lineitem GROUP BY l_partkey)
+        |SELECT CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) / 7.0 AS avg_yearly,
+        |  COUNT(*) AS n_small
+        |FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+        |JOIN pa ON pa.pk = l.l_partkey
+        |WHERE p.p_brand = 'Brand#1'
+        |  AND CAST(5 * l.l_quantity AS DECIMAL(18,4)) * pa.cnt < pa.sq""".stripMargin
   )
 }
