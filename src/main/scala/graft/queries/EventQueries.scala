@@ -19,6 +19,17 @@ object EventQueries {
     */
   val FunnelWindowMs: Long = 24L * 3600 * 1000
 
+  /** Cohort-retention day grid: epoch anchor (2024-01-01 UTC, the
+    * fixture's first day) and day length, both exact millis. Day ids
+    * derive via integer `div` — exact in both engines, where a double
+    * division + cast would round (DuckDB) or truncate (Spark)
+    * differently at boundaries. Day grain, not week: the fixture
+    * spans one month of ~2 events/user/day, so days produce a
+    * retention matrix with real decay where weeks saturate at 100%.
+    */
+  val RetentionEpochMs = 1704067200000L
+  val DayMs = 86400000L
+
   /** The fixture's event-type domain — the explicit pivot column list
     * (and the oracle's FILTER list), one literal for both engines.
     */
@@ -133,6 +144,25 @@ object EventQueries {
           col("t1_ms"), col("t2_ms"), col("t3_ms"))
     }),
 
+    // Cohort retention: users grouped by first-active day, counted
+    // per day-offset — the classic engagement matrix. The activity
+    // relation distincts to (user, day) FIRST (events collapse ~20×
+    // before anything joins), the cohort day is a per-user min over
+    // that small relation, and the final rollup counts rows of a
+    // relation already unique per (user, day) — so no distinct-agg
+    // shuffle at the end. All three hops key on user_id.
+    "events_retention" -> ((s, dir) => {
+      val act = Tables.events(s, dir)
+        .select(col("user_id"), unix_millis(col("ts")).as("t_ms"))
+        .select(col("user_id"),
+          expr(s"(t_ms - $RetentionEpochMs) div $DayMs").as("d"))
+        .distinct()
+      val coh = act.groupBy(col("user_id")).agg(min(col("d")).as("cohort_day"))
+      act.join(coh, "user_id")
+        .groupBy(col("cohort_day"), (col("d") - col("cohort_day")).as("day_offset"))
+        .agg(count(lit(1)).as("n_users"))
+    }),
+
     // Inter-event gap profile per user — the lag/lead window surface
     // (dwell-time / churn-signal analytics): gap = time since the
     // user's previous event under the deterministic (t_ms, event_id)
@@ -211,6 +241,16 @@ object EventQueries {
       """SELECT event_type, COUNT(*) AS n_events,
         |  CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
         |FROM events GROUP BY event_type""".stripMargin,
+    "events_retention" ->
+      s"""WITH act AS (
+         |  SELECT DISTINCT user_id,
+         |    (epoch_ms(date_trunc('millisecond', ts)) - $RetentionEpochMs) // $DayMs AS d
+         |  FROM events),
+         |coh AS (SELECT user_id, MIN(d) AS cohort_day FROM act GROUP BY user_id)
+         |SELECT coh.cohort_day, act.d - coh.cohort_day AS day_offset,
+         |  COUNT(*) AS n_users
+         |FROM act JOIN coh ON act.user_id = coh.user_id
+         |GROUP BY 1, 2""".stripMargin,
     "events_gaps" ->
       s"""WITH g AS (
          |  SELECT user_id,

@@ -170,6 +170,23 @@ object TpchQueries {
       """)
     }),
 
+    // INTERSECT / EXCEPT — the set-op planning surface (Catalyst
+    // rewrites: Intersect → distinct left-semi join, Except →
+    // distinct left-anti join; both inherit the join's shuffle-on-key
+    // scale shape, never a row-by-row comparison). High-quantity
+    // parts shipped under both return flags vs only-R, tagged into
+    // one relation (the quantity cut keeps either side from covering
+    // the whole part domain, so EXCEPT is non-vacuous).
+    "q13_set_ops" -> ((s, dir) => {
+      def keys(flag: String) = Tables.lineitem(s, dir)
+        .filter(col("l_returnflag") === flag && col("l_quantity") >= 49)
+        .select(col("l_partkey"))
+      keys("R").intersect(keys("A"))
+        .select(lit("both").as("tag"), col("l_partkey"))
+        .unionAll(keys("R").except(keys("A"))
+          .select(lit("only_r").as("tag"), col("l_partkey")))
+    }),
+
     // Distinct aggregation + exact distinct counting.
     "q8_distinct_agg" -> ((s, dir) => {
       Tables.lineitem(s, dir)
@@ -256,6 +273,16 @@ object TpchQueries {
         |  COUNT(DISTINCT l_suppkey) AS n_supps,
         |  COUNT(*) AS n_rows
         |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+    "q13_set_ops" ->
+      """SELECT 'both' AS tag, l_partkey FROM (
+        |  SELECT l_partkey FROM lineitem WHERE l_returnflag = 'R' AND l_quantity >= 49
+        |  INTERSECT
+        |  SELECT l_partkey FROM lineitem WHERE l_returnflag = 'A' AND l_quantity >= 49)
+        |UNION ALL
+        |SELECT 'only_r' AS tag, l_partkey FROM (
+        |  SELECT l_partkey FROM lineitem WHERE l_returnflag = 'R' AND l_quantity >= 49
+        |  EXCEPT
+        |  SELECT l_partkey FROM lineitem WHERE l_returnflag = 'A' AND l_quantity >= 49)""".stripMargin,
     // decorrelated form: the per-part aggregate the subqueries become
     "q12_correlated_subquery" ->
       """WITH pa AS (
