@@ -24,7 +24,7 @@ class PlanShapeSpec extends AnyFunSuite {
     "taxi_dedup_stream", "events_sessionize_stream",
     "taxi_sliding_file_stream", "taxi_late_drop", "docs_ingest_stream",
     "docs_ingest_file_stream", "docs_incremental_stream",
-    "events_funnel_stream")
+    "events_funnel_stream", "events_attribution_stream")
 
   /** Pre-AQE physical plan: assertable deterministically; AQE only
     * re-plans *away* from shapes asserted here on runtime stats.
