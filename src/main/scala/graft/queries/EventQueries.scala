@@ -184,6 +184,34 @@ object EventQueries {
           sum((col("gap") > GapMs * 2).cast("long")).as("n_gaps_over_1h"))
     }),
 
+    // Gaps-and-islands run-length collapse (the SCD2 / changelog-
+    // compaction shape): consecutive same-event_type rows per user
+    // fold into one [run_start, run_end] validity interval via the
+    // classic rn − rn_by_type island id. The explicit repartition on
+    // user_id pins ONE exchange for everything downstream: both
+    // row_number windows (hash(user_id) satisfies the (user_id) AND
+    // the (user_id, event_type) clustering — subset rule) and the
+    // final groupBy all reuse it. Exact integer millis, no doubles.
+    "events_runs" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val wAll = Window.partitionBy(col("user_id"))
+        .orderBy(col("t_ms"), col("event_id"))
+      val wTyp = Window.partitionBy(col("user_id"), col("event_type"))
+        .orderBy(col("t_ms"), col("event_id"))
+      Tables.events(s, dir)
+        .select(col("user_id"), col("event_type"), col("event_id"),
+          unix_millis(col("ts")).as("t_ms"))
+        .repartition(col("user_id"))
+        .withColumn("grp", row_number().over(wAll) - row_number().over(wTyp))
+        .groupBy(col("user_id"), col("event_type"), col("grp"))
+        .agg(
+          min(col("t_ms")).as("run_start_ms"),
+          max(col("t_ms")).as("run_end_ms"),
+          count(lit(1)).as("run_len"))
+        .select(col("user_id"), col("event_type"),
+          col("run_start_ms"), col("run_end_ms"), col("run_len"))
+    }),
+
     // Per-event-type user stats: exact distinct users (oracle-checked)
     // + counts. approx_count_distinct (HLL) is the 100 TB variant —
     // same plan shape, sketch merge instead of distinct shuffle; it is
@@ -280,6 +308,18 @@ object EventQueries {
          |  s1.t1_ms, s2.t2_ms, s3.t3_ms
          |FROM s1 LEFT JOIN s2 ON s1.user_id = s2.user_id
          |LEFT JOIN s3 ON s2.user_id = s3.user_id""".stripMargin,
+    "events_runs" ->
+      """WITH e AS (SELECT user_id, event_type, event_id,
+        |             epoch_ms(date_trunc('millisecond', ts)) AS t_ms FROM events),
+        |r AS (SELECT *,
+        |        row_number() OVER (PARTITION BY user_id
+        |          ORDER BY t_ms, event_id) AS rn,
+        |        row_number() OVER (PARTITION BY user_id, event_type
+        |          ORDER BY t_ms, event_id) AS rnt
+        |      FROM e)
+        |SELECT user_id, event_type, min(t_ms) AS run_start_ms,
+        |  max(t_ms) AS run_end_ms, count(*) AS run_len
+        |FROM r GROUP BY user_id, event_type, rn - rnt""".stripMargin,
     "events_user_stats" ->
       """SELECT event_type,
         |  COUNT(DISTINCT user_id) AS n_users,

@@ -144,6 +144,40 @@ object TaxiQueries {
           struct((col("t_ms") + (col("passengers") * lit(60000L))).as("t_ms"),
             lit("END").as("tag")))).as("ev"))
         .select(col("rideId"), col("ev.t_ms").as("t_ms"), col("ev.tag").as("tag"))
+    }),
+
+    // Rides-in-progress timeline: how many rides are active at each
+    // event instant, over the ETL intervals [t_start, t_start +
+    // passengers·2 min). The naive form is a range-containment join
+    // (timeline × intervals — quadratic, the classic range-join
+    // blowup); the scale form is the SWEEP: ±1 deltas at interval
+    // endpoints, aggregated per instant, then a global running sum.
+    // A bare ROW_NUMBER-style global window would collapse onto one
+    // task, so the running sum is the same two-level distributed
+    // prefix sum as `text_global_shuffle`: per-day partial cumsum
+    // (parallel window, day = range-partition id) + a #days-row
+    // day-offset rollup joined back by broadcast. The delta
+    // aggregate is localCheckpointed once so the within-day and
+    // day-total consumers share one pass. Exact integers throughout.
+    "taxi_concurrency" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val iv = rides(s, dir).filter(col("isStart"))
+        .select(col("t_ms").as("t_start"),
+          (col("t_ms") + col("passengers") * lit(120000L)).as("t_end"))
+      val deltas = iv.select(col("t_start").as("t_ms"), lit(1L).as("delta"))
+        .unionAll(iv.select(col("t_end").as("t_ms"), lit(-1L).as("delta")))
+      val agg = deltas.groupBy(col("t_ms")).agg(sum(col("delta")).as("d"))
+        .withColumn("day", expr("t_ms div 86400000"))
+        .localCheckpoint()
+      val within = agg.withColumn("run",
+        sum(col("d")).over(Window.partitionBy(col("day")).orderBy(col("t_ms"))))
+      val dayOff = agg.groupBy(col("day")).agg(sum(col("d")).as("tot"))
+        .select(col("day"), coalesce(
+          sum(col("tot")).over(Window.orderBy(col("day"))
+            .rowsBetween(Window.unboundedPreceding, -1)),
+          lit(0L)).as("off"))
+      within.join(broadcast(dayOff), Seq("day"))
+        .select(col("t_ms"), (col("run") + col("off")).as("concurrency"))
     })
   )
 
@@ -260,6 +294,16 @@ object TaxiQueries {
       s"""WITH r AS (SELECT * FROM ($ridesSql) WHERE isStart)
          |SELECT rideId, t_ms, 'START' AS tag FROM r
          |UNION ALL
-         |SELECT rideId, t_ms + passengers * 60000 AS t_ms, 'END' AS tag FROM r""".stripMargin
+         |SELECT rideId, t_ms + passengers * 60000 AS t_ms, 'END' AS tag FROM r""".stripMargin,
+    // Single-window sweep: the two-level prefix sum on the Spark side
+    // must equal this by the associativity of the running sum.
+    "taxi_concurrency" ->
+      s"""WITH iv AS (
+         |  SELECT t_ms AS t_start, t_ms + passengers * 120000 AS t_end
+         |  FROM ($ridesSql) WHERE isStart),
+         |deltas AS (SELECT t_start AS t_ms, 1 AS delta FROM iv
+         |  UNION ALL SELECT t_end, -1 FROM iv),
+         |agg AS (SELECT t_ms, sum(delta) AS d FROM deltas GROUP BY t_ms)
+         |SELECT t_ms, sum(d) OVER (ORDER BY t_ms) AS concurrency FROM agg""".stripMargin
   )
 }

@@ -424,8 +424,100 @@ object TextQueries {
           row_number().over(Window.partitionBy(col("b"))
             .orderBy(col("h"), col("doc_id"))))
         .select(col("doc_id"), col("pos"))
+    }),
+
+    // Cross-document boilerplate detection (the C4/RefinedWeb line-
+    // dedup curation stage): a "line" is a fixed [[BoilerLineTokens]]-
+    // token window (the fixture corpus has no newlines; production
+    // swaps the chunker for split('\n') with the same plan), and a
+    // line appearing in ≥ [[BoilerMinDocs]] DISTINCT docs is
+    // boilerplate (nav bars, cookie banners, license headers). Scale
+    // shape: docs tokenize + chunk ONCE into (doc_id, line-hash)
+    // pairs — 16 bytes/row, localCheckpointed so the frequency agg and
+    // the join-back share one tokenize pass and line TEXT never
+    // crosses an exchange (only the 64-bit hash does); the boilerplate
+    // set is frequency-filtered (bounded by corpus repetition, like
+    // the decontamination gram set) and broadcast. Counts are exact
+    // integers; the DuckDB oracle counts on line strings — identical
+    // modulo 64-bit hash collisions (none at any test SF, P≈2⁻⁴⁰).
+    "text_boilerplate" -> ((s, dir) => {
+      val w = BoilerLineTokens
+      val lines = Tables.documents(s, dir)
+        .select(col("doc_id"), tokens(col("text")).as("t"))
+        .filter(size(col("t")) >= w)
+        .select(col("doc_id"), col("t"),
+          explode(sequence(lit(1), expr(s"size(t) div $w"))).as("i"))
+        .select(col("doc_id"),
+          xxhash64(array_join(
+            slice(col("t"), (col("i") - 1) * w + 1, lit(w)), " ")).as("lh"))
+        .localCheckpoint()
+      val boiler = lines.groupBy(col("lh"))
+        .agg(countDistinct(col("doc_id")).as("nd"))
+        .filter(col("nd") >= BoilerMinDocs)
+        .select(col("lh"), lit(1L).as("is_boiler"))
+      val perDoc = lines.join(broadcast(boiler), Seq("lh"), "left")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_lines"),
+          sum(coalesce(col("is_boiler"), lit(0L))).as("n_boiler"))
+      Tables.documents(s, dir).select(col("doc_id"))
+        .join(perDoc, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("n_lines"), lit(0L)).as("n_lines"),
+          coalesce(col("n_boiler"), lit(0L)).as("n_boiler"))
+    }),
+
+    // PII detection + redaction (email / phone / IPv4-ish), the
+    // release-gate curation stage. The corpus fixture is word-soup
+    // with no PII, so deterministic PII is appended IN the query from
+    // doc_id arithmetic (the same seeded-fixture policy as
+    // `taxi_csv_roundtrip`) — 1/3 of docs get an email, 1/5 a phone,
+    // 1/7 an IP, so every regex matches real rows AND real non-matches.
+    // Patterns stay in the Java∩RE2 common dialect (char classes +
+    // bounded repeats, no backrefs/lookaround) so Spark and the DuckDB
+    // oracle match identically; replacement order is fixed
+    // email→phone→IP. Pure map — codegen'd regexp over one scan, no
+    // shuffle; counts are exact ints, redaction pinned by md5.
+    "text_pii_redact" -> ((s, dir) => {
+      val fx = concat(col("text"),
+        when(col("doc_id") % 3 === 0,
+          concat(lit(" contact user"), col("doc_id").cast("string"),
+            lit("@example.com"))).otherwise(lit("")),
+        when(col("doc_id") % 5 === 0,
+          concat(lit(" call 555-"),
+            lpad(((col("doc_id") * 7) % 10000).cast("string"), 4, "0")))
+          .otherwise(lit("")),
+        when(col("doc_id") % 7 === 0,
+          concat(lit(" host 10."), (col("doc_id") % 256).cast("string"),
+            lit(".0."), ((col("doc_id") * 3) % 256).cast("string")))
+          .otherwise(lit("")))
+      val red = regexp_replace(regexp_replace(regexp_replace(fx,
+        PiiEmailRe, "<EMAIL>"), PiiPhoneRe, "<PHONE>"), PiiIpRe, "<IP>")
+      Tables.documents(s, dir).select(
+        col("doc_id"),
+        size(regexp_extract_all(fx, lit(PiiEmailRe), lit(0))).as("n_emails"),
+        size(regexp_extract_all(fx, lit(PiiPhoneRe), lit(0))).as("n_phones"),
+        size(regexp_extract_all(fx, lit(PiiIpRe), lit(0))).as("n_ips"),
+        length(red).as("redacted_len"),
+        md5(red).as("redacted_md5"))
     })
   )
+
+  /** Tokens per boilerplate "line" and the distinct-doc threshold
+    * above which a line is boilerplate. 4/3 fit the ~55-token fixture
+    * docs (22 repeated lines at sf0.01); production uses real newline
+    * lines with e.g. a ≥ 10-doc threshold, same plan.
+    */
+  val BoilerLineTokens = 4
+  val BoilerMinDocs = 3
+
+  /** PII patterns, restricted to the Java∩RE2 common regex dialect so
+    * Spark (java.util.regex) and DuckDB (RE2) match byte-identically:
+    * character classes, bounded repeats, literal dots — no backrefs,
+    * no lookaround, no possessive quantifiers.
+    */
+  val PiiEmailRe = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+  val PiiPhoneRe = "555-[0-9]{4}"
+  val PiiIpRe = "10\\.[0-9]{1,3}\\.0\\.[0-9]{1,3}"
 
   /** The stable split hash in [0, 100): [[TextFunctions.tokenHash]] of
     * the doc_id string — the ONE spelling of the train/val/test
@@ -779,6 +871,47 @@ object TextQueries {
          |  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off FROM cnts)
          |SELECT bs.doc_id, CAST(offs.off + ROW_NUMBER() OVER (
          |  PARTITION BY bs.b ORDER BY bs.h, bs.doc_id) AS BIGINT) AS pos
-         |FROM bs JOIN offs ON bs.b = offs.b""".stripMargin
+         |FROM bs JOIN offs ON bs.b = offs.b""".stripMargin,
+    // Oracle counts on line STRINGS where Spark counts on xxhash64 of
+    // the line — identical unless two distinct lines collide in 64
+    // bits (none at any test SF).
+    "text_boilerplate" ->
+      s"""WITH toks AS (SELECT doc_id, ${Sql.tokens("text")} AS t FROM documents),
+         |lines AS (
+         |  SELECT doc_id,
+         |    array_to_string(t[(i-1)*$BoilerLineTokens+1 : i*$BoilerLineTokens], ' ') AS line
+         |  FROM (SELECT doc_id, t, unnest(range(1, len(t)//$BoilerLineTokens + 1)) AS i
+         |        FROM toks WHERE len(t) >= $BoilerLineTokens)),
+         |boiler AS (SELECT line FROM lines GROUP BY line
+         |           HAVING count(DISTINCT doc_id) >= $BoilerMinDocs),
+         |per_doc AS (
+         |  SELECT l.doc_id, count(*) AS n_lines,
+         |         sum(CASE WHEN b.line IS NOT NULL THEN 1 ELSE 0 END) AS n_boiler
+         |  FROM lines l LEFT JOIN boiler b ON l.line = b.line GROUP BY l.doc_id)
+         |SELECT d.doc_id, coalesce(p.n_lines, 0) AS n_lines,
+         |       coalesce(p.n_boiler, 0) AS n_boiler
+         |FROM documents d LEFT JOIN per_doc p ON d.doc_id = p.doc_id""".stripMargin,
+    "text_pii_redact" ->
+      s"""WITH fx AS (
+         |  SELECT doc_id, text
+         |    || CASE WHEN doc_id % 3 = 0 THEN ' contact user' || doc_id::VARCHAR || '@example.com' ELSE '' END
+         |    || CASE WHEN doc_id % 5 = 0 THEN ' call 555-' || lpad(((doc_id * 7) % 10000)::VARCHAR, 4, '0') ELSE '' END
+         |    || CASE WHEN doc_id % 7 = 0 THEN ' host 10.' || (doc_id % 256)::VARCHAR || '.0.' || ((doc_id * 3) % 256)::VARCHAR ELSE '' END
+         |    AS pii_text
+         |  FROM documents),
+         |red AS (
+         |  SELECT doc_id, pii_text,
+         |    regexp_replace(regexp_replace(regexp_replace(pii_text,
+         |      '$PiiEmailRe', '<EMAIL>', 'g'),
+         |      '$PiiPhoneRe', '<PHONE>', 'g'),
+         |      '$PiiIpRe', '<IP>', 'g') AS r
+         |  FROM fx)
+         |SELECT doc_id,
+         |  CAST(len(regexp_extract_all(pii_text, '$PiiEmailRe')) AS INT) AS n_emails,
+         |  CAST(len(regexp_extract_all(pii_text, '$PiiPhoneRe')) AS INT) AS n_phones,
+         |  CAST(len(regexp_extract_all(pii_text, '$PiiIpRe')) AS INT) AS n_ips,
+         |  CAST(length(r) AS INT) AS redacted_len,
+         |  md5(r) AS redacted_md5
+         |FROM red""".stripMargin
   )
 }

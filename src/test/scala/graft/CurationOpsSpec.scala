@@ -65,4 +65,65 @@ class CurationOpsSpec extends AnyFunSuite {
       }
     }
   }
+
+  test("events_runs partitions each user's history into maximal same-type runs") {
+    val rows = SparkEntry.queries("events_runs")(spark, sf).collect()
+    val total = Tables.events(spark, sf).count()
+    assert(rows.map(_.getAs[Long]("run_len")).sum == total,
+      "runs must cover every event exactly once")
+    assert(rows.exists(_.getAs[Long]("run_len") > 1),
+      "fixture must contain at least one multi-event run")
+    // maximality: adjacent runs of one user never share a type
+    rows.groupBy(_.getAs[Long]("user_id")).foreach { case (_, rs) =>
+      rs.sortBy(_.getAs[Long]("run_start_ms")).sliding(2).foreach {
+        case Array(a, b) =>
+          assert(a.getAs[String]("event_type") != b.getAs[String]("event_type"))
+          assert(a.getAs[Long]("run_end_ms") <= b.getAs[Long]("run_start_ms"))
+        case _ =>
+      }
+    }
+  }
+
+  test("taxi_concurrency sweep overlaps and returns to zero") {
+    val rows = SparkEntry.queries("taxi_concurrency")(spark, sf)
+      .collect().sortBy(_.getAs[Long]("t_ms"))
+    assert(rows.forall(_.getAs[Long]("concurrency") >= 0))
+    assert(rows.exists(_.getAs[Long]("concurrency") > 1),
+      "fixture intervals must actually overlap or the sweep is vacuous")
+    assert(rows.last.getAs[Long]("concurrency") == 0,
+      "after the last interval ends nothing is in progress")
+  }
+
+  test("text_boilerplate finds repeated lines and bounds them by n_lines") {
+    val rows = SparkEntry.queries("text_boilerplate")(spark, sf).collect()
+    assert(rows.exists(_.getAs[Long]("n_boiler") > 0),
+      "fixture must contain cross-doc repeated lines")
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_boiler") <= r.getAs[Long]("n_lines"))
+    }
+  }
+
+  test("text_pii_redact leaves no live PII behind") {
+    import graft.queries.TextQueries.{PiiEmailRe, PiiIpRe, PiiPhoneRe}
+    val rows = SparkEntry.queries("text_pii_redact")(spark, sf).collect()
+    assert(rows.map(_.getAs[Int]("n_emails")).sum > 0)
+    assert(rows.map(_.getAs[Int]("n_phones")).sum > 0)
+    assert(rows.map(_.getAs[Int]("n_ips")).sum > 0)
+    // re-running detection over the redacted text finds nothing: the
+    // md5 is oracle-pinned, so rebuild the redacted string here
+    val docs = Tables.documents(spark, sf).select(col("doc_id"), col("text"))
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("text")).toMap
+    rows.foreach { r =>
+      val id = r.getAs[Long]("doc_id")
+      var t = docs(id)
+      if (id % 3 == 0) t += s" contact user$id@example.com"
+      if (id % 5 == 0) t += s" call 555-${"%04d".format(id * 7 % 10000)}"
+      if (id % 7 == 0) t += s" host 10.${id % 256}.0.${id * 3 % 256}"
+      val red = t.replaceAll(PiiEmailRe, "<EMAIL>")
+        .replaceAll(PiiPhoneRe, "<PHONE>").replaceAll(PiiIpRe, "<IP>")
+      assert(PiiEmailRe.r.findFirstIn(red).isEmpty)
+      assert(PiiPhoneRe.r.findFirstIn(red).isEmpty)
+      assert(red.length == r.getAs[Int]("redacted_len"))
+    }
+  }
 }
