@@ -305,6 +305,47 @@ object DedupQueries {
     // is small — the property that makes this shape hold at 100 TB.
     "dedup_minhash_pairs" -> ((s, dir) => minhashVerifiedPairs(s, dir)),
 
+    // Triangle enumeration over the verified near-dup graph — the
+    // cluster-cohesion diagnostic (a component rich in triangles is a
+    // true duplicate clique; a triangle-free one is a chain of
+    // borderline matches worth a threshold review). DEGREE-ORIENTED
+    // enumeration, the scale-correct algorithm: each edge points from
+    // its lower-(degree, id) endpoint to the higher, wedges expand
+    // only from out-edges, so per-vertex work is bounded by
+    // out-degree² ≤ O(|E|) total even on skewed (hub-heavy) graphs —
+    // an id-oriented wedge join would square the hub's degree. Each
+    // triangle emits exactly once (at its lowest-(deg, id) corner),
+    // output canonicalized a<b<c to match the oracle's id-oriented
+    // enumeration. Pairs are localCheckpointed once: three consumers
+    // (degree count, orientation, closing join) otherwise re-run the
+    // whole LSH+verify pipeline.
+    "dedup_triangles" -> ((s, dir) => {
+      val und = minhashVerifiedPairs(s, dir)
+        .select(col("doc_a").as("a"), col("doc_b").as("b"))
+        .localCheckpoint()
+      val deg = und.select(explode(array(col("a"), col("b"))).as("v"))
+        .groupBy(col("v")).agg(count(lit(1)).as("deg"))
+      val oriented = und
+        .join(deg.select(col("v").as("a"), col("deg").as("da")), "a")
+        .join(deg.select(col("v").as("b"), col("deg").as("db")), "b")
+        .select(
+          when(col("da") < col("db") ||
+              (col("da") === col("db") && col("a") < col("b")),
+            struct(col("a").as("u"), col("b").as("w")))
+            .otherwise(struct(col("b").as("u"), col("a").as("w"))).as("e"))
+        .select(col("e.u").as("u"), col("e.w").as("w"))
+      val wedges = oriented.as("o1")
+        .join(oriented.as("o2"),
+          col("o1.u") === col("o2.u") && col("o1.w") < col("o2.w"))
+        .select(col("o1.u").as("u"), col("o1.w").as("x"), col("o2.w").as("y"))
+      wedges.join(und.as("e3"),
+          least(col("x"), col("y")) === col("e3.a") &&
+            greatest(col("x"), col("y")) === col("e3.b"))
+        .select(array_sort(array(col("u"), col("x"), col("y"))).as("t"))
+        .select(col("t").getItem(0).as("a"), col("t").getItem(1).as("b"),
+          col("t").getItem(2).as("c"))
+    }),
+
     // Incremental (delta-ingest) near-dup check: a NEW batch of
     // documents probed against the ALREADY-INGESTED corpus — the shape
     // every production pipeline actually runs day 2 (full-corpus
@@ -505,6 +546,16 @@ object DedupQueries {
     "dedup_minhash_pairs" ->
       s"""WITH ${minhashPairsCtes("documents")}
          |$minhashPairsSelect""".stripMargin,
+    // Id-oriented enumeration (each triangle once at its lowest id);
+    // the Spark side's degree-oriented walk must produce the same
+    // canonical a<b<c set.
+    "dedup_triangles" ->
+      s"""WITH ${minhashPairsCtes("documents")},
+         |p AS ($minhashPairsSelect),
+         |e AS (SELECT doc_a AS a, doc_b AS b FROM p)
+         |SELECT e1.a AS a, e1.b AS b, e2.b AS c
+         |FROM e e1 JOIN e e2 ON e1.a = e2.a AND e1.b < e2.b
+         |JOIN e e3 ON e3.a = e1.b AND e3.b = e2.b""".stripMargin,
     "dedup_incremental" ->
       s"""WITH bands AS (SELECT * FROM (${minhashBandsSql("documents")})),
          |hh AS (SELECT doc_id,

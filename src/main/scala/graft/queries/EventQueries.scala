@@ -184,6 +184,31 @@ object EventQueries {
           sum((col("gap") > GapMs * 2).cast("long")).as("n_gaps_over_1h"))
     }),
 
+    // Rolling 7-day active users (trailing-window DISTINCT): WAU as
+    // of each day. A window frame can't do this — COUNT(DISTINCT)
+    // over a moving frame is not a legal window function in any
+    // engine — so the scale rewrite is CONTRIBUTION EXPLODE: activity
+    // first distincts to (user, day) (the ~20× collapse retention
+    // also uses), then each active day contributes to its 7 trailing
+    // window-days (bounded 7× fan-out, the epoch-upsampling shape),
+    // and a two-phase distinct agg counts per window-day. The data
+    // max day is a driver-held scalar (O(8 bytes), the IVF-centroid
+    // pattern) bounding the horizon so the last day's tail doesn't
+    // emit phantom future windows.
+    "events_rolling_wau" -> ((s, dir) => {
+      val act = Tables.events(s, dir)
+        .select(col("user_id"), unix_millis(col("ts")).as("t_ms"))
+        .select(col("user_id"),
+          expr(s"(t_ms - $RetentionEpochMs) div $DayMs").as("d"))
+        .distinct()
+      val maxDay = act.agg(max(col("d"))).head.getLong(0)
+      act.select(col("user_id"),
+          explode(sequence(col("d"), col("d") + 6)).as("day"))
+        .filter(col("day") <= maxDay)
+        .groupBy(col("day"))
+        .agg(countDistinct(col("user_id")).as("wau"))
+    }),
+
     // Gaps-and-islands run-length collapse (the SCD2 / changelog-
     // compaction shape): consecutive same-event_type rows per user
     // fold into one [run_start, run_end] validity interval via the
@@ -308,6 +333,14 @@ object EventQueries {
          |  s1.t1_ms, s2.t2_ms, s3.t3_ms
          |FROM s1 LEFT JOIN s2 ON s1.user_id = s2.user_id
          |LEFT JOIN s3 ON s2.user_id = s3.user_id""".stripMargin,
+    "events_rolling_wau" ->
+      s"""WITH act AS (SELECT DISTINCT user_id,
+         |    (epoch_ms(date_trunc('millisecond', ts)) - $RetentionEpochMs) // $DayMs AS d
+         |  FROM events),
+         |contrib AS (SELECT user_id, d + i AS day FROM act, unnest(range(0, 7)) AS t(i))
+         |SELECT day, count(DISTINCT user_id) AS wau
+         |FROM contrib WHERE day <= (SELECT max(d) FROM act)
+         |GROUP BY day""".stripMargin,
     "events_runs" ->
       """WITH e AS (SELECT user_id, event_type, event_id,
         |             epoch_ms(date_trunc('millisecond', ts)) AS t_ms FROM events),

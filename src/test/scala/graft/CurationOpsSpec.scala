@@ -103,6 +103,41 @@ class CurationOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("dedup_triangles equals brute-force closure over the pair graph") {
+    import graft.queries.DedupQueries
+    val edges = DedupQueries.minhashVerifiedPairs(spark, sf)
+      .select(col("doc_a"), col("doc_b")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val verts = edges.flatMap(e => Seq(e._1, e._2)).toSeq.sorted
+    def conn(x: Long, y: Long) =
+      edges.contains((math.min(x, y), math.max(x, y)))
+    val want = (for {
+      a <- verts; b <- verts if a < b && conn(a, b)
+      c <- verts if b < c && conn(a, c) && conn(b, c)
+    } yield (a, b, c)).toSet
+    val got = SparkEntry.queries("dedup_triangles")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(want.nonEmpty, "fixture graph must contain triangles")
+    assert(got == want)
+  }
+
+  test("events_rolling_wau equals brute-force trailing-7-day distinct") {
+    import graft.queries.EventQueries.{DayMs, RetentionEpochMs}
+    val act = Tables.events(spark, sf)
+      .select(col("user_id"),
+        expr(s"(unix_millis(ts) - $RetentionEpochMs) div $DayMs").as("d"))
+      .distinct().collect().map(r => (r.getLong(0), r.getLong(1)))
+    val maxDay = act.map(_._2).max
+    val got = SparkEntry.queries("events_rolling_wau")(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    got.foreach { case (day, wau) =>
+      val want = act.filter(a => a._2 <= day && a._2 >= day - 6)
+        .map(_._1).distinct.length
+      assert(wau == want, s"day $day")
+    }
+    assert(got.keys.max == maxDay, "horizon is the data's max day")
+  }
+
   test("text_pii_redact leaves no live PII behind") {
     import graft.queries.TextQueries.{PiiEmailRe, PiiIpRe, PiiPhoneRe}
     val rows = SparkEntry.queries("text_pii_redact")(spark, sf).collect()
