@@ -466,6 +466,17 @@ object TextQueries {
           coalesce(col("n_boiler"), lit(0L)).as("n_boiler"))
     }),
 
+    // Cross-engine table checksum — the reconciliation op a team
+    // MIGRATING engines (this library's stated purpose) actually
+    // runs: per-source row count, order-independent 60-bit content
+    // fingerprint (bit_xor of a md5-prefix hash — XOR is commutative/
+    // associative, so the result is partitioning- and order-invariant
+    // and mergeable across shards), exact char sum, id range. Any
+    // single dropped, duplicated, or mutated row flips the XOR. One
+    // scan, one tiny agg — runs cheaply enough to gate every backfill.
+    "text_table_checksum" -> ((s, dir) =>
+      tableChecksumOf(Tables.documents(s, dir))),
+
     // PII detection + redaction (email / phone / IPv4-ish), the
     // release-gate curation stage. The corpus fixture is word-soup
     // with no PII, so deterministic PII is appended IN the query from
@@ -501,6 +512,22 @@ object TextQueries {
         md5(red).as("redacted_md5"))
     })
   )
+
+  /** The checksum body, parameterized over the relation so the spec
+    * can feed reordered / tampered variants of the same rows.
+    */
+  private[graft] def tableChecksumOf(documents: DataFrame): DataFrame =
+    documents
+      .select(col("source"), col("doc_id"), col("n_chars"),
+        conv(substring(md5(col("text")), 1, 15), 16, 10)
+          .cast("long").as("h"))
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_rows"),
+        expr("bit_xor(h)").as("content_xor"),
+        sum(col("n_chars")).as("chars_sum"),
+        min(col("doc_id")).as("id_min"),
+        max(col("doc_id")).as("id_max"))
 
   /** Tokens per boilerplate "line" and the distinct-doc threshold
     * above which a line is boilerplate. 4/3 fit the ~55-token fixture
@@ -891,6 +918,12 @@ object TextQueries {
          |SELECT d.doc_id, coalesce(p.n_lines, 0) AS n_lines,
          |       coalesce(p.n_boiler, 0) AS n_boiler
          |FROM documents d LEFT JOIN per_doc p ON d.doc_id = p.doc_id""".stripMargin,
+    "text_table_checksum" ->
+      """SELECT source, COUNT(*) AS n_rows,
+        |  bit_xor(CAST(('0x' || substr(md5(text), 1, 15))::UBIGINT AS BIGINT)) AS content_xor,
+        |  CAST(SUM(n_chars) AS BIGINT) AS chars_sum,
+        |  MIN(doc_id) AS id_min, MAX(doc_id) AS id_max
+        |FROM documents GROUP BY source""".stripMargin,
     "text_pii_redact" ->
       s"""WITH fx AS (
          |  SELECT doc_id, text

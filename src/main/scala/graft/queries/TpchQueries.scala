@@ -170,6 +170,26 @@ object TpchQueries {
       """)
     }),
 
+    // Explicit GROUPING SETS — the general form rollup (`q7`) and
+    // cube (`q11`) are sugar for, with per-column GROUPING() flags
+    // (the only reliable way to tell a super-aggregate NULL from a
+    // data NULL). Catalyst plans one Expand over the scan (3 grouping
+    // branches) + one two-phase aggregate — rows shuffle once with a
+    // 3× expansion factor, not once per set. SQL front door, like
+    // `q12`: grouping-set syntax has no stable DataFrame API.
+    "q14_grouping_sets" -> ((s, dir) => {
+      Tables.lineitem(s, dir).createOrReplaceTempView("q14_lineitem")
+      s.sql("""
+        SELECT l_returnflag, l_linestatus,
+               CAST(grouping(l_returnflag) AS INT) AS g_flag,
+               CAST(grouping(l_linestatus) AS INT) AS g_status,
+               COUNT(*) AS n,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty
+        FROM q14_lineitem
+        GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+      """)
+    }),
+
     // INTERSECT / EXCEPT — the set-op planning surface (Catalyst
     // rewrites: Intersect → distinct left-semi join, Except →
     // distinct left-anti join; both inherit the join's shuffle-on-key
@@ -283,6 +303,14 @@ object TpchQueries {
         |  SELECT l_partkey FROM lineitem WHERE l_returnflag = 'R' AND l_quantity >= 49
         |  EXCEPT
         |  SELECT l_partkey FROM lineitem WHERE l_returnflag = 'A' AND l_quantity >= 49)""".stripMargin,
+    "q14_grouping_sets" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(GROUPING(l_returnflag) AS INT) AS g_flag,
+        |  CAST(GROUPING(l_linestatus) AS INT) AS g_status,
+        |  COUNT(*) AS n,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())""".stripMargin,
     // decorrelated form: the per-part aggregate the subqueries become
     "q12_correlated_subquery" ->
       """WITH pa AS (

@@ -138,6 +138,25 @@ class CurationOpsSpec extends AnyFunSuite {
     assert(got.keys.max == maxDay, "horizon is the data's max day")
   }
 
+  test("text_table_checksum flips on any single-row mutation, and is order-invariant") {
+    import org.apache.spark.sql.functions.{col, concat, lit, when}
+    val base = SparkEntry.queries("text_table_checksum")(spark, sf)
+      .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+    // same rows in a different physical order → identical fingerprint
+    val shuffled = graft.queries.TextQueries.tableChecksumOf(
+      Tables.documents(spark, sf).repartition(7).sortWithinPartitions(col("n_chars")))
+      .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+    assert(shuffled == base)
+    // mutate ONE row's text → only that source's fingerprint changes
+    val tampered = graft.queries.TextQueries.tableChecksumOf(
+      Tables.documents(spark, sf).withColumn("text",
+        when(col("doc_id") === 0, concat(col("text"), lit("x")))
+          .otherwise(col("text"))))
+      .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+    val changed = base.keys.filter(k => base(k) != tampered(k))
+    assert(changed.size == 1)
+  }
+
   test("text_pii_redact leaves no live PII behind") {
     import graft.queries.TextQueries.{PiiEmailRe, PiiIpRe, PiiPhoneRe}
     val rows = SparkEntry.queries("text_pii_redact")(spark, sf).collect()
