@@ -466,6 +466,30 @@ object TextQueries {
           coalesce(col("n_boiler"), lit(0L)).as("n_boiler"))
     }),
 
+    // Inverted-index postings build — the materialization that turns
+    // repeated text search from per-query corpus scans into posting-
+    // list intersections. One explode + one (token, doc_id) aggregate
+    // = one shuffle; at scale the output is WRITTEN bucketed+sorted
+    // by token so each posting list is co-located and merge-ready
+    // (the `BucketedJoinSpec` layout policy). tf rides along so
+    // ranked boolean retrieval needs no second corpus pass.
+    "text_inverted_postings" -> ((s, dir) => postings(s, dir)),
+
+    // Boolean AND search over the postings: docs containing ALL query
+    // terms, ranked input tf_total. The term filter sits ON THE GROUP
+    // KEY, so Catalyst pushes it below the aggregation — only the
+    // |terms| posting lists are ever aggregated, and the probe is a
+    // doc_id-keyed count-match, never a corpus scan. The scale path
+    // for "search the corpus again" once postings persist.
+    "text_search_boolean" -> ((s, dir) => {
+      postings(s, dir)
+        .filter(col("token").isin(SearchTerms: _*))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_terms"), sum(col("tf")).as("tf_total"))
+        .filter(col("n_terms") === SearchTerms.size)
+        .select(col("doc_id"), col("tf_total"))
+    }),
+
     // Cross-engine table checksum — the reconciliation op a team
     // MIGRATING engines (this library's stated purpose) actually
     // runs: per-source row count, order-independent 60-bit content
@@ -512,6 +536,18 @@ object TextQueries {
         md5(red).as("redacted_md5"))
     })
   )
+
+  /** Boolean-search query terms (mid-df corpus words: each in ~78% of
+    * docs, so the 3-way AND keeps both matches and non-matches).
+    */
+  val SearchTerms = Seq("join", "vector", "query")
+
+  /** The tf-annotated postings relation (token, doc_id, tf). */
+  private def postings(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("doc_id"), explode(tokens(col("text"))).as("token"))
+      .groupBy(col("token"), col("doc_id"))
+      .agg(count(lit(1)).as("tf"))
 
   /** The checksum body, parameterized over the relation so the spec
     * can feed reordered / tampered variants of the same rows.
@@ -918,6 +954,18 @@ object TextQueries {
          |SELECT d.doc_id, coalesce(p.n_lines, 0) AS n_lines,
          |       coalesce(p.n_boiler, 0) AS n_boiler
          |FROM documents d LEFT JOIN per_doc p ON d.doc_id = p.doc_id""".stripMargin,
+    "text_inverted_postings" ->
+      s"""SELECT token, doc_id, count(*) AS tf
+         |FROM (SELECT doc_id, unnest(${Sql.tokens("text")}) AS token FROM documents)
+         |GROUP BY token, doc_id""".stripMargin,
+    "text_search_boolean" ->
+      s"""WITH p AS (
+         |  SELECT token, doc_id, count(*) AS tf
+         |  FROM (SELECT doc_id, unnest(${Sql.tokens("text")}) AS token FROM documents)
+         |  WHERE token IN (${SearchTerms.map(t => s"'$t'").mkString(", ")})
+         |  GROUP BY token, doc_id)
+         |SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS tf_total
+         |FROM p GROUP BY doc_id HAVING count(*) = ${SearchTerms.size}""".stripMargin,
     "text_table_checksum" ->
       """SELECT source, COUNT(*) AS n_rows,
         |  bit_xor(CAST(('0x' || substr(md5(text), 1, 15))::UBIGINT AS BIGINT)) AS content_xor,
