@@ -184,6 +184,32 @@ object EventQueries {
           sum((col("gap") > GapMs * 2).cast("long")).as("n_gaps_over_1h"))
     }),
 
+    // Latest-state snapshot (SCD1 / CDC "last write wins" compaction):
+    // each user's most recent event row. NOT a row_number window —
+    // max(struct(t_ms, event_id, ...)) is a commutative aggregate, so
+    // map-side partial aggregation reduces every partition to ONE row
+    // per key before the shuffle (the same pre-shuffle arg-min idiom
+    // as text_curation_pipeline's min_by): the exchange moves
+    // O(keys × partitions) rows, not the full history a window plan
+    // would sort. Struct comparison is lexicographic in both engines;
+    // (t_ms, event_id) leads, so the tiebreak is exact-integer.
+    "events_latest_state" -> ((s, dir) => {
+      Tables.events(s, dir)
+        .select(col("user_id"), unix_millis(col("ts")).as("t_ms"),
+          col("event_id"), col("event_type"), col("value"))
+        .groupBy(col("user_id"))
+        .agg(
+          max(struct(col("t_ms"), col("event_id"), col("event_type"),
+            col("value"))).as("last"),
+          count(lit(1)).as("n_events"))
+        .select(col("user_id"),
+          col("last.t_ms").as("last_t_ms"),
+          col("last.event_id").as("last_event_id"),
+          col("last.event_type").as("last_type"),
+          col("last.value").as("last_value"),
+          col("n_events"))
+    }),
+
     // Rolling 7-day active users (trailing-window DISTINCT): WAU as
     // of each day. A window frame can't do this — COUNT(DISTINCT)
     // over a moving frame is not a legal window function in any
@@ -333,6 +359,17 @@ object EventQueries {
          |  s1.t1_ms, s2.t2_ms, s3.t3_ms
          |FROM s1 LEFT JOIN s2 ON s1.user_id = s2.user_id
          |LEFT JOIN s3 ON s2.user_id = s3.user_id""".stripMargin,
+    "events_latest_state" ->
+      """WITH e AS (SELECT user_id, event_type, value, event_id,
+        |             epoch_ms(date_trunc('millisecond', ts)) AS t_ms FROM events),
+        |m AS (SELECT user_id,
+        |        max(struct_pack(t_ms := t_ms, event_id := event_id,
+        |                        event_type := event_type, value := value)) AS last,
+        |        count(*) AS n_events
+        |      FROM e GROUP BY user_id)
+        |SELECT user_id, last.t_ms AS last_t_ms, last.event_id AS last_event_id,
+        |       last.event_type AS last_type, last.value AS last_value, n_events
+        |FROM m""".stripMargin,
     "events_rolling_wau" ->
       s"""WITH act AS (SELECT DISTINCT user_id,
          |    (epoch_ms(date_trunc('millisecond', ts)) - $RetentionEpochMs) // $DayMs AS d

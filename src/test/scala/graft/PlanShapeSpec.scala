@@ -186,4 +186,36 @@ class PlanShapeSpec extends AnyFunSuite {
       assert(globalSorts.isEmpty, "text_pack_sequences plans a GLOBAL sort")
     } finally spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
   }
+
+  /** Runtime bloom-filter injection (InjectRuntimeFilter): a selective
+    * dim-side filter becomes a `might_contain(bloom_filter_agg(...))`
+    * predicate on the FACT scan, pruning rows before the shuffle join.
+    * At cluster scale this fires on defaults (application side
+    * > 10 GB); locally only the application-side size threshold is
+    * lowered — the creation-side bound and the rule itself are stock.
+    */
+  test("runtime bloom filter prunes the fact side of a shuffled fact-dim join") {
+    import org.apache.spark.sql.functions.col
+    val conf = spark.conf
+    val prevApp = conf.get(
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold")
+    val prevBc = conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      conf.set(
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0")
+      conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val li = Tables.lineitem(spark, sf)
+      val ord = Tables.orders(spark, sf)
+        .filter(col("o_orderpriority") === "1-URGENT")
+      val plan = li.join(ord, li("l_orderkey") === ord("o_orderkey"))
+        .groupBy(col("o_orderpriority")).count()
+        .queryExecution.optimizedPlan.toString
+      assert(plan.contains("might_contain") && plan.contains("bloom_filter_agg"),
+        "expected an injected runtime bloom filter on the fact scan")
+    } finally {
+      conf.set(
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", prevApp)
+      conf.set("spark.sql.autoBroadcastJoinThreshold", prevBc)
+    }
+  }
 }
