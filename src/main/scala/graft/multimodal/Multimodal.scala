@@ -18,9 +18,13 @@ import org.apache.spark.sql.functions._
   * walk). Each sits behind a trait seam ([[ImageCodec]] /
   * [[AudioCodec]] / [[VideoCodec]]); a compressed-format decoder
   * (JavaCPP/ffmpeg/ImageIO) implements the same trait and changes
-  * none of the dataflow. The only stub left is the learned feature
-  * encoder ([[StubCodecs.extractFeatures]] — stands in for model
-  * inference, which genuinely doesn't belong in this container).
+  * none of the dataflow. Feature extraction is real classical signal
+  * processing over the DECODED content ([[ContentFeatures]]): intensity
+  * histograms, difference/average perceptual hashes over the real
+  * resize, DC-removed audio energy + zero crossings, inter-frame
+  * motion energy. A learned embedding model (which doesn't belong in
+  * this container) would slot in at the same `mapPartitions` stage
+  * with the same output shape.
   *
   * Scale shape: payloads never pass through a shuffle — metadata is
   * extracted in the scan stage and only the (narrow) metadata columns
@@ -350,57 +354,130 @@ object Multimodal {
       frame_bytes: Long,
       frame_sum: Long)
 
-  /** The one remaining stub — and the one that SHOULD be a stub in
-    * this container: the learned feature encoder (a vision/audio
-    * embedding model). Byte-format codecs above are all real; this
-    * fold stands in for model inference, deterministic on the payload
-    * bytes so the oracle can shadow it exactly in integer domain.
+  /** Classical content features, computed on REALLY-DECODED content
+    * bytes (the codecs above strip containers first), not on raw
+    * payload bytes — a header byte never leaks into a feature. Every
+    * computation is exact integer arithmetic (or derived from it), so
+    * the DuckDB oracle recomputes each feature bit-for-bit from the
+    * fixture math. These are the genuine workhorses of image/audio
+    * curation — intensity histograms, dHash/aHash perceptual hashes,
+    * DC-removed energy, zero-crossing rate, inter-frame motion — not
+    * stand-ins; a *learned* encoder would slot into the same stage.
     */
-  object StubCodecs {
-    /** STUB: a real implementation would run a vision/audio encoder;
-      * the fake folds payload bytes into a deterministic unit-norm-ish
-      * float vector with the real output shape (fixed dim).
+  object ContentFeatures {
+
+    /** The decoded content bytes of a payload, routed by sniffing the
+      * real container magic: P5 → pixel samples, RIFF → PCM data
+      * chunk, YUV4MPEG2 → concatenated luma planes; anything else is
+      * treated as raw content (e.g. utf8 text). Decoding here is the
+      * real codec walk — header/marker bytes never reach a feature.
       */
-    def extractFeatures(payload: Array[Byte], dim: Int = 16): Array[Float] = {
-      val acc = new Array[Float](dim)
-      var i = 0
-      while (i < payload.length) {
-        acc(i % dim) += (payload(i) & 0xff) / 255.0f
-        i += 1
+    def contentBytes(payload: Array[Byte]): Array[Byte] = {
+      def startsWith(s: String): Boolean = {
+        val m = s.getBytes("US-ASCII")
+        payload.length >= m.length && java.util.Arrays.equals(
+          java.util.Arrays.copyOfRange(payload, 0, m.length), m)
       }
-      val n = math.sqrt(acc.map(x => x * x).sum).toFloat
-      if (n == 0f) acc else acc.map(_ / n)
+      if (startsWith("P5")) PgmCodec.pixels(payload)
+      else if (startsWith("RIFF")) WavCodec.samples(payload)
+      else if (startsWith("YUV4MPEG2")) {
+        val frames = Y4mCodec.sampleFrames(payload, 1)
+        val out = new java.io.ByteArrayOutputStream(frames.map(_._2.length).sum)
+        frames.foreach { case (_, f) => out.write(f) }
+        out.toByteArray
+      } else payload
     }
 
-    /** Exact integer twin of `extractFeatures`'s fold (not a stub —
-      * integer addition has no rounding): per-lane sums of raw byte
-      * values, recomputable bit-exactly by the SQL oracle.
+    /** Intensity histogram: count of content bytes per equal-width
+      * bucket (byte >> 4 for the default 16 bins). Exact integers.
       */
-    def byteLaneSums(payload: Array[Byte], dim: Int = 16): Array[Long] = {
-      val acc = new Array[Long](dim)
+    def intensityHistogram(content: Array[Byte], bins: Int = 16): Array[Long] = {
+      val acc = new Array[Long](bins)
       var i = 0
-      while (i < payload.length) {
-        acc(i % dim) += (payload(i) & 0xff).toLong
+      while (i < content.length) {
+        acc((content(i) & 0xff) * bins / 256) += 1L
         i += 1
       }
       acc
+    }
+
+    /** The histogram as a unit-norm float vector — the shape the ANN
+      * operators downstream consume. Zero-length content keeps the
+      * zero vector (norm 0), mirrored by the oracle's CASE.
+      */
+    def normalizedHistogram(content: Array[Byte], bins: Int = 16): Array[Float] = {
+      val h = intensityHistogram(content, bins)
+      val n = math.sqrt(h.map(x => x.toDouble * x).sum)
+      if (n == 0.0) new Array[Float](bins) else h.map(x => (x / n).toFloat)
+    }
+
+    /** Difference hash (dHash) row bytes: resize to 9×8 through the
+      * REAL codec resize, then bit x of row y = 1 iff p(y,x) > p(y,x+1).
+      * Robust to rescaling (floor-sampling composes exactly under
+      * integer upscales — pinned by the spec) — the property that lets
+      * perceptual dedup catch re-encoded/resized copies exact-hash
+      * dedup misses.
+      */
+    def dhashBytes(payload: Array[Byte], codec: ImageCodec = PgmCodec): Array[Int] = {
+      val px = codec.pixels(codec.resize(payload, 9, 8))
+      Array.tabulate(8) { y =>
+        var b = 0
+        var x = 0
+        while (x < 8) {
+          if ((px(y * 9 + x) & 0xff) > (px(y * 9 + x + 1) & 0xff)) b |= 1 << x
+          x += 1
+        }
+        b
+      }
+    }
+
+    /** Average hash (aHash) row bytes + the 8×8 mean: bit = pixel
+      * strictly above the integer mean of the 64 resized samples.
+      */
+    def ahashBytes(payload: Array[Byte], codec: ImageCodec = PgmCodec): (Array[Int], Int) = {
+      val px = codec.pixels(codec.resize(payload, 8, 8)).map(_ & 0xff)
+      val mean = px.map(_.toLong).sum.toInt / 64
+      val bytes = Array.tabulate(8) { y =>
+        var b = 0
+        var x = 0
+        while (x < 8) {
+          if (px(y * 8 + x) > mean) b |= 1 << x
+          x += 1
+        }
+        b
+      }
+      (bytes, mean)
+    }
+
+    /** Row bytes → the canonical lowercase-hex string form. */
+    def hashHex(bytes: Array[Int]): String =
+      bytes.map(b => f"$b%02x").mkString
+
+    /** Row bytes → two little-endian 32-bit halves (lo = rows 0-3,
+      * hi = rows 4-7) for band-LSH + exact hamming verification.
+      */
+    def hashHalves(bytes: Array[Int]): (Long, Long) = {
+      def word(off: Int): Long =
+        (0 until 4).map(i => bytes(off + i).toLong << (8 * i)).sum
+      (word(0), word(4))
     }
   }
 
   final case class ResizedImage(
       media_id: Long, n_bytes_in: Long, n_bytes_out: Long, pix_sum: Long)
 
-  /** `features` is the stub encoder's unit-norm float vector;
-    * `laneSums` is the same byte-fold in *exact integer* domain
-    * (laneSums(j) = Σ of payload bytes at positions ≡ j mod dim) — the
-    * oracle-checkable shadow of the float fold, so the driver can
-    * hard-verify the decode→fold plumbing without comparing float32
-    * accumulation against DuckDB doubles.
+  /** `features` is the unit-norm intensity-histogram vector (what the
+    * ANN operators consume); `hist` is the same histogram in *exact
+    * integer* domain — the oracle-checkable shadow, so the driver
+    * hard-verifies the decode→featurize plumbing without comparing
+    * float32 accumulation against DuckDB doubles. Both are computed on
+    * DECODED content bytes (pixels / PCM samples / luma planes), never
+    * on container bytes.
     */
   final case class MediaFeatures(
       media_id: Long,
       features: Array[Float],
-      laneSums: Array[Long])
+      hist: Array[Long])
 
   /** Resize stage: payload → fixed-dims payload, still partition-local.
     * `pix_sum` (sum of the resized image's sample bytes) pins the
@@ -421,17 +498,149 @@ object Multimodal {
       }
   }
 
-  /** Feature-extraction stage: payload → fixed-dim embedding, feeding
-    * the similarity operators (VectorFunctions/knn) downstream.
+  /** Feature-extraction stage: payload → real codec decode → fixed-dim
+    * intensity-histogram embedding, feeding the similarity operators
+    * (VectorFunctions/knn) downstream. Partition-parallel; payloads
+    * never shuffle.
     */
   def extractFeatures(media: DataFrame, dim: Int = 16): Dataset[MediaFeatures] = {
     val spark = media.sparkSession
     import spark.implicits._
     media.as[MediaItem]
-      .mapPartitions(_.map(m =>
+      .mapPartitions(_.map { m =>
+        val content = ContentFeatures.contentBytes(m.payload)
         MediaFeatures(m.media_id,
-          StubCodecs.extractFeatures(m.payload, dim),
-          StubCodecs.byteLaneSums(m.payload, dim))))
+          ContentFeatures.normalizedHistogram(content, dim),
+          ContentFeatures.intensityHistogram(content, dim))
+      })
+  }
+
+  final case class PerceptualHash(
+      media_id: Long, dhash_hex: String, ahash_hex: String, mean_px: Int)
+
+  /** Perceptual-hash stage (image kind): dHash + aHash over the real
+    * 9×8 / 8×8 codec resize. Partition-local; the hex forms are the
+    * canonical interchange representation.
+    */
+  def perceptualHashes(
+      media: DataFrame, codec: ImageCodec = PgmCodec): Dataset[PerceptualHash] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.filter(col("kind") === "image").as[MediaItem]
+      .mapPartitions(_.map { m =>
+        val dh = ContentFeatures.dhashBytes(m.payload, codec)
+        val (ah, mean) = ContentFeatures.ahashBytes(m.payload, codec)
+        PerceptualHash(m.media_id, ContentFeatures.hashHex(dh),
+          ContentFeatures.hashHex(ah), mean)
+      })
+  }
+
+  /** Thumbnail media-id namespace: a 64×64 rescale of image row k is
+    * row k + ThumbIdOffset in [[imageDHashWithThumbs]]' output.
+    */
+  val ThumbIdOffset = 1000000L
+
+  final case class DHashBands(
+      media_id: Long, b0: Int, b1: Int, b2: Int, b3: Int, lo: Long, hi: Long)
+
+  /** dHash of every image AND of its 64×64 thumbnail (a genuinely
+    * re-encoded copy: different bytes, different md5 — exact dedup
+    * misses it), split into 4×16-bit LSH bands + two 32-bit halves
+    * for exact hamming verification. Feeds `dedup_phash`: candidates
+    * share ≥1 band (one shuffle, bounded in-bucket expansion — the
+    * MinHash-LSH scale shape), survivors verify popcount(xor) ≤ T.
+    */
+  def imageDHashWithThumbs(
+      media: DataFrame, codec: ImageCodec = PgmCodec): Dataset[DHashBands] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.filter(col("kind") === "image").as[MediaItem]
+      .mapPartitions(_.flatMap { m =>
+        def row(id: Long, payload: Array[Byte]): DHashBands = {
+          val b = ContentFeatures.dhashBytes(payload, codec)
+          val (lo, hi) = ContentFeatures.hashHalves(b)
+          DHashBands(id, b(0) + 256 * b(1), b(2) + 256 * b(3),
+            b(4) + 256 * b(5), b(6) + 256 * b(7), lo, hi)
+        }
+        Iterator(row(m.media_id, m.payload),
+          row(m.media_id + ThumbIdOffset, codec.resize(m.payload, 64, 64)))
+      })
+  }
+
+  final case class AudioFeatureRow(
+      media_id: Long, n_samples: Long, sample_mean: Int, energy: Long,
+      zero_crossings: Long, peak_dev: Int)
+
+  /** Audio feature stage: real WAV chunk walk → 8-bit PCM data bytes →
+    * DC-removed features. `sample_mean` is the integer mean (the DC
+    * estimate); `energy` = Σ(s−mean)² (loudness), `zero_crossings`
+    * counts sign transitions around the mean (spectral-centroid
+    * proxy), `peak_dev` = max |s−mean|. All exact integer arithmetic.
+    */
+  def audioFeatures(
+      media: DataFrame, codec: AudioCodec = WavCodec): Dataset[AudioFeatureRow] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.filter(col("kind") === "audio").as[MediaItem]
+      .mapPartitions(_.map { m =>
+        val s = codec.samples(m.payload)
+        if (s.isEmpty) AudioFeatureRow(m.media_id, 0L, 0, 0L, 0L, 0)
+        else {
+          val n = s.length
+          var sum = 0L
+          var i = 0
+          while (i < n) { sum += (s(i) & 0xff); i += 1 }
+          val mean = (sum / n).toInt
+          var energy = 0L
+          var zc = 0L
+          var peak = 0
+          i = 0
+          while (i < n) {
+            val d = (s(i) & 0xff) - mean
+            energy += d.toLong * d
+            if (math.abs(d) > peak) peak = math.abs(d)
+            if (i > 0 && (((s(i - 1) & 0xff) >= mean) != ((s(i) & 0xff) >= mean)))
+              zc += 1
+            i += 1
+          }
+          AudioFeatureRow(m.media_id, n.toLong, mean, energy, zc, peak)
+        }
+      })
+  }
+
+  final case class MotionRow(
+      media_id: Long, n_transitions: Long, motion_total: Long, motion_max: Long)
+
+  /** Inter-frame motion energy (video kind): per consecutive frame
+    * pair, Σ|luma_t − luma_{t−1}| over the plane; aggregated to one
+    * row per video (single-frame videos have no transitions and emit
+    * none). A real temporal feature over the real FRAME walk — the
+    * scene-cut / static-content signal video curation filters on.
+    */
+  def motionEnergy(
+      media: DataFrame, codec: VideoCodec = Y4mCodec): Dataset[MotionRow] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.filter(col("kind") === "video").as[MediaItem]
+      .mapPartitions(_.flatMap { m =>
+        val frames = codec.sampleFrames(m.payload, 1).map(_._2)
+        if (frames.length < 2) Iterator.empty
+        else {
+          var total = 0L
+          var mx = 0L
+          frames.sliding(2).foreach { case Seq(a, b) =>
+            var d = 0L
+            var i = 0
+            while (i < a.length) {
+              d += math.abs((a(i) & 0xff) - (b(i) & 0xff))
+              i += 1
+            }
+            total += d
+            if (d > mx) mx = d
+          }
+          Iterator(MotionRow(m.media_id, (frames.length - 1).toLong, total, mx))
+        }
+      })
   }
 
   /** The PGM payload of an image-kind fixture row, as pure column

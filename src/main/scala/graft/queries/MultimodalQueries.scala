@@ -4,11 +4,12 @@ import graft.multimodal.Multimodal
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-/** Oracle-checkable slice of the multimodal pipeline: the byte-level
-  * metadata (sizes, digests, kind routing, stub-decoded dimensions)
-  * is recomputable by DuckDB from the same `documents` rows, so the
-  * binary plumbing — encode → partition-parallel decode → project —
-  * is driver-verified end-to-end even though the codecs are stubs.
+/** Oracle-checkable slice of the multimodal pipeline: every decoded
+  * field and every content feature (histograms, perceptual hashes,
+  * audio energy/ZCR, motion) is recomputable by DuckDB from the same
+  * `documents` rows, so the binary plumbing — encode →
+  * partition-parallel real decode → featurize → project — is
+  * driver-verified end-to-end, header bytes and all.
   */
 object MultimodalQueries {
 
@@ -43,24 +44,67 @@ object MultimodalQueries {
     "multimodal_audio_meta" -> ((s, dir) =>
       Multimodal.decodeAudio(Multimodal.audioFromDocuments(s, dir)).toDF()),
 
-    // Stub resize + feature-extraction stages. The float32 feature
-    // fold isn't robustly SQL-comparable, but its exact integer twin
-    // (per-lane byte sums) is — projected here alongside dim and the
-    // (unit) norm so the driver hard-checks the decode→fold plumbing.
+    // Real resize + feature-extraction stages. Features are intensity
+    // histograms over DECODED content bytes (pixels / PCM / luma —
+    // never container bytes); the float32 unit-norm vector isn't
+    // robustly SQL-comparable, but its exact integer twin (the bucket
+    // counts) is — all 16 projected so the driver hard-checks the
+    // decode→featurize plumbing bucket by bucket.
     "multimodal_resize" -> ((s, dir) =>
       Multimodal.resizeImages(Multimodal.mediaFromDocuments(s, dir)).toDF()),
-    "multimodal_features" -> ((s, dir) =>
-      Multimodal.extractFeatures(Multimodal.mediaFromDocuments(s, dir))
-        .toDF()
-        .select(col("media_id"),
-          org.apache.spark.sql.functions.size(col("features")).as("dim"),
-          org.apache.spark.sql.functions.round(
-            graft.functions.VectorFunctions.norm(col("features")), 3).as("nrm"),
-          element_at(col("laneSums"), 1).as("s0"),
-          element_at(col("laneSums"), 2).as("s1"),
-          element_at(col("laneSums"), 3).as("s2"),
-          element_at(col("laneSums"), 4).as("s3"),
-          aggregate(col("laneSums"), lit(0L), (a, x) => a + x).as("s_all"))),
+    "multimodal_features" -> ((s, dir) => {
+      val f = Multimodal.extractFeatures(Multimodal.mediaFromDocuments(s, dir)).toDF()
+      val head = Seq(col("media_id"),
+        org.apache.spark.sql.functions.size(col("features")).as("dim"),
+        org.apache.spark.sql.functions.round(
+          graft.functions.VectorFunctions.norm(col("features")), 3).as("nrm"))
+      val buckets = (0 until 16).map(b => element_at(col("hist"), b + 1).as(s"h$b"))
+      f.select(head ++ buckets: _*)
+    }),
+
+    // Perceptual hashes over the real codec resize: dHash (gradient
+    // signs on the 9×8 thumbnail) + aHash (above/below the 8×8 mean).
+    // The oracle re-walks the exact nearest-neighbor sampling
+    // arithmetic, so green pins the real resize + bit packing.
+    "multimodal_phash" -> ((s, dir) =>
+      Multimodal.perceptualHashes(Multimodal.mediaFromDocuments(s, dir)).toDF()),
+
+    // DC-removed audio features through the real RIFF chunk walk:
+    // integer mean, Σdev², mean-crossing count, peak deviation — all
+    // exact integers the oracle recomputes from the fixture math.
+    "multimodal_audio_features" -> ((s, dir) =>
+      Multimodal.audioFeatures(Multimodal.audioFromDocuments(s, dir)).toDF()),
+
+    // Inter-frame motion energy over the real FRAME-marker walk:
+    // Σ|luma_t − luma_{t−1}| per transition, aggregated per video.
+    "multimodal_motion" -> ((s, dir) =>
+      Multimodal.motionEnergy(Multimodal.mediaFromDocuments(s, dir)).toDF()),
+
+    // Perceptual near-dup dedup: every image paired with its 64×64
+    // re-encode (different bytes → md5/exact dedup miss it), dHash
+    // banded 4×16 bits for LSH candidates (one shuffle on band value,
+    // bounded in-bucket expansion — the MinHash-LSH scale shape, never
+    // all-pairs), then exact hamming ≤ 8 verified via popcount(xor)
+    // on the two 32-bit halves. Rescale invariance of the floor
+    // sampling is what makes the thumbnail land near its original.
+    "dedup_phash" -> ((s, dir) => {
+      val hs = Multimodal.imageDHashWithThumbs(
+        Multimodal.mediaFromDocuments(s, dir)).toDF()
+      val bands = hs.select(col("media_id"), col("lo"), col("hi"),
+        posexplode(array(col("b0"), col("b1"), col("b2"), col("b3")))
+          .as(Seq("band_idx", "band_val")))
+      val a = bands.as("a")
+      val b = bands.as("b")
+      a.join(b,
+          col("a.band_idx") === col("b.band_idx") &&
+            col("a.band_val") === col("b.band_val") &&
+            col("a.media_id") < col("b.media_id"))
+        .select(col("a.media_id").as("id_a"), col("b.media_id").as("id_b"),
+          (bit_count(col("a.lo").bitwiseXOR(col("b.lo"))) +
+            bit_count(col("a.hi").bitwiseXOR(col("b.hi")))).cast("int").as("hamming"))
+        .filter(col("hamming") <= 8)
+        .distinct()
+    }),
 
     // The composed training-data pipeline: media → partition-parallel
     // feature extraction → cosine top-k (decode → featurize → ANN) as
@@ -68,27 +112,27 @@ object MultimodalQueries {
     // the scan stage), and the ANN stage reuses knn_brute's anatomy
     // (broadcast queries, bounded TopKByScore aggregator: Q×k×
     // partitions rows cross the shuffle, not Q×N). Scoring runs in
-    // the laneSums integer domain — the exact shadow of the float
-    // features (same byte fold, two domains; see MediaFeatures) — so
-    // every dot product is integer-exact and the DuckDB oracle can
+    // the histogram integer domain — the exact shadow of the float
+    // features (same bucket counts, two domains; see MediaFeatures) —
+    // so every dot product is integer-exact and the DuckDB oracle can
     // hash-match the full ranking, not just a rows-only check.
     "multimodal_feature_knn" -> ((s, dir) => {
       import s.implicits._
       val feats = Multimodal.extractFeatures(Multimodal.mediaFromDocuments(s, dir))
         .toDF()
-        .select(col("media_id"), col("laneSums"))
-        // products and partial sums stay < 2^53 (lane sums are a few
-        // thousand), so double accumulation here is EXACT — equality
-        // with the oracle's BIGINT arithmetic is bit-level, not
-        // approximate
+        .select(col("media_id"), col("hist"))
+        // products and partial sums stay < 2^53 (bucket counts are a
+        // few thousand), so double accumulation here is EXACT —
+        // equality with the oracle's BIGINT arithmetic is bit-level,
+        // not approximate
         .withColumn("nrm",
-          sqrt(aggregate(col("laneSums"), lit(0.0), (a, x) => a + x * x)))
+          sqrt(aggregate(col("hist"), lit(0.0), (a, x) => a + x * x)))
       val q = feats.filter(col("media_id") % 50 === 0)
         .select(col("media_id").as("query_id"),
-          col("laneSums").as("q_ls"), col("nrm").as("q_nrm"))
+          col("hist").as("q_h"), col("nrm").as("q_nrm"))
       val scored = broadcast(q).join(feats, col("query_id") =!= col("media_id"))
         .select(col("query_id"), col("media_id"),
-          (aggregate(zip_with(col("q_ls"), col("laneSums"), (a, b) => a * b),
+          (aggregate(zip_with(col("q_h"), col("hist"), (a, b) => a * b),
             lit(0.0), (acc, x) => acc + x) / (col("q_nrm") * col("nrm"))).as("cos"))
         .as[(Long, Long, Double)]
       scored.groupByKey(_._1)
@@ -136,30 +180,166 @@ object MultimodalQueries {
        |              ELSE text END AS payload
        |       FROM pm1)""".stripMargin
 
-  /** Exact per-lane byte sum over a payload expression (ASCII corpus:
-    * 1 char = 1 byte and `ascii()` is the byte value — asserted by the
-    * length check in the spec).
+  /** CTE rebuilding the DECODED content bytes per kind — the exact
+    * byte strings the real codecs hand to the feature stage: image →
+    * pixel samples (text space-padded to w·h), video → concatenated
+    * luma planes (text space-padded to nf·fs; FRAME markers are
+    * container, not content), audio → the raw text bytes.
     */
-  private def laneSumSql(lane: Int, src: String = "text"): String =
-    s"CAST(coalesce(list_sum([ascii(substring($src, i, 1)) " +
-      s"for i in range(1, length($src) + 1) if (i - 1) % 16 = $lane]), 0) AS BIGINT)"
+  private val contentCte: String =
+    s"""cm0 AS (SELECT doc_id, text, length(text) AS n, $kindSql AS kind,
+       |          16 + length(text) % 32 AS w,
+       |          (8 + length(text) % 16) * 2 AS fs FROM documents),
+       |cm1 AS (SELECT *, greatest(1, (n + w - 1) // w) AS h,
+       |          greatest(1, (n + fs - 1) // fs) AS nf FROM cm0),
+       |cm AS (SELECT doc_id, kind,
+       |         CASE WHEN kind = 'image' THEN text || repeat(' ', w * h - n)
+       |              WHEN kind = 'video' THEN text || repeat(' ', fs * nf - n)
+       |              ELSE text END AS content
+       |       FROM cm1)""".stripMargin
+
+  /** Exact bucket-`b` count of the 16-bin intensity histogram over a
+    * content expression (ASCII corpus: 1 char = 1 byte and `ascii()`
+    * is the byte value — asserted by the length check in the spec).
+    */
+  private def histSql(b: Int, src: String = "content"): String =
+    s"CAST(len([i for i in range(1, length($src) + 1) " +
+      s"if ascii(substring($src, i, 1)) // 16 = $b]) AS BIGINT)"
+
+  /** Pixel (y, x) of the ORIGINAL image resized to tw×th — the exact
+    * nearest-neighbor arithmetic of PgmCodec.resize: source index
+    * (y·h // th)·w + (x·w // tw) into the padded pixel string.
+    */
+  private def pxO(y: Int, x: Int, tw: Int, th: Int): String =
+    s"ascii(substring(padded, (($y*h)//$th)*w + (($x*w)//$tw) + 1, 1))"
+
+  /** Pixel (y, x) of the 64×64 THUMBNAIL resized to tw×th — the same
+    * floor sampling composed twice (thumb index first, then the
+    * thumb's own source index into the original).
+    */
+  private def pxT(y: Int, x: Int, tw: Int, th: Int): String = {
+    val ty = s"(($y*64)//$th)"
+    val tx = s"(($x*64)//$tw)"
+    s"ascii(substring(padded, (($ty*h)//64)*w + (($tx*w)//64) + 1, 1))"
+  }
+
+  /** dHash row byte y: Σ 2^x over x where p(y,x) > p(y,x+1) on the
+    * 9×8 thumbnail (px abstracts original vs thumbnail sampling).
+    */
+  private def dhashByteSql(px: (Int, Int) => String, y: Int): String =
+    (0 until 8).map(x =>
+      s"CASE WHEN ${px(y, x)} > ${px(y, x + 1)} THEN ${1 << x} ELSE 0 END")
+      .mkString("(", " + ", ")")
+
+  /** The 4×16-bit LSH bands + two LE 32-bit halves of a dHash. */
+  private def dhashColsSql(px: (Int, Int) => String): String = {
+    def byte(y: Int) = dhashByteSql(px, y)
+    val bands = (0 until 4).map(b =>
+      s"(${byte(2 * b)} + 256*${byte(2 * b + 1)}) AS band$b").mkString(", ")
+    val lo = (0 until 4).map(i => s"CAST(${byte(i)} AS BIGINT)*${1L << (8 * i)}")
+      .mkString(" + ")
+    val hi = (4 until 8).map(i => s"CAST(${byte(i)} AS BIGINT)*${1L << (8 * (i - 4))}")
+      .mkString(" + ")
+    s"$bands, ($lo) AS lo, ($hi) AS hi"
+  }
+
+  /** The image-pixel CTE shared by the perceptual-hash oracles:
+    * (doc_id, w, h, padded) for image-kind rows.
+    */
+  private val imagePixelCte: String =
+    """ph0 AS (SELECT doc_id, text, length(text) AS n,
+      |          16 + length(text) % 32 AS w FROM documents WHERE doc_id % 3 = 0),
+      |ph1 AS (SELECT *, greatest(1, (n + w - 1) // w) AS h FROM ph0),
+      |ph AS (SELECT doc_id, w, h, text || repeat(' ', w * h - n) AS padded
+      |       FROM ph1)""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
     "multimodal_features" ->
-      // nrm: the stub encoder normalizes to unit length EXCEPT for an
-      // empty payload, whose zero vector keeps norm 0 (Multimodal
-      // .StubCodecs.extractFeatures's n == 0 branch). Lane sums run
-      // over the PAYLOAD bytes — for image rows that's the PGM
-      // encoding, rebuilt by payloadCte.
-      s"""WITH $payloadCte
+      // nrm: the normalized histogram has unit norm EXCEPT for empty
+      // content, whose zero vector keeps norm 0 (ContentFeatures
+      // .normalizedHistogram's n == 0 branch). Bucket counts run over
+      // the DECODED content bytes rebuilt by contentCte.
+      s"""WITH $contentCte
          |SELECT doc_id AS media_id, CAST(16 AS INT) AS dim,
-         |  CAST(CASE WHEN length(payload) = 0
+         |  CAST(CASE WHEN length(content) = 0
          |       THEN 0.0 ELSE 1.0 END AS DOUBLE) AS nrm,
-         |  ${laneSumSql(0, "payload")} AS s0, ${laneSumSql(1, "payload")} AS s1,
-         |  ${laneSumSql(2, "payload")} AS s2, ${laneSumSql(3, "payload")} AS s3,
-         |  CAST(coalesce(list_sum([ascii(substring(payload, i, 1))
-         |    for i in range(1, length(payload) + 1)]), 0) AS BIGINT) AS s_all
-         |FROM pm""".stripMargin,
+         |  ${(0 until 16).map(b => s"${histSql(b)} AS h$b").mkString(", ")}
+         |FROM cm""".stripMargin,
+
+    // Fixture-math twin of ContentFeatures.dhashBytes/ahashBytes over
+    // the real resize arithmetic: green means the bit the codec packed
+    // is the bit the sampling math predicts, row byte by row byte.
+    "multimodal_phash" -> {
+      val dhashHex = (0 until 8)
+        .map(y => s"printf('%02x', ${dhashByteSql((a, b) => pxO(a, b, 9, 8), y)})").mkString(" || ")
+      val meanSql = "(" +
+        (for (y <- 0 until 8; x <- 0 until 8) yield pxO(y, x, 8, 8))
+          .mkString(" + ") + ") // 64"
+      val ahashByte = (y: Int) => (0 until 8).map(x =>
+        s"CASE WHEN ${pxO(y, x, 8, 8)} > mean_px THEN ${1 << x} ELSE 0 END")
+        .mkString("(", " + ", ")")
+      val ahashHex = (0 until 8)
+        .map(y => s"printf('%02x', ${ahashByte(y)})").mkString(" || ")
+      s"""WITH $imagePixelCte,
+         |ph2 AS (SELECT doc_id, w, h, padded, $meanSql AS mean_px FROM ph)
+         |SELECT doc_id AS media_id, $dhashHex AS dhash_hex,
+         |  $ahashHex AS ahash_hex, CAST(mean_px AS INT) AS mean_px
+         |FROM ph2""".stripMargin
+    },
+
+    // DC-removed feature math over the WAV data chunk = the text
+    // bytes (8-bit PCM fixture): integer mean, Σdev², mean-crossing
+    // count, peak |dev| — all exact.
+    "multimodal_audio_features" ->
+      """WITH a0 AS (SELECT doc_id, length(text) AS n,
+        |  [ascii(substring(text, i, 1)) for i in range(1, length(text) + 1)] AS s
+        |  FROM documents WHERE doc_id % 3 = 1),
+        |a1 AS (SELECT doc_id, n, s, list_sum(s) // n AS m FROM a0 WHERE n > 0)
+        |SELECT doc_id AS media_id, CAST(n AS BIGINT) AS n_samples,
+        |  CAST(m AS INT) AS sample_mean,
+        |  CAST(list_sum([(x - m) * (x - m) for x in s]) AS BIGINT) AS energy,
+        |  CAST(len([i for i in range(1, n)
+        |    if (s[i] >= m) != (s[i + 1] >= m)]) AS BIGINT) AS zero_crossings,
+        |  CAST(list_max([abs(x - m) for x in s]) AS INT) AS peak_dev
+        |FROM a1""".stripMargin,
+
+    // Per-transition Σ|luma_t − luma_{t−1}| over the padded frame
+    // chunks, aggregated per video; single-frame videos (nf = 1)
+    // contribute no rows — mirrored by motionEnergy's length guard.
+    "multimodal_motion" ->
+      """WITH v0 AS (SELECT doc_id, text, length(text) AS n,
+        |    (8 + length(text) % 16) * 2 AS fs
+        |  FROM documents WHERE doc_id % 3 = 2),
+        |v1 AS (SELECT *, greatest(1, (n + fs - 1) // fs) AS nf FROM v0),
+        |v2 AS (SELECT doc_id, fs, nf, text || repeat(' ', fs * nf - n) AS padded
+        |       FROM v1),
+        |tr AS (SELECT doc_id, t,
+        |    list_sum([abs(ascii(substring(padded, t * fs + i, 1))
+        |      - ascii(substring(padded, (t - 1) * fs + i, 1)))
+        |      for i in range(1, fs + 1)]) AS diff_sum
+        |  FROM v2, UNNEST([x for x in range(1, nf)]) AS u(t))
+        |SELECT doc_id AS media_id, CAST(count(*) AS BIGINT) AS n_transitions,
+        |  CAST(sum(diff_sum) AS BIGINT) AS motion_total,
+        |  CAST(max(diff_sum) AS BIGINT) AS motion_max
+        |FROM tr GROUP BY doc_id""".stripMargin,
+
+    // Band-LSH candidates (originals ∪ 64×64 thumbnails at
+    // doc_id + 1000000) verified by exact hamming ≤ 8 on the 64-bit
+    // dHash — the same candidate/verify split the Spark plan runs.
+    "dedup_phash" ->
+      s"""WITH $imagePixelCte,
+         |hs AS (
+         |  SELECT doc_id AS media_id, ${dhashColsSql((a, b) => pxO(a, b, 9, 8))} FROM ph
+         |  UNION ALL
+         |  SELECT doc_id + 1000000 AS media_id, ${dhashColsSql((a, b) => pxT(a, b, 9, 8))} FROM ph),
+         |cand AS (
+         |  SELECT DISTINCT a.media_id AS id_a, b.media_id AS id_b,
+         |    CAST(bit_count(xor(a.lo, b.lo))
+         |      + bit_count(xor(a.hi, b.hi)) AS INT) AS hamming
+         |  FROM hs a JOIN hs b ON a.media_id < b.media_id
+         |   AND (a.band0 = b.band0 OR a.band1 = b.band1
+         |     OR a.band2 = b.band2 OR a.band3 = b.band3))
+         |SELECT id_a, id_b, hamming FROM cand WHERE hamming <= 8""".stripMargin,
     "multimodal_meta" ->
       s"""WITH $payloadCte
          |SELECT doc_id AS media_id, kind,
@@ -229,15 +409,15 @@ object MultimodalQueries {
          |    for i in range(1, fs + 1)]), 0) AS BIGINT) AS frame_sum
          |FROM v2, UNNEST([x for x in range(0, nf) if x % 2 = 0]) AS t(f)""".stripMargin,
     "multimodal_feature_knn" -> {
-      val lanes = (0 until 16).map(l => s"${laneSumSql(l, "payload")} AS s${l}").mkString(",\n  ")
+      val buckets = (0 until 16).map(b => s"${histSql(b)} AS s$b").mkString(",\n  ")
       def dot(a: String, b: String) =
         (0 until 16).map(l => s"$a.s$l * $b.s$l").mkString(" + ")
       def nrm2(a: String) = (0 until 16).map(l => s"$a.s$l * $a.s$l").mkString(" + ")
-      s"""WITH $payloadCte,
+      s"""WITH $contentCte,
          |ls AS (
          |  SELECT doc_id AS media_id,
-         |  $lanes
-         |  FROM pm)
+         |  $buckets
+         |  FROM cm)
          |SELECT query_id, neighbor_id, rnk, cos_r FROM (
          |  SELECT q.media_id AS query_id, c.media_id AS neighbor_id,
          |    ROW_NUMBER() OVER (PARTITION BY q.media_id

@@ -5,8 +5,8 @@ import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
 /** The multimodal plumbing: binary payloads flow partition-parallel
-  * through the typed decode/sample stages; stub codecs are
-  * deterministic functions of the payload bytes.
+  * through the typed decode/sample stages; features are real classical
+  * signal processing over really-decoded content bytes.
   */
 class MultimodalSpec extends AnyFunSuite {
   lazy val spark = SparkTestSession.spark
@@ -140,6 +140,78 @@ class MultimodalSpec extends AnyFunSuite {
     val norms = feats.select(
       graft.functions.VectorFunctions.norm(col("features")).as("n"))
     assert(norms.filter(abs(col("n") - 1.0) > 1e-5).count() == 0)
+  }
+
+  test("content bytes are decoded content, never container bytes") {
+    import Multimodal.ContentFeatures
+    val pgm = Multimodal.PgmCodec.encode("abcdefgh".getBytes("US-ASCII"), 4, 2)
+    assert(new String(ContentFeatures.contentBytes(pgm), "US-ASCII") == "abcdefgh")
+    val wav = Multimodal.WavCodec.encode("xyz".getBytes("US-ASCII"), 8000, 1)
+    assert(new String(ContentFeatures.contentBytes(wav), "US-ASCII") == "xyz")
+    val y4m = Multimodal.Y4mCodec.encode(
+      Seq("abcd".getBytes("US-ASCII"), "efgh".getBytes("US-ASCII")), 2, 2)
+    assert(new String(ContentFeatures.contentBytes(y4m), "US-ASCII") == "abcdefgh")
+    // raw (no magic) passes through untouched
+    assert(new String(ContentFeatures.contentBytes("plain".getBytes), "US-ASCII")
+      == "plain")
+    // histogram counts every content byte exactly once
+    val h = ContentFeatures.intensityHistogram("abcdefgh".getBytes)
+    assert(h.sum == 8 && h(6) == 8) // a-h all in bucket 6 (0x61-0x68)
+  }
+
+  test("dHash is exactly invariant under integer upscales and flips under inversion") {
+    import Multimodal.{ContentFeatures, PgmCodec}
+    // a gradient image: dhash bits are all 0 (monotone increasing rows)
+    val grad = PgmCodec.encode(
+      Array.tabulate(8 * 8)(i => (i % 8 * 30).toByte), 8, 8)
+    assert(ContentFeatures.dhashBytes(grad).forall(_ == 0))
+    // inverted gradient: the 9-wide resample duplicates column 0
+    // (sx = x*8//9 = 0,0,1..7), so bit 0 compares equal pixels and
+    // stays 0; bits 1-7 all strictly decrease → 0xfe per row
+    val igrad = PgmCodec.encode(
+      Array.tabulate(8 * 8)(i => (210 - i % 8 * 30).toByte), 8, 8)
+    assert(ContentFeatures.dhashBytes(igrad).forall(_ == 0xfe))
+    // floor sampling composes exactly under an integer 2x upscale:
+    // dhash(resize(img, 2w, 2h)) == dhash(img) bit for bit
+    val docs = Tables.documents(spark, sf).select(col("text")).collect()
+    docs.take(20).foreach { r =>
+      val t = r.getString(0)
+      val w = 16 + t.length % 32
+      val h = math.max(1, (t.length + w - 1) / w)
+      val img = PgmCodec.encode(
+        (t + " " * (w * h - t.length)).getBytes("US-ASCII"), w, h)
+      val up = PgmCodec.resize(img, 2 * w, 2 * h)
+      assert(ContentFeatures.dhashBytes(up).toSeq ==
+        ContentFeatures.dhashBytes(img).toSeq)
+    }
+  }
+
+  test("audio features: square wave has known mean, energy, crossings, peak") {
+    import spark.implicits._
+    // 100,150 alternating x50: mean = 125, dev = ±25, zcr = 99, peak 25
+    val samples = Array.tabulate(100)(i => (if (i % 2 == 0) 100 else 150).toByte)
+    val wav = Multimodal.WavCodec.encode(samples, 8000, 1)
+    val media = Seq((1L, "audio", wav)).toDF("media_id", "kind", "payload")
+    val f = Multimodal.audioFeatures(media).collect().head
+    assert(f.n_samples == 100 && f.sample_mean == 125)
+    assert(f.energy == 100L * 25 * 25)
+    assert(f.zero_crossings == 99 && f.peak_dev == 25)
+  }
+
+  test("motion energy sums |frame diff| per transition; single-frame emits none") {
+    import spark.implicits._
+    val f0 = Array.fill(8)(100.toByte)
+    val f1 = Array.fill(8)(110.toByte) // diff 8*10 = 80
+    val f2 = Array.fill(8)(104.toByte) // diff 8*6  = 48
+    val vid = Multimodal.Y4mCodec.encode(Seq(f0, f1, f2), 4, 2)
+    val single = Multimodal.Y4mCodec.encode(Seq(f0), 4, 2)
+    val media = Seq((1L, "video", vid), (2L, "video", single))
+      .toDF("media_id", "kind", "payload")
+    val rows = Multimodal.motionEnergy(media).collect()
+    assert(rows.length == 1)
+    val m = rows.head
+    assert(m.media_id == 1L && m.n_transitions == 2)
+    assert(m.motion_total == 128 && m.motion_max == 80)
   }
 
   test("video frame sampling walks real FRAME markers with the sampling stride") {
