@@ -27,18 +27,15 @@ object Tables {
   def documents(spark: SparkSession, sfDir: String): DataFrame = load(spark, sfDir, "documents")
   def embeddings(spark: SparkSession, sfDir: String): DataFrame = load(spark, sfDir, "embeddings")
 
-  /** `events.ts` is nanosecond-precision parquet; Spark's TimestampType
-    * is microseconds and Spark 4.x rejects TIMESTAMP(NANOS) columns
-    * outright (PARQUET_TYPE_ILLEGAL). We read the column as raw Long
-    * nanos (`spark.sql.legacy.parquet.nanosAsLong`) and standardize on
-    * *millisecond* precision for all event-time logic — the reference's
-    * native unit (Flink event time is epoch millis,
-    * `sources/TaxiRideSource.scala:116`) — via exact integer division,
-    * so Spark and the DuckDB oracle agree bit-for-bit.
+  /** `events.ts` is microsecond-precision parquet TIMESTAMP. All
+    * event-time logic standardizes on *millisecond* precision — the
+    * reference's native unit (Flink event time is epoch millis,
+    * `sources/TaxiRideSource.scala:116`) — via `date_trunc`, which for
+    * the fixture's post-epoch timestamps is the same floor the DuckDB
+    * oracles compute with `epoch_ms(date_trunc('millisecond', ts))`,
+    * so Spark and the oracle agree bit-for-bit.
     */
-  def events(spark: SparkSession, sfDir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+  def events(spark: SparkSession, sfDir: String): DataFrame =
     load(spark, sfDir, "events")
-      .withColumn("ts", timestamp_millis(expr("ts div 1000000")))
-  }
+      .withColumn("ts", date_trunc("millisecond", col("ts")))
 }
