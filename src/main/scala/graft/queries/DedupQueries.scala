@@ -176,6 +176,61 @@ object DedupQueries {
     */
   val CcMaxIters = 64
 
+  /** PageRank rounds (fixed count — makes the run oracle-expressible
+    * as one unrolled CTE per round) and the fixed-point rank scale:
+    * ranks are BIGINTs in units of 1e-12 of total mass. All arithmetic
+    * is integer (multiply, floor-divide, sum), so results are
+    * bit-identical regardless of partitioning, shuffle order, or
+    * engine — the same associativity trick the k-means fixed-point
+    * lift uses. Floor division leaks ≤ 1 unit of mass per (node,
+    * round) — at this scale a ~1e-10 relative loss, irrelevant to
+    * ranking and identical on both engines.
+    */
+  val PrIters = 3
+  val PrScale = 1000000000000L
+
+  /** Fixed-point PageRank over an undirected pair relation (first two
+    * columns = the edge endpoints; symmetrized internally, so deg ≥ 1
+    * everywhere and there is no dangling mass). Returns one row per
+    * graph node: (doc_id, deg, rank). See the `dedup_pagerank` entry
+    * below for the push-model semantics and scale anatomy; exposed so
+    * PageRankSpec can pin the invariants on a controlled graph.
+    */
+  def pageRank(pairs: DataFrame): DataFrame = {
+    val p = pairs.localCheckpoint()
+    val a = p.columns(0)
+    val b = p.columns(1)
+    val edges = p.select(col(a).as("src"), col(b).as("dst"))
+      .union(p.select(col(b).as("src"), col(a).as("dst")))
+      .repartition(col("src"))
+      .localCheckpoint()
+    unpersistCheckpoint(p)
+    val deg = edges.groupBy(col("src").as("v"))
+      .agg(count(lit(1)).as("deg")).localCheckpoint()
+    val ng = broadcast(deg.agg(count(lit(1)).as("ng")))
+    var ranks = deg.crossJoin(ng)
+      .select(col("v"), expr(s"$PrScale div ng").as("rank"))
+      .localCheckpoint()
+    for (_ <- 1 to PrIters) {
+      val shares = ranks.join(deg, "v")
+        .select(col("v").as("sv"),
+          expr("(rank * 85) div (100 * deg)").as("share"))
+      val next = edges.join(shares, col("src") === col("sv"))
+        .groupBy(col("dst").as("v"))
+        .agg(sum(col("share")).as("in_mass"))
+        .crossJoin(ng)
+        .select(col("v"),
+          expr(s"(15 * $PrScale) div (100 * ng) + in_mass").as("rank"))
+        .localCheckpoint()
+      unpersistCheckpoint(ranks)
+      ranks = next
+    }
+    val out = ranks.join(deg, "v")
+      .select(col("v").as("doc_id"), col("deg"), col("rank"))
+    unpersistCheckpoint(edges)
+    out
+  }
+
   def connectedComponents(
       s: SparkSession, pairs: DataFrame, nodes: DataFrame): DataFrame =
     connectedComponentsWithIters(s, pairs, nodes)._1
@@ -345,6 +400,25 @@ object DedupQueries {
         .select(col("t").getItem(0).as("a"), col("t").getItem(1).as("b"),
           col("t").getItem(2).as("c"))
     }),
+
+    // PageRank over the verified near-dup graph — centrality ranks a
+    // duplicate cluster's most-connected member, the natural canonical
+    // pick when min-id is arbitrary (and, on a citation/link graph,
+    // the standard quality prior for corpus curation). Iterative
+    // dataflow in the CC/k-means mold: a driver-bounded loop of
+    // distributed supersteps, each ONE join (edges × ranks, reusing
+    // edges' src-hash partitioning) + ONE aggregation (sum of shares
+    // by dst) — never a driver-side graph walk. Ranks are fixed-point
+    // BIGINTs (see [[PrScale]]): each round a node keeps none of its
+    // mass (pure push), sends floor(rank·85/(100·deg)) to each
+    // neighbor, and every node receives the same floor((15·S)/(100·N))
+    // teleport base. The symmetrized graph has deg ≥ 1 everywhere, so
+    // there is no dangling mass. Per-node share is computed ONCE
+    // (ranks ⋈ deg, both already hash-partitioned on the node id)
+    // and fanned out by the edge join — not recomputed per edge.
+    // Superseded rank generations are unpersisted like CC's labels.
+    "dedup_pagerank" -> ((s, dir) =>
+      pageRank(minhashVerifiedPairs(s, dir).select(col("doc_a"), col("doc_b")))),
 
     // Incremental (delta-ingest) near-dup check: a NEW batch of
     // documents probed against the ALREADY-INGESTED corpus — the shape
@@ -556,6 +630,27 @@ object DedupQueries {
          |SELECT e1.a AS a, e1.b AS b, e2.b AS c
          |FROM e e1 JOIN e e2 ON e1.a = e2.a AND e1.b < e2.b
          |JOIN e e3 ON e3.a = e1.b AND e3.b = e2.b""".stripMargin,
+    // Mirrors the Spark rounds exactly: integer floor-divide shares,
+    // integer sums — one CTE pair (shares, ranks) per round.
+    "dedup_pagerank" -> {
+      val rounds = (1 to PrIters).map { r =>
+        s"""sh$r AS (SELECT r.v AS sv, (r.rank * 85) // (100 * d.deg) AS share
+           |  FROM r${r - 1} r JOIN deg d ON r.v = d.v),
+           |r$r AS (SELECT e.dst AS v,
+           |    (15 * $PrScale) // (100 * (SELECT ng FROM n)) + SUM(s.share) AS rank
+           |  FROM edges e JOIN sh$r s ON e.src = s.sv GROUP BY e.dst)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH ${minhashPairsCtes("documents")},
+         |p AS ($minhashPairsSelect),
+         |edges AS (SELECT doc_a AS src, doc_b AS dst FROM p
+         |          UNION ALL SELECT doc_b, doc_a FROM p),
+         |deg AS (SELECT src AS v, COUNT(*) AS deg FROM edges GROUP BY src),
+         |n AS (SELECT COUNT(*) AS ng FROM deg),
+         |r0 AS (SELECT v, $PrScale // (SELECT ng FROM n) AS rank FROM deg),
+         |$rounds
+         |SELECT r.v AS doc_id, d.deg, r.rank
+         |FROM r$PrIters r JOIN deg d ON r.v = d.v""".stripMargin
+    },
     "dedup_incremental" ->
       s"""WITH bands AS (SELECT * FROM (${minhashBandsSql("documents")})),
          |hh AS (SELECT doc_id,

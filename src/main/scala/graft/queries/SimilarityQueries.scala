@@ -26,6 +26,7 @@ object SimilarityQueries {
   private val IvfCentroids = 8
   private val IvfMask = -1e300 // argmax mask sentinel, far below any dot
   private val KmMask = 1e300 // argmin mask sentinel, far above any score
+  private val SemTau = 0.35 // SemDeDup within-cell cosine threshold
   private val FxScale = 16777216.0 // 2²⁴ — fixed-point lift scale
   private val KmIters = 2 // Lloyd rounds after the lattice init
 
@@ -319,6 +320,40 @@ object SimilarityQueries {
           round(col("cos"), 6).as("cos_r"))
     }),
 
+    // SemDeDup (Abbas et al. 2023): semantic deduplication = cluster
+    // the embedding space, then drop within-cluster near-duplicates.
+    // Composes the learned k-means quantizer with a WITHIN-CELL
+    // pairwise cosine — the pair expansion is bounded per cell
+    // (Σ|cell|² work after ONE cell-keyed shuffle, never corpus
+    // all-pairs; at 100 TB you raise the cell count so cells stay
+    // bounded, exactly the IVF sizing knob). Keep rule: a vector
+    // survives unless some LOWER-id same-cell vector is ≥ SemTau
+    // cosine — greedy-by-id, the deterministic form of "keep one per
+    // near-set". Assignment is checkpointed once; both self-join
+    // sides rename columns up front (qualified-attribute resolution
+    // fails on a deduplicated self-join of the same checkpointed
+    // plan — same pitfall as CC's pointer-jump join).
+    "dedup_semantic" -> ((s, dir) => {
+      val emb0 = corpus(s, dir)
+      val cents = learnedCentroids(emb0)
+      val asg = emb0
+        .withColumn("cell", kmAssign(cents, col("embedding")))
+        .select(col("vec_id"), col("embedding"), col("nrm"), col("cell"))
+        .localCheckpoint()
+      val l = asg.select(col("vec_id").as("a_id"), col("embedding").as("a_emb"),
+        col("nrm").as("a_nrm"), col("cell"))
+      val r = asg.select(col("vec_id").as("b_id"), col("embedding").as("b_emb"),
+        col("nrm").as("b_nrm"), col("cell"))
+      val dom = l.join(r, Seq("cell"))
+        .filter(col("a_id") < col("b_id") &&
+          VectorFunctions.dot(col("a_emb"), col("b_emb")) /
+            (col("a_nrm") * col("b_nrm")) >= SemTau)
+        .select(col("b_id").as("vec_id")).distinct()
+      asg.join(dom.withColumn("dup", lit(1)), Seq("vec_id"), "left")
+        .select(col("vec_id"), col("cell"),
+          (lit(1) - coalesce(col("dup"), lit(0))).as("is_kept"))
+    }),
+
     // The learned coarse quantizer itself, exported lane-by-lane —
     // pins the full k-means training run (lattice init + KmIters Lloyd
     // rounds of exact-integer updates) against the oracle's
@@ -542,6 +577,16 @@ object SimilarityQueries {
          |  FROM (SELECT qp.vec_id, qp.cell, f.embedding
          |        FROM qp JOIN fx f ON qp.vec_id = f.vec_id) q
          |  JOIN a$KmIters e ON q.cell = e.cell AND q.vec_id != e.vec_id
-         |) WHERE rnk <= $K""".stripMargin
+         |) WHERE rnk <= $K""".stripMargin,
+    "dedup_semantic" ->
+      s"""WITH $kmeansCtes,
+         |g AS (SELECT vec_id, embedding, cell FROM a$KmIters),
+         |dom AS (
+         |  SELECT DISTINCT b.vec_id FROM g a JOIN g b
+         |    ON a.cell = b.cell AND a.vec_id < b.vec_id
+         |  WHERE ${VectorFunctions.Sql.cosine("a.embedding", "b.embedding", Dim)} >= $SemTau)
+         |SELECT g.vec_id, g.cell,
+         |  CASE WHEN d.vec_id IS NULL THEN 1 ELSE 0 END AS is_kept
+         |FROM g LEFT JOIN dom d ON g.vec_id = d.vec_id""".stripMargin
   )
 }

@@ -466,6 +466,39 @@ object TextQueries {
           coalesce(col("n_boiler"), lit(0L)).as("n_boiler"))
     }),
 
+    // Bigram language-model familiarity — the perplexity-filter shape
+    // (CCNet/KenLM) made exactly cross-engine-checkable by scoring in
+    // INTEGERS: the "model" is the corpus' top-[[LmVocab]] bigrams by
+    // frequency (deterministic (count desc, bigram asc) cut), each doc
+    // scores n_bigrams, how many fall inside the vocabulary, and the
+    // summed corpus frequency of those hits — a monotone proxy for
+    // sum log p without the transcendental (log's last-ulp differs
+    // across engines; integer sums are bit-exact). Scale anatomy: the
+    // bigram explode is checkpointed ONCE and feeds both passes; the
+    // vocabulary is a global top-K (TakeOrdered, K rows to the
+    // driver-side limit, never a full sort) and is BROADCAST back, so
+    // the scoring pass is one narrow scan + one doc_id aggregation.
+    // A real KenLM scorer slots in behind the same two-pass shape.
+    "text_lm_score" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val bg = docs.select(col("doc_id"),
+          explode(bigrams(col("text"))).as("g"))
+        .localCheckpoint()
+      val vocab = bg.groupBy(col("g")).agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("g").asc)
+        .limit(LmVocab)
+      val scored = bg.join(broadcast(vocab), Seq("g"), "left")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_bigrams"),
+          sum(when(col("cnt").isNotNull, 1L).otherwise(0L)).as("known_bigrams"),
+          coalesce(sum(col("cnt")), lit(0L)).as("familiarity_mass"))
+      docs.select(col("doc_id")).join(scored, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+          coalesce(col("known_bigrams"), lit(0L)).as("known_bigrams"),
+          coalesce(col("familiarity_mass"), lit(0L)).as("familiarity_mass"))
+    }),
+
     // Inverted-index postings build — the materialization that turns
     // repeated text search from per-query corpus scans into posting-
     // list intersections. One explode + one (token, doc_id) aggregate
@@ -572,6 +605,7 @@ object TextQueries {
     */
   val BoilerLineTokens = 4
   val BoilerMinDocs = 3
+  val LmVocab = 5000
 
   /** PII patterns, restricted to the Java∩RE2 common regex dialect so
     * Spark (java.util.regex) and DuckDB (RE2) match byte-identically:
@@ -954,6 +988,21 @@ object TextQueries {
          |SELECT d.doc_id, coalesce(p.n_lines, 0) AS n_lines,
          |       coalesce(p.n_boiler, 0) AS n_boiler
          |FROM documents d LEFT JOIN per_doc p ON d.doc_id = p.doc_id""".stripMargin,
+    "text_lm_score" ->
+      s"""WITH bg AS (
+         |  SELECT doc_id, unnest(${Sql.bigrams("text")}) AS g FROM documents),
+         |vocab AS (
+         |  SELECT g, COUNT(*) AS cnt FROM bg GROUP BY g
+         |  ORDER BY cnt DESC, g LIMIT $LmVocab),
+         |sc AS (
+         |  SELECT b.doc_id, COUNT(*) AS n_bigrams,
+         |    SUM(CASE WHEN v.cnt IS NOT NULL THEN 1 ELSE 0 END) AS known_bigrams,
+         |    COALESCE(SUM(v.cnt), 0) AS familiarity_mass
+         |  FROM bg b LEFT JOIN vocab v ON b.g = v.g GROUP BY b.doc_id)
+         |SELECT d.doc_id, COALESCE(s.n_bigrams, 0) AS n_bigrams,
+         |  COALESCE(s.known_bigrams, 0) AS known_bigrams,
+         |  COALESCE(s.familiarity_mass, 0) AS familiarity_mass
+         |FROM documents d LEFT JOIN sc s ON d.doc_id = s.doc_id""".stripMargin,
     "text_inverted_postings" ->
       s"""SELECT token, doc_id, count(*) AS tf
          |FROM (SELECT doc_id, unnest(${Sql.tokens("text")}) AS token FROM documents)
