@@ -12,6 +12,7 @@ import org.apache.spark.sql.functions._
 object EventQueries {
 
   private val GapMs = 1800000L // 30-minute session gap
+  private val TrailMs = 3600000L // rolling-aggregate trailing hour
 
   /** Funnel per-step conversion window (24 h) in epoch millis —
     * the table's native precision ([[graft.Tables.events]] reads the
@@ -184,6 +185,28 @@ object EventQueries {
           sum((col("gap") > GapMs * 2).cast("long")).as("n_gaps_over_1h"))
     }),
 
+    // Trailing-hour rolling aggregate per event — the time-RANGE
+    // window frame (every other window here is ROWS- or day-bucketed;
+    // RANGE BETWEEN <ms> PRECEDING is the frame shape monitoring and
+    // feature-engineering jobs actually want). The frame is a SET of
+    // rows (all peers within the time bound), so summing `value`
+    // through DECIMAL(18,4) makes the result order-independent and
+    // hash-exact — the dsum rule applied inside a window frame. One
+    // shuffle on user_id; the frame scan is sort-local per partition.
+    "events_rolling_value" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("user_id")).orderBy(col("t_ms"))
+        .rangeBetween(-TrailMs, 0)
+      Tables.events(s, dir)
+        .select(col("user_id"), col("event_id"),
+          unix_millis(col("ts")).as("t_ms"), col("value"))
+        .withColumn("n_trail", count(lit(1)).over(w))
+        .withColumn("v_trail",
+          sum(col("value").cast("decimal(18,4)")).over(w).cast("double"))
+        .select(col("user_id"), col("event_id"), col("t_ms"),
+          col("n_trail"), col("v_trail"))
+    }),
+
     // Latest-state snapshot (SCD1 / CDC "last write wins" compaction):
     // each user's most recent event row. NOT a row_number window —
     // max(struct(t_ms, event_id, ...)) is a commutative aggregate, so
@@ -340,6 +363,14 @@ object EventQueries {
          |  MIN(gap) AS min_gap_ms,
          |  CAST(COUNT(*) FILTER (WHERE gap > ${GapMs * 2}) AS BIGINT) AS n_gaps_over_1h
          |FROM g WHERE gap IS NOT NULL GROUP BY user_id""".stripMargin,
+    "events_rolling_value" ->
+      s"""SELECT user_id, event_id, t_ms,
+         |  COUNT(*) OVER w AS n_trail,
+         |  CAST(SUM(CAST(value AS DECIMAL(18,4))) OVER w AS DOUBLE) AS v_trail
+         |FROM (SELECT user_id, event_id, value,
+         |        epoch_ms(date_trunc('millisecond', ts)) AS t_ms FROM events)
+         |WINDOW w AS (PARTITION BY user_id ORDER BY t_ms
+         |             RANGE BETWEEN $TrailMs PRECEDING AND CURRENT ROW)""".stripMargin,
     "events_funnel" ->
       s"""WITH ev AS (SELECT user_id, event_type,
          |  epoch_ms(date_trunc('millisecond', ts)) AS t_ms FROM events),

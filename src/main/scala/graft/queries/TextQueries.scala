@@ -378,6 +378,25 @@ object TextQueries {
         .select(col("doc_id"), col("source"), col("rate_pct"))
     }),
 
+    // Weighted (importance) sampling — each doc's acceptance rate is
+    // proportional to a per-doc quality weight rather than a flat
+    // per-source rate: the score-proportional keep that quality-aware
+    // mixing (e.g. DCLM-style) runs. The weight here is the clamped
+    // token count (longer docs likelier kept); any integer score slots
+    // in. Deterministic via the ':wsamp'-salted stable hash —
+    // independent of the split/mixture/strat hashes, zero shuffle,
+    // and re-runs keep identical docs. rate_pct is exported so
+    // downstream estimators can reweight by 100/rate_pct (Horvitz-
+    // Thompson correction) without recomputing the weight.
+    "text_weighted_sample" -> ((s, dir) => {
+      val rate = least(lit(95), greatest(lit(10), tokenCount(col("text"))))
+      val mh = tokenHash(concat(col("doc_id").cast("string"), lit(":wsamp"))) % 100
+      Tables.documents(s, dir)
+        .select(col("doc_id"), col("source"), rate.as("rate_pct"), mh.as("mh"))
+        .filter(col("mh") < col("rate_pct"))
+        .select(col("doc_id"), col("source"), col("rate_pct"))
+    }),
+
     // Stratified sampling with EXACT per-source quotas: the balanced-
     // subset op ("exactly K docs per source") that rate-based sampling
     // ([[MixtureRates]]) can't express. Selection is the first
@@ -947,6 +966,13 @@ object TextQueries {
          |  SELECT doc_id, source,
          |    CASE ${MixtureRates.map { case (src, r) => s"WHEN source = '$src' THEN $r" }.mkString(" ")} ELSE 0 END AS rate_pct,
          |    ${Sql.tokenHash("CAST(doc_id AS VARCHAR) || ':mix'")} % 100 AS mh
+         |  FROM documents)
+         |WHERE mh < rate_pct""".stripMargin,
+    "text_weighted_sample" ->
+      s"""SELECT doc_id, source, rate_pct FROM (
+         |  SELECT doc_id, source,
+         |    LEAST(95, GREATEST(10, ${Sql.tokenCount("text")})) AS rate_pct,
+         |    ${Sql.tokenHash("CAST(doc_id AS VARCHAR) || ':wsamp'")} % 100 AS mh
          |  FROM documents)
          |WHERE mh < rate_pct""".stripMargin,
     "text_stratified_sample" ->
