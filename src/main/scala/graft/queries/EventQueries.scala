@@ -13,6 +13,7 @@ object EventQueries {
 
   private val GapMs = 1800000L // 30-minute session gap
   private val TrailMs = 3600000L // rolling-aggregate trailing hour
+  private val TrendWindowMs = 21600000L // 6 h trending window
 
   /** Funnel per-step conversion window (24 h) in epoch millis —
     * the table's native precision ([[graft.Tables.events]] reads the
@@ -183,6 +184,29 @@ object EventQueries {
           max(col("gap")).as("max_gap_ms"),
           min(col("gap")).as("min_gap_ms"),
           sum((col("gap") > GapMs * 2).cast("long")).as("n_gaps_over_1h"))
+    }),
+
+    // Windowed top-k trending: the "what's hot per window" rollup —
+    // tumbling 6 h buckets by integer window arithmetic (t_ms div W,
+    // exact in both engines), count per (window, type), rank ≤ 3
+    // under the deterministic (count desc, type asc) order. The rank
+    // window partitions by the SAME key the count aggregation grouped
+    // on, so both share one exchange; cardinality entering the rank
+    // is already windows × types, not events.
+    "events_trending" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("w_start_ms"))
+        .orderBy(col("cnt").desc, col("event_type").asc)
+      Tables.events(s, dir)
+        .select(unix_millis(col("ts")).as("t_ms"), col("event_type"))
+        .select(expr(s"(t_ms div $TrendWindowMs) * $TrendWindowMs")
+          .as("w_start_ms"), col("event_type"))
+        .groupBy(col("w_start_ms"), col("event_type"))
+        .agg(count(lit(1)).as("cnt"))
+        .withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") <= 3)
+        .select(col("w_start_ms"), col("event_type"), col("cnt"),
+          col("rnk").cast("int").as("rnk"))
     }),
 
     // Trailing-hour rolling aggregate per event — the time-RANGE
@@ -363,6 +387,17 @@ object EventQueries {
          |  MIN(gap) AS min_gap_ms,
          |  CAST(COUNT(*) FILTER (WHERE gap > ${GapMs * 2}) AS BIGINT) AS n_gaps_over_1h
          |FROM g WHERE gap IS NOT NULL GROUP BY user_id""".stripMargin,
+    "events_trending" ->
+      s"""SELECT w_start_ms, event_type, cnt, CAST(rnk AS INT) AS rnk FROM (
+         |  SELECT w_start_ms, event_type, COUNT(*) AS cnt,
+         |    ROW_NUMBER() OVER (PARTITION BY w_start_ms
+         |      ORDER BY COUNT(*) DESC, event_type ASC) AS rnk
+         |  FROM (SELECT
+         |      (epoch_ms(date_trunc('millisecond', ts)) // $TrendWindowMs)
+         |        * $TrendWindowMs AS w_start_ms,
+         |      event_type FROM events)
+         |  GROUP BY w_start_ms, event_type)
+         |WHERE rnk <= 3""".stripMargin,
     "events_rolling_value" ->
       s"""SELECT user_id, event_id, t_ms,
          |  COUNT(*) OVER w AS n_trail,
