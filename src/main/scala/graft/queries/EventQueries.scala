@@ -31,6 +31,10 @@ object EventQueries {
     */
   val RetentionEpochMs = 1704067200000L
   val DayMs = 86400000L
+  // merge demo: base snapshot = first 15 days, delta = the rest.
+  // NOTE: must be declared AFTER RetentionEpochMs/DayMs — object vals
+  // initialize in declaration order and a forward reference reads 0.
+  private val MergeSplitMs = RetentionEpochMs + 15L * DayMs
 
   /** The fixture's event-type domain — the explicit pivot column list
     * (and the oracle's FILTER list), one literal for both engines.
@@ -257,6 +261,43 @@ object EventQueries {
           col("n_events"))
     }),
 
+    // MERGE INTO (lakehouse upsert): apply a CDC delta onto a base
+    // snapshot — matched keys update to the delta's last write,
+    // unmatched delta keys insert, unmatched base keys carry forward;
+    // each row tagged with its merge op. The entity key is
+    // (user_id, k) with k extracted from the JSON payload — the
+    // payload-embedded entity id shape — sparse enough in the fixture
+    // that all three merge branches fire. Both sides first collapse
+    // to latest-per-key via the commutative max(struct(...)) arg-max
+    // (map-side partial agg — only keys × partitions rows shuffle),
+    // then ONE full-outer hash join on the key aligns them. At 100 TB
+    // the base is a persisted table bucketed on the key, so only the
+    // delta shuffles — the dedup_incremental policy applied to CDC.
+    "events_merge_upsert" -> ((s, dir) => {
+      def latest(df: DataFrame): DataFrame = df
+        .groupBy(col("user_id"), col("k"))
+        .agg(max(struct(col("t_ms"), col("event_id"), col("event_type"),
+          col("value"))).as("r"))
+      val e = Tables.events(s, dir)
+        .select(col("user_id"),
+          get_json_object(col("props"), "$.k").cast("long").as("k"),
+          unix_millis(col("ts")).as("t_ms"),
+          col("event_id"), col("event_type"), col("value"))
+      val base = latest(e.filter(col("t_ms") < MergeSplitMs))
+        .withColumnRenamed("r", "b")
+      val delta = latest(e.filter(col("t_ms") >= MergeSplitMs))
+        .withColumnRenamed("r", "d")
+      base.join(delta, Seq("user_id", "k"), "full_outer")
+        .select(col("user_id"), col("k"),
+          coalesce(col("d.t_ms"), col("b.t_ms")).as("t_ms"),
+          coalesce(col("d.event_id"), col("b.event_id")).as("event_id"),
+          coalesce(col("d.event_type"), col("b.event_type")).as("event_type"),
+          coalesce(col("d.value"), col("b.value")).as("value"),
+          when(col("d.t_ms").isNotNull && col("b.t_ms").isNotNull, "update")
+            .when(col("d.t_ms").isNotNull, "insert")
+            .otherwise("keep").as("op"))
+    }),
+
     // Rolling 7-day active users (trailing-window DISTINCT): WAU as
     // of each day. A window frame can't do this — COUNT(DISTINCT)
     // over a moving frame is not a legal window function in any
@@ -436,6 +477,34 @@ object EventQueries {
         |SELECT user_id, last.t_ms AS last_t_ms, last.event_id AS last_event_id,
         |       last.event_type AS last_type, last.value AS last_value, n_events
         |FROM m""".stripMargin,
+    "events_merge_upsert" ->
+      s"""WITH e AS (SELECT user_id,
+         |             CAST(json_extract_string(props, 'k') AS BIGINT) AS k,
+         |             event_id, event_type, value,
+         |             epoch_ms(date_trunc('millisecond', ts)) AS t_ms FROM events),
+         |bm AS (SELECT user_id, k,
+         |         max(struct_pack(t_ms := t_ms, event_id := event_id,
+         |                         event_type := event_type, value := value)) AS r
+         |       FROM e WHERE t_ms < $MergeSplitMs GROUP BY user_id, k),
+         |b AS (SELECT user_id, k, r.t_ms AS t_ms, r.event_id AS event_id,
+         |        r.event_type AS event_type, r.value AS value FROM bm),
+         |dm AS (SELECT user_id, k,
+         |         max(struct_pack(t_ms := t_ms, event_id := event_id,
+         |                         event_type := event_type, value := value)) AS r
+         |       FROM e WHERE t_ms >= $MergeSplitMs GROUP BY user_id, k),
+         |d AS (SELECT user_id, k, r.t_ms AS t_ms, r.event_id AS event_id,
+         |        r.event_type AS event_type, r.value AS value FROM dm)
+         |SELECT COALESCE(b.user_id, d.user_id) AS user_id,
+         |  COALESCE(b.k, d.k) AS k,
+         |  COALESCE(d.t_ms, b.t_ms) AS t_ms,
+         |  COALESCE(d.event_id, b.event_id) AS event_id,
+         |  COALESCE(d.event_type, b.event_type) AS event_type,
+         |  COALESCE(d.value, b.value) AS value,
+         |  CASE WHEN d.user_id IS NOT NULL AND b.user_id IS NOT NULL THEN 'update'
+         |       WHEN d.user_id IS NOT NULL THEN 'insert'
+         |       ELSE 'keep' END AS op
+         |FROM b FULL OUTER JOIN d
+         |  ON b.user_id = d.user_id AND b.k = d.k""".stripMargin,
     "events_rolling_wau" ->
       s"""WITH act AS (SELECT DISTINCT user_id,
          |    (epoch_ms(date_trunc('millisecond', ts)) - $RetentionEpochMs) // $DayMs AS d
