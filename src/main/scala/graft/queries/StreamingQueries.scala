@@ -701,7 +701,59 @@ object StreamingQueries {
     }
   }
 
+  /** Streaming twin of `events_trending`: the production trending
+    * pattern is NOT ranking inside the stream — it is a continuously
+    * UPSERTED (window, type) count table (Update mode → keyed upsert
+    * sink, the taxi_total_stream anatomy over a windowed group) with
+    * the top-k rank applied AT READ TIME over the materialized counts.
+    * Spark's 6 h `window()` buckets are epoch-aligned in UTC, so
+    * `w.start` equals the batch entry's integer `t_ms div W · W`
+    * arithmetic and the final rank converges to the batch oracle.
+    */
+  def trendingStream(spark: SparkSession, sfDir: String): DataFrame = {
+    import java.util.UUID
+    val ss = streamSession(spark)
+    import ss.implicits._
+    val evs = graft.Tables.events(ss, sfDir)
+      .select(col("user_id"), unix_millis(col("ts")).as("t_ms"), col("event_type"))
+      .collect().map(r => FunnelEvent(r.getLong(0), r.getLong(1), r.getString(2)))
+      .toSeq.sortBy(e => (e.tMs, e.userId))
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = ss.sqlContext
+    val ms = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[FunnelEvent]
+    val sink = new KeyedUpsertSink(Seq("w_start_ms", "event_type"))
+    val ckpt = TempDir.create("graft-ckpt-")
+    val counts = ms.toDF().withColumn("ts", timestamp_millis(col("tMs")))
+      .withWatermark("ts", "60 seconds")
+      .groupBy(window(col("ts"), "6 hours").as("w"), col("etype"))
+      .count()
+      .select(unix_millis(col("w.start")).as("w_start_ms"),
+        col("etype").as("event_type"), col("count").as("cnt"))
+    val q = counts.writeStream.outputMode("update")
+      .option("checkpointLocation", ckpt.toString)
+      .foreachBatch(sink.upsert _)
+      .start()
+    val table =
+      try {
+        val size = math.max(1, math.ceil(evs.size.toDouble / 4).toInt)
+        evs.grouped(size).foreach { b => ms.addData(b); q.processAllAvailable() }
+        sink.toDF(ss).localCheckpoint()
+      } finally {
+        q.stop()
+        TempDir.deleteRecursively(ckpt.toString)
+        sink.close()
+        StateStoreBridge.unloadAll()
+      }
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("w_start_ms"))
+      .orderBy(col("cnt").desc, col("event_type").asc)
+    table.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 3)
+      .select(col("w_start_ms"), col("event_type"), col("cnt"),
+        col("rnk").cast("int").as("rnk"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "events_trending_stream" -> (trendingStream _),
     "docs_ingest_stream" -> (docsIngestStream _),
     "docs_ingest_file_stream" -> (docsIngestFileStream _),
     "docs_incremental_stream" -> (docsIncrementalStream _),
@@ -725,6 +777,7 @@ object StreamingQueries {
 
   /** Streaming results must converge to the batch oracles. */
   val oracleSql: Map[String, String] = Map(
+    "events_trending_stream" -> EventQueries.oracleSql("events_trending"),
     // exactly-once restoration + gate must equal the batch gate
     "docs_ingest_stream" ->
       s"""SELECT doc_id, source,
