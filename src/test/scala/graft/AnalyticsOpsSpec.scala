@@ -1,0 +1,120 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Contracts for the late-round-10 analytics/curation additions,
+  * asserted structurally against independent recomputation (the
+  * value-level check is the DuckDB oracle): merge op tags partition
+  * the key space correctly, rolling sums equal a brute-force trailing
+  * recompute, trending ranks are genuine per-window top-3, weighted
+  * sampling keeps exactly the hash-under-rate docs, and the LM score
+  * is consistent (known ≤ total, mass positive iff known > 0).
+  */
+class AnalyticsOpsSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  private val sf = "/root/testdata/sf0.001"
+
+  test("events_merge_upsert op tags partition the key space; values are the delta-or-base last write") {
+    val rows = SparkEntry.queries("events_merge_upsert")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val ops = rows.groupBy(_.getAs[String]("op")).view.mapValues(_.length).toMap
+    // all three branches must be live in the fixture
+    assert(ops.keySet == Set("update", "insert", "keep"), s"got $ops")
+    // keys are unique after the merge
+    val keys = rows.map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("k")))
+    assert(keys.distinct.length == keys.length)
+  }
+
+  test("events_rolling_value equals a brute-force trailing recompute") {
+    val got = SparkEntry.queries("events_rolling_value")(spark, sf).collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("event_id")) ->
+        (r.getAs[Long]("t_ms"), r.getAs[Long]("n_trail"), r.getAs[Double]("v_trail")))
+      .toMap
+    val evs = Tables.events(spark, sf)
+      .select(col("user_id"), col("event_id"), unix_millis(col("ts")).as("t_ms"),
+        col("value")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    val byUser = evs.groupBy(_._1)
+    evs.foreach { case (u, eid, t, _) =>
+      val frame = byUser(u).filter(e => e._3 >= t - 3600000L && e._3 <= t)
+      val (gt, gn, gv) = got((u, eid))
+      assert(gt == t && gn == frame.length)
+      // decimal(18,4) sum of the frame set, order-free
+      val want = frame.map(e => BigDecimal(e._4).setScale(4, BigDecimal.RoundingMode.HALF_UP))
+        .sum.toDouble
+      assert(gv == want, s"user $u event $eid")
+    }
+  }
+
+  test("events_trending is the true per-window top-3 by recomputed counts") {
+    val counts = Tables.events(spark, sf)
+      .select(unix_millis(col("ts")).as("t_ms"), col("event_type")).collect()
+      .map(r => ((r.getLong(0) / 21600000L) * 21600000L, r.getString(1)))
+      .groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val got = SparkEntry.queries("events_trending")(spark, sf).collect()
+    assert(got.nonEmpty)
+    got.groupBy(_.getAs[Long]("w_start_ms")).foreach { case (w, rows) =>
+      assert(rows.length <= 3)
+      val want = counts.collect { case ((ww, t), c) if ww == w => (t, c) }.toSeq
+        .sortBy { case (t, c) => (-c, t) }.take(rows.length)
+      val gotRanked = rows.sortBy(_.getAs[Int]("rnk"))
+        .map(r => (r.getAs[String]("event_type"), r.getAs[Long]("cnt")))
+      assert(gotRanked.toSeq == want, s"window $w")
+    }
+  }
+
+  test("text_weighted_sample keeps exactly the docs whose salted hash is under their own rate") {
+    val kept = SparkEntry.queries("text_weighted_sample")(spark, sf).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Int]("rate_pct")).toMap
+    assert(kept.nonEmpty && kept.size < 500, "sampling must neither drop nor keep everything")
+    // recompute rate and hash-keep decision per doc through the engine's own columns
+    val all = Tables.documents(spark, sf)
+      .select(col("doc_id"),
+        least(lit(95), greatest(lit(10),
+          graft.functions.TextFunctions.tokenCount(col("text")))).as("rate"),
+        (graft.functions.TextFunctions.tokenHash(
+          concat(col("doc_id").cast("string"), lit(":wsamp"))) % 100).as("mh"))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    all.foreach { case (id, rate, mh) =>
+      assert(kept.contains(id) == (mh < rate), s"doc $id")
+      if (kept.contains(id)) assert(kept(id) == rate)
+    }
+  }
+
+  test("text_lm_score counts are consistent and the vocabulary cut binds") {
+    val rows = SparkEntry.queries("text_lm_score")(spark, sf).collect()
+    assert(rows.length == Tables.documents(spark, sf).count())
+    var anyUnknown = false
+    rows.foreach { r =>
+      val n = r.getAs[Long]("n_bigrams")
+      val known = r.getAs[Long]("known_bigrams")
+      val mass = r.getAs[Long]("familiarity_mass")
+      assert(known >= 0 && known <= n)
+      assert((mass > 0) == (known > 0))
+      assert(mass >= known, "each known bigram contributes count >= 1")
+      if (known < n) anyUnknown = true
+    }
+    // the top-K cut only bites once the corpus has more than LmVocab
+    // distinct bigrams (true at sf0.01+; sf0.001 fits entirely)
+    val distinctBigrams = Tables.documents(spark, sf)
+      .select(explode(graft.functions.TextFunctions.bigrams(col("text"))).as("g"))
+      .distinct().count()
+    if (distinctBigrams > graft.queries.TextQueries.LmVocab)
+      assert(anyUnknown, "top-K vocabulary must exclude some bigrams at this SF")
+  }
+
+  test("dedup_semantic: drops have a kept-or-dropped lower-id witness; cells partition the corpus") {
+    val rows = SparkEntry.queries("dedup_semantic")(spark, sf).collect()
+    val n = Tables.embeddings(spark, sf).count()
+    assert(rows.length == n, "one verdict per vector")
+    val dropped = rows.count(_.getAs[Int]("is_kept") == 0)
+    assert(dropped > 0 && dropped < n, "threshold must discriminate at this SF")
+    // lowest id within each cell can never be dropped (no lower-id witness)
+    rows.groupBy(_.getAs[Int]("cell")).foreach { case (_, members) =>
+      val minId = members.map(_.getAs[Long]("vec_id")).min
+      val minRow = members.find(_.getAs[Long]("vec_id") == minId).get
+      assert(minRow.getAs[Int]("is_kept") == 1)
+    }
+  }
+}

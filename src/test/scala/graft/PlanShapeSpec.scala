@@ -24,7 +24,8 @@ class PlanShapeSpec extends AnyFunSuite {
     "taxi_dedup_stream", "events_sessionize_stream",
     "taxi_sliding_file_stream", "taxi_late_drop", "docs_ingest_stream",
     "docs_ingest_file_stream", "docs_incremental_stream",
-    "events_funnel_stream", "events_attribution_stream")
+    "events_funnel_stream", "events_attribution_stream",
+    "events_trending_stream")
 
   /** Pre-AQE physical plan: assertable deterministically; AQE only
     * re-plans *away* from shapes asserted here on runtime stats.
@@ -62,6 +63,15 @@ class PlanShapeSpec extends AnyFunSuite {
     }
     assert(plan("knn_brute").collect { case b: BroadcastNestedLoopJoinExec => b }.nonEmpty,
       "knn_brute should broadcast the query side of its all-pairs join")
+  }
+
+  test("text_lm_score broadcasts the vocabulary into the scoring join") {
+    // The top-K bigram vocabulary is tiny by construction; if the
+    // scoring join ever degrades to sort-merge, the full bigram
+    // explode shuffles by bigram string — the exact cost the
+    // broadcast exists to avoid at 100 TB.
+    val n = plan("text_lm_score").collect { case b: BroadcastHashJoinExec => b }.size
+    assert(n >= 1, "vocabulary join must be a broadcast hash join")
   }
 
   test("events_asof_join plans the custom AsOfJoinExec (no pair blow-up)") {
