@@ -261,6 +261,33 @@ object EventQueries {
           col("n_events"))
     }),
 
+    // Z-order clustering (the Delta/Iceberg OPTIMIZE ZORDER BY shape):
+    // interleave the bits of two predicate dimensions — user_id and
+    // day — into a Morton code, tile the curve by dropping the low
+    // 3 bits of each dimension (z >> 6), and emit each tile's zone
+    // map (row count + min/max of BOTH dims). A z-curve tile is an
+    // axis-aligned 8×8 rectangle in (user, day) space, so every
+    // tile's min/max bounds are tight on BOTH dimensions at once —
+    // the property that lets a scan skip files for predicates on
+    // EITHER column, which a single-column sort only gives one of.
+    // Pure integer bit arithmetic (exact cross-engine) + ONE groupBy
+    // on the tile id; at 100 TB the tile id is the repartition/write
+    // key and this query IS the layout-compaction job.
+    "events_zorder" -> ((s, dir) => {
+      val z = (0 until 8).map { i =>
+        s"(((user_id >> $i) & 1) << ${2 * i + 1}) + (((d >> $i) & 1) << ${2 * i})"
+      }.mkString(" + ")
+      Tables.events(s, dir)
+        .select(col("user_id"),
+          expr(s"(unix_millis(ts) - $RetentionEpochMs) div $DayMs").as("d"))
+        .select(col("user_id"), col("d"), expr(z).as("zv"))
+        .select(col("user_id"), col("d"), expr("zv >> 6").as("tile"))
+        .groupBy(col("tile"))
+        .agg(count(lit(1)).as("n_rows"),
+          min(col("user_id")).as("min_user"), max(col("user_id")).as("max_user"),
+          min(col("d")).as("min_day"), max(col("d")).as("max_day"))
+    }),
+
     // MERGE INTO (lakehouse upsert): apply a CDC delta onto a base
     // snapshot — matched keys update to the delta's last write,
     // unmatched delta keys insert, unmatched base keys carry forward;
@@ -477,6 +504,19 @@ object EventQueries {
         |SELECT user_id, last.t_ms AS last_t_ms, last.event_id AS last_event_id,
         |       last.event_type AS last_type, last.value AS last_value, n_events
         |FROM m""".stripMargin,
+    "events_zorder" -> {
+      val z = (0 until 8).map { i =>
+        s"(((user_id >> $i) & 1) << ${2 * i + 1}) + (((d >> $i) & 1) << ${2 * i})"
+      }.mkString(" + ")
+      s"""WITH e AS (SELECT user_id,
+         |    (epoch_ms(date_trunc('millisecond', ts)) - $RetentionEpochMs) // $DayMs AS d
+         |  FROM events),
+         |zt AS (SELECT user_id, d, ($z) >> 6 AS tile FROM e)
+         |SELECT tile, COUNT(*) AS n_rows,
+         |  MIN(user_id) AS min_user, MAX(user_id) AS max_user,
+         |  MIN(d) AS min_day, MAX(d) AS max_day
+         |FROM zt GROUP BY tile""".stripMargin
+    },
     "events_merge_upsert" ->
       s"""WITH e AS (SELECT user_id,
          |             CAST(json_extract_string(props, 'k') AS BIGINT) AS k,
