@@ -261,6 +261,33 @@ object EventQueries {
           col("n_events"))
     }),
 
+    // Exponentially-weighted moving average per user — the sequential
+    // per-key recurrence (s ← s + α(x − s)) that NO window frame can
+    // express (each state depends multiplicatively on the previous).
+    // The scale-honest batch form: per-key ordered fold — collect the
+    // key's series sorted by (t_ms, event_id), left-fold with the
+    // aggregate higher-order function. Both engines fold LEFT-TO-RIGHT
+    // over the identically-ordered list with identical IEEE double
+    // ops (α = 0.25 is binary-exact), so the result is bit-identical
+    // without any decimal lift — determinism by identical op SEQUENCE
+    // where the sums' trick is identical op SET. State is one double
+    // per key; the shuffle carries each key's series once.
+    "events_ewma" -> ((s, dir) => {
+      Tables.events(s, dir)
+        .select(col("user_id"), unix_millis(col("ts")).as("t_ms"),
+          col("event_id"), col("value"))
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_events"),
+          sort_array(collect_list(struct(col("t_ms"), col("event_id"),
+            col("value")))).as("series"))
+        .select(col("user_id"), col("n_events"),
+          round(expr(
+            """aggregate(slice(series, 2, size(series) - 1),
+              |          element_at(series, 1).value,
+              |          (s, e) -> s + 0.25d * (e.value - s))""".stripMargin),
+            6).as("ewma_r"))
+    }),
+
     // Z-order clustering (the Delta/Iceberg OPTIMIZE ZORDER BY shape):
     // interleave the bits of two predicate dimensions — user_id and
     // day — into a Morton code, tile the curve by dropping the low
@@ -504,6 +531,15 @@ object EventQueries {
         |SELECT user_id, last.t_ms AS last_t_ms, last.event_id AS last_event_id,
         |       last.event_type AS last_type, last.value AS last_value, n_events
         |FROM m""".stripMargin,
+    "events_ewma" ->
+      """WITH e AS (SELECT user_id, value,
+        |    epoch_ms(date_trunc('millisecond', ts)) AS t_ms, event_id FROM events),
+        |srt AS (SELECT user_id, COUNT(*) AS n_events,
+        |    list(value ORDER BY t_ms, event_id) AS vs
+        |  FROM e GROUP BY user_id)
+        |SELECT user_id, n_events,
+        |  ROUND(list_reduce(vs, (s, x) -> s + 0.25 * (x - s)), 6) AS ewma_r
+        |FROM srt""".stripMargin,
     "events_zorder" -> {
       val z = (0 until 8).map { i =>
         s"(((user_id >> $i) & 1) << ${2 * i + 1}) + (((d >> $i) & 1) << ${2 * i})"
