@@ -520,6 +520,59 @@ object StreamingQueries {
     ss.table(name).filter(col("user_id") >= 0)
   }
 
+  /** Stream-stream FULL OUTER interval join — completes the outer
+    * family: matched click→purchase pairs emit as both sides arrive,
+    * unmatched CLICKS null-pad when the watermark proves no purchase
+    * can match (the left-outer semantics), and unmatched PURCHASES
+    * null-pad symmetrically — both sides' state eviction is an
+    * emission trigger. The sentinel advances the shared watermark so
+    * every survivor flushes; its own row (and only it) is filtered by
+    * the coalesced key. Oracle = the batch FULL OUTER interval join.
+    */
+  def attributionFullStream(spark: SparkSession, sfDir: String): DataFrame = {
+    val ss = streamSession(spark)
+    import ss.implicits._
+    val evs = graft.Tables.events(ss, sfDir)
+      .filter(col("event_type").isin("click", "purchase"))
+      .select(col("user_id"), unix_millis(col("ts")).as("t_ms"), col("event_type"))
+      .collect().map(r => FunnelEvent(r.getLong(0), r.getLong(1), r.getString(2)))
+      .toSeq.sortBy(e => (e.tMs, e.userId))
+    val maxT = evs.map(_.tMs).maxOption.getOrElse(0L)
+    val fed = evs :+ FunnelEvent(-1L, maxT + 3600000L + 7200000L, "click")
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = ss.sqlContext
+    val ms = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[FunnelEvent]
+    val name = "attrf_" + UUID.randomUUID().toString.replace("-", "")
+    val ckpt = TempDir.create("graft-ckpt-")
+    val wm = ms.toDF().withColumn("ts", timestamp_millis(col("tMs")))
+      .withWatermark("ts", "60 seconds")
+    val clicks = wm.filter(col("etype") === "click")
+      .select(col("userId").as("c_user"), col("ts").as("c_ts"))
+    val purchases = wm.filter(col("etype") === "purchase")
+      .select(col("userId").as("p_user"), col("ts").as("p_ts"))
+    val q = clicks.join(purchases,
+        col("c_user") === col("p_user") &&
+          col("p_ts") > col("c_ts") &&
+          col("p_ts") <= col("c_ts") + expr("INTERVAL 1 HOUR"),
+        "full_outer")
+      .select(coalesce(col("c_user"), col("p_user")).as("user_id"),
+        unix_millis(col("c_ts")).as("click_ms"),
+        unix_millis(col("p_ts")).as("purchase_ms"))
+      .writeStream.outputMode("append")
+      .option("checkpointLocation", ckpt.toString)
+      .format("memory").queryName(name)
+      .start()
+    try {
+      val size = math.max(1, math.ceil(fed.size.toDouble / 2).toInt)
+      fed.grouped(size).foreach { b => ms.addData(b); q.processAllAvailable() }
+      ms.addData(Seq(fed.last)); q.processAllAvailable()
+    } finally {
+      q.stop()
+      TempDir.deleteRecursively(ckpt.toString)
+      StateStoreBridge.unloadAll()
+    }
+    ss.table(name).filter(col("user_id") >= 0)
+  }
+
   /** The curation recipe's streaming FRONT DOOR: documents arrive as
     * an at-least-once stream (every doc delivered twice — the retry
     * semantics of any real ingest bus), pass watermark-bounded
@@ -765,6 +818,7 @@ object StreamingQueries {
     "events_sessionize_stream" -> (sessionizeStream _),
     "events_funnel_stream" -> (funnelStream _),
     "events_attribution_stream" -> (attributionOuterStream _),
+    "events_attribution_full_stream" -> (attributionFullStream _),
     "taxi_early_stream" -> ((s, d) => earlyStream(s, d)),
     // threshold 3, not the reference's 50: the sf-scaled rides view
     // tops out at ~6 passengers per (cell, pane), so 50 would never
@@ -839,6 +893,17 @@ object StreamingQueries {
         |FROM c LEFT JOIN p ON c.user_id = p.user_id
         |  AND p.purchase_ms > c.click_ms
         |  AND p.purchase_ms <= c.click_ms + 3600000""".stripMargin,
+    "events_attribution_full_stream" ->
+      """WITH c AS (SELECT user_id AS c_user,
+        |             epoch_ms(date_trunc('millisecond', ts)) AS click_ms
+        |           FROM events WHERE event_type = 'click'),
+        |p AS (SELECT user_id AS p_user,
+        |        epoch_ms(date_trunc('millisecond', ts)) AS purchase_ms
+        |      FROM events WHERE event_type = 'purchase')
+        |SELECT COALESCE(c_user, p_user) AS user_id, click_ms, purchase_ms
+        |FROM c FULL OUTER JOIN p ON c_user = p_user
+        |  AND purchase_ms > click_ms
+        |  AND purchase_ms <= click_ms + 3600000""".stripMargin,
     "taxi_early_stream" -> TaxiQueries.slidingNoCentersSql,
     "taxi_early_fires" -> TaxiQueries.earlyFiresSql(3),
     "taxi_duration_stream" -> TaxiQueries.rideDurationSql,
