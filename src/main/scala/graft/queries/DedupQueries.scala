@@ -122,9 +122,12 @@ object DedupQueries {
   private[graft] def minhashVerifiedPairs(s: SparkSession, dir: String): DataFrame =
     minhashVerifiedPairsOf(Tables.documents(s, dir))
 
-  private[queries] def minhashVerifiedPairsOf(documents: DataFrame): DataFrame = {
-    val bands = minhashBands(documents)
-    val cand = bands
+  /** LSH candidate pairs (band-bucket in-group expansion, distinct,
+    * canonical doc_a < doc_b) — the shared front half of every
+    * verify variant (Jaccard, containment).
+    */
+  private[queries] def lshCandidates(documents: DataFrame): DataFrame =
+    minhashBands(documents)
       .groupBy(col("band"), col("bhash"))
       .agg(collect_list(col("doc_id")).as("ids"))
       .filter(size(col("ids")) > 1)
@@ -134,6 +137,9 @@ object DedupQueries {
           |    struct(least(x, y) AS a, greatest(x, y) AS b))))""".stripMargin)).as("p"))
       .select(col("p.a").as("doc_a"), col("p.b").as("doc_b"))
       .distinct()
+
+  private[queries] def minhashVerifiedPairsOf(documents: DataFrame): DataFrame = {
+    val cand = lshCandidates(documents)
     val docs = documents.select(col("doc_id"), trigrams("text").as("tg"))
       .withColumn("sz", size(col("tg")))
     cand
@@ -420,6 +426,31 @@ object DedupQueries {
     "dedup_pagerank" -> ((s, dir) =>
       pageRank(minhashVerifiedPairs(s, dir).select(col("doc_a"), col("doc_b")))),
 
+    // Asymmetric CONTAINMENT verify over the shared LSH candidates:
+    // C(A,B) = |A∩B| / |A| catches doc-contains-doc (quotes,
+    // boilerplate-wrapped copies) that symmetric Jaccard under-scores
+    // — a pair with J = 0.4 can still have C = 0.9 one way. Same
+    // codegen'd SortedIntersectSize kernel; both directions emitted
+    // so the consumer sees which side subsumes which. Candidate
+    // recall is the banded-Jaccard index's (documented: a production
+    // subset detector stratifies the index by length or uses the
+    // prefix-filter index); the verify itself is exact on candidates.
+    "dedup_containment" -> ((s, dir) => {
+      val documents = Tables.documents(s, dir)
+      val docs = documents.select(col("doc_id"), trigrams("text").as("tg"))
+        .withColumn("sz", size(col("tg")))
+      lshCandidates(documents)
+        .join(docs.as("da"), col("doc_a") === col("da.doc_id"))
+        .join(docs.as("db"), col("doc_b") === col("db.doc_id"))
+        .withColumn("inter",
+          graft.functions.expressions.SortedIntersectSize(col("da.tg"), col("db.tg")))
+        .withColumn("c_ab", col("inter").cast("double") / col("da.sz"))
+        .withColumn("c_ba", col("inter").cast("double") / col("db.sz"))
+        .filter(greatest(col("c_ab"), col("c_ba")) >= 0.7)
+        .select(col("doc_a"), col("doc_b"),
+          round(col("c_ab"), 6).as("c_ab_r"), round(col("c_ba"), 6).as("c_ba_r"))
+    }),
+
     // Incremental (delta-ingest) near-dup check: a NEW batch of
     // documents probed against the ALREADY-INGESTED corpus — the shape
     // every production pipeline actually runs day 2 (full-corpus
@@ -630,6 +661,14 @@ object DedupQueries {
          |SELECT e1.a AS a, e1.b AS b, e2.b AS c
          |FROM e e1 JOIN e e2 ON e1.a = e2.a AND e1.b < e2.b
          |JOIN e e3 ON e3.a = e1.b AND e3.b = e2.b""".stripMargin,
+    "dedup_containment" ->
+      s"""WITH ${minhashPairsCtes("documents")}
+         |SELECT doc_a, doc_b,
+         |  ROUND(len(list_intersect(da.tg, db.tg))::DOUBLE / len(da.tg), 6) AS c_ab_r,
+         |  ROUND(len(list_intersect(da.tg, db.tg))::DOUBLE / len(db.tg), 6) AS c_ba_r
+         |FROM cand JOIN tg da ON doc_a = da.doc_id JOIN tg db ON doc_b = db.doc_id
+         |WHERE GREATEST(len(list_intersect(da.tg, db.tg))::DOUBLE / len(da.tg),
+         |               len(list_intersect(da.tg, db.tg))::DOUBLE / len(db.tg)) >= 0.7""".stripMargin,
     // Mirrors the Spark rounds exactly: integer floor-divide shares,
     // integer sums — one CTE pair (shares, ranks) per round.
     "dedup_pagerank" -> {

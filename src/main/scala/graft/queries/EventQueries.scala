@@ -261,6 +261,34 @@ object EventQueries {
           col("n_events"))
     }),
 
+    // Anomaly flagging by per-key z-score — the monitoring staple.
+    // Exactness anatomy: the two MOMENTS (Σx, Σx²) go through
+    // DECIMAL(18,4) so they are order-independent; everything after
+    // (mean, E[x²], variance, sqrt, the comparison) is a fixed
+    // SEQUENCE of IEEE double ops mirrored literally in the oracle —
+    // sqrt is correctly-rounded by IEEE 754, so even it is bit-exact.
+    // Stats reduce to one row per key (map-side partial agg) and
+    // broadcast back into the flagging scan; threshold 1.5σ because
+    // the fixture's uniform values bound |z| < √3.
+    "events_anomaly" -> ((s, dir) => {
+      val e = Tables.events(s, dir)
+        .select(col("user_id"), col("event_id"), col("value"))
+      val stats = e.groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast("decimal(18,4)")).cast("double").as("s1"),
+          sum((col("value") * col("value")).cast("decimal(18,4)"))
+            .cast("double").as("s2"))
+        .select(col("user_id"),
+          (col("s1") / col("n")).as("mean"),
+          sqrt(greatest(col("s2") / col("n") -
+            (col("s1") / col("n")) * (col("s1") / col("n")), lit(0.0))).as("std"))
+      e.join(broadcast(stats), Seq("user_id"))
+        .filter(col("std") > 0.0 &&
+          abs(col("value") - col("mean")) > lit(1.5) * col("std"))
+        .select(col("user_id"), col("event_id"), col("value"),
+          round((col("value") - col("mean")) / col("std"), 6).as("z_r"))
+    }),
+
     // Exponentially-weighted moving average per user — the sequential
     // per-key recurrence (s ← s + α(x − s)) that NO window frame can
     // express (each state depends multiplicatively on the previous).
@@ -531,6 +559,20 @@ object EventQueries {
         |SELECT user_id, last.t_ms AS last_t_ms, last.event_id AS last_event_id,
         |       last.event_type AS last_type, last.value AS last_value, n_events
         |FROM m""".stripMargin,
+    "events_anomaly" ->
+      """WITH st AS (
+        |  SELECT user_id,
+        |    CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*) AS mean,
+        |    sqrt(GREATEST(
+        |      CAST(SUM(CAST(value * value AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*) -
+        |      (CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*)) *
+        |      (CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*)),
+        |      0.0)) AS std
+        |  FROM events GROUP BY user_id)
+        |SELECT e.user_id, e.event_id, e.value,
+        |  ROUND((e.value - st.mean) / st.std, 6) AS z_r
+        |FROM events e JOIN st ON e.user_id = st.user_id
+        |WHERE st.std > 0.0 AND abs(e.value - st.mean) > 1.5 * st.std""".stripMargin,
     "events_ewma" ->
       """WITH e AS (SELECT user_id, value,
         |    epoch_ms(date_trunc('millisecond', ts)) AS t_ms, event_id FROM events),

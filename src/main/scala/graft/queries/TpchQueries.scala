@@ -145,6 +145,21 @@ object TpchQueries {
           count(lit(1)).as("n"))
     }),
 
+    // Equi-width histogram — the distribution profile every
+    // cost-based optimizer and data-quality monitor builds. FIXED
+    // width (no min/max pre-pass): bucket = floor(price / w) is one
+    // identical IEEE double op on both engines, then a single
+    // two-phase count/sum aggregation — one scan, one narrow shuffle
+    // of (bucket, partial) rows. Totals go through DECIMAL(18,4).
+    "q15_histogram" -> ((s, dir) => {
+      Tables.orders(s, dir)
+        .select(floor(col("o_totalprice") / 50000.0).cast("long").as("bucket"),
+          col("o_totalprice"))
+        .groupBy(col("bucket"))
+        .agg(count(lit(1)).as("n_orders"),
+          dsum(col("o_totalprice")).as("total_price"))
+    }),
+
     // TPC-H Q17 shape through the SQL front door: a correlated scalar
     // subquery ("small-quantity" = below a fifth of the part's own
     // average) that Catalyst must DECORRELATE into an aggregate +
@@ -287,6 +302,11 @@ object TpchQueries {
         |  quantile_cont(l_extendedprice, 0.95) AS p95,
         |  COUNT(*) AS n
         |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+    "q15_histogram" ->
+      """SELECT CAST(floor(o_totalprice / 50000.0) AS BIGINT) AS bucket,
+        |  COUNT(*) AS n_orders,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total_price
+        |FROM orders GROUP BY bucket""".stripMargin,
     "q8_distinct_agg" ->
       """SELECT l_returnflag,
         |  COUNT(DISTINCT l_partkey) AS n_parts,
