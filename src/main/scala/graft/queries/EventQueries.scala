@@ -261,6 +261,22 @@ object EventQueries {
           col("n_events"))
     }),
 
+    // Distribution-position windows — percent_rank and ntile complete
+    // the ranking-function family (row_number/rank live in q6 and the
+    // trending entries). Order is the total (value, event_id) — the
+    // deterministic-tiebreak rule every ranking entry follows; both
+    // functions ride ONE user_id partitioning. percent_rank is
+    // (rank-1)/(n-1): one double division, identical both engines.
+    "events_value_ranks" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("value"), col("event_id"))
+      Tables.events(s, dir)
+        .select(col("user_id"), col("event_id"), col("value"))
+        .withColumn("pr_r", round(percent_rank().over(w), 6))
+        .withColumn("quartile", ntile(4).over(w).cast("int"))
+    }),
+
     // Anomaly flagging by per-key z-score — the monitoring staple.
     // Exactness anatomy: the two MOMENTS (Σx, Σx²) go through
     // DECIMAL(18,4) so they are order-independent; everything after
@@ -559,6 +575,12 @@ object EventQueries {
         |SELECT user_id, last.t_ms AS last_t_ms, last.event_id AS last_event_id,
         |       last.event_type AS last_type, last.value AS last_value, n_events
         |FROM m""".stripMargin,
+    "events_value_ranks" ->
+      """SELECT user_id, event_id, value,
+        |  ROUND(percent_rank() OVER w, 6) AS pr_r,
+        |  CAST(ntile(4) OVER w AS INT) AS quartile
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY value, event_id)""".stripMargin,
     "events_anomaly" ->
       """WITH st AS (
         |  SELECT user_id,

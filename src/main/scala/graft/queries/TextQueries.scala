@@ -485,6 +485,32 @@ object TextQueries {
           coalesce(col("n_boiler"), lit(0L)).as("n_boiler"))
     }),
 
+    // INTRA-doc line dedup — the cleanup stage before cross-doc
+    // anything: repeated lines inside one document (nav menus, footer
+    // spam) collapse to their first occurrence. Same fixed 4-token
+    // "line" chunker as text_boilerplate (fixture has no newlines;
+    // production swaps in split('\n')). Keep-first is the POSITIONAL
+    // filter `first index of x == my index` — order-preserving where
+    // a distinct/set would scramble (list_distinct order is
+    // engine-specific, so the deduped text's hash would diverge).
+    // Pure map over one scan: no shuffle, no explode survives the
+    // aggregation — per-doc work bounded by line count².
+    "text_line_dedup" -> ((s, dir) => {
+      val w = IntraLineTokens
+      Tables.documents(s, dir)
+        .select(col("doc_id"), tokens(col("text")).as("t"))
+        .select(col("doc_id"), expr(
+          s"""transform(sequence(1, size(t) div $w),
+             |  i -> array_join(slice(t, (i - 1) * $w + 1, $w), ' '))""".stripMargin)
+          .as("ls"))
+        .select(col("doc_id"),
+          size(col("ls")).as("n_lines"),
+          expr("filter(ls, (x, i) -> array_position(ls, x) == i + 1)").as("kept"))
+        .select(col("doc_id"), col("n_lines"),
+          size(col("kept")).as("n_unique"),
+          md5(concat_ws(" ", col("kept"))).as("dedup_md5"))
+    }),
+
     // Bigram language-model familiarity — the perplexity-filter shape
     // (CCNet/KenLM) made exactly cross-engine-checkable by scoring in
     // INTEGERS: the "model" is the corpus' top-[[LmVocab]] bigrams by
@@ -624,6 +650,7 @@ object TextQueries {
     */
   val BoilerLineTokens = 4
   val BoilerMinDocs = 3
+  val IntraLineTokens = 2 // short enough that the fixture has intra-doc repeats
   val LmVocab = 5000
 
   /** PII patterns, restricted to the Java∩RE2 common regex dialect so
@@ -1014,6 +1041,18 @@ object TextQueries {
          |SELECT d.doc_id, coalesce(p.n_lines, 0) AS n_lines,
          |       coalesce(p.n_boiler, 0) AS n_boiler
          |FROM documents d LEFT JOIN per_doc p ON d.doc_id = p.doc_id""".stripMargin,
+    "text_line_dedup" ->
+      s"""WITH toks AS (SELECT doc_id, ${Sql.tokens("text")} AS t FROM documents),
+         |lin AS (SELECT doc_id,
+         |    [array_to_string(t[(i-1)*$IntraLineTokens+1 : i*$IntraLineTokens], ' ')
+         |     for i in range(1, len(t)//$IntraLineTokens + 1)] AS ls
+         |  FROM toks),
+         |kept AS (SELECT doc_id, len(ls) AS n_lines,
+         |    list_filter(ls, (x, i) -> list_position(ls, x) = i) AS kept
+         |  FROM lin)
+         |SELECT doc_id, n_lines, len(kept) AS n_unique,
+         |  md5(array_to_string(kept, ' ')) AS dedup_md5
+         |FROM kept""".stripMargin,
     "text_lm_score" ->
       s"""WITH bg AS (
          |  SELECT doc_id, unnest(${Sql.bigrams("text")}) AS g FROM documents),
