@@ -104,6 +104,79 @@ class AnalyticsOpsSpec extends AnyFunSuite {
       assert(anyUnknown, "top-K vocabulary must exclude some bigrams at this SF")
   }
 
+  test("events_zorder tiles bound BOTH dimensions to the 8-wide rectangle") {
+    val rows = SparkEntry.queries("events_zorder")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    var total = 0L
+    rows.foreach { r =>
+      assert(r.getAs[Long]("max_user") - r.getAs[Long]("min_user") <= 7)
+      assert(r.getAs[Long]("max_day") - r.getAs[Long]("min_day") <= 7)
+      total += r.getAs[Long]("n_rows")
+    }
+    assert(total == Tables.events(spark, sf).count(), "tiles partition the table")
+  }
+
+  test("events_ewma equals a driver-side sequential fold") {
+    val got = SparkEntry.queries("events_ewma")(spark, sf).collect()
+      .map(r => r.getAs[Long]("user_id") -> r.getAs[Double]("ewma_r")).toMap
+    val evs = Tables.events(spark, sf)
+      .select(col("user_id"), unix_millis(col("ts")).as("t_ms"),
+        col("event_id"), col("value")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    evs.groupBy(_._1).foreach { case (u, rows) =>
+      val ordered = rows.sortBy(e => (e._2, e._3)).map(_._4)
+      val want = ordered.tail.foldLeft(ordered.head)((s, x) => s + 0.25d * (x - s))
+      assert(got(u) == math.rint(want * 1e6) / 1e6 ||
+        got(u) == BigDecimal(want).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble,
+        s"user $u")
+    }
+  }
+
+  test("events_anomaly flags exactly the > 1.5-sigma events of a brute-force recompute") {
+    val got = SparkEntry.queries("events_anomaly")(spark, sf).collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("event_id"))).toSet
+    assert(got.nonEmpty)
+    val evs = Tables.events(spark, sf)
+      .select(col("user_id"), col("event_id"), col("value")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    // .toSeq before flatMap: flatMapping a Map with a pair-valued
+    // function rebuilds a Map keyed by user — one event per user
+    val want = evs.groupBy(_._1).toSeq.flatMap { case (u, rows) =>
+      val n = rows.length
+      val s1 = rows.map(e => BigDecimal(e._3).setScale(4, BigDecimal.RoundingMode.HALF_UP)).sum.toDouble
+      val s2 = rows.map(e => BigDecimal(e._3 * e._3).setScale(4, BigDecimal.RoundingMode.HALF_UP)).sum.toDouble
+      val mean = s1 / n
+      val std = math.sqrt(math.max(s2 / n - mean * mean, 0.0))
+      if (std > 0.0)
+        rows.toSeq.filter(e => math.abs(e._3 - mean) > 1.5 * std).map(e => (u, e._2))
+      else Seq.empty[(Long, Long)]
+    }.toSet
+    assert(got == want)
+  }
+
+  test("dedup_containment reports genuinely asymmetric pairs Jaccard would miss") {
+    val rows = SparkEntry.queries("dedup_containment")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val a = r.getAs[Double]("c_ab_r"); val b = r.getAs[Double]("c_ba_r")
+      assert(a >= 0 && a <= 1 && b >= 0 && b <= 1)
+      assert(math.max(a, b) >= 0.7 - 1e-9)
+    }
+    assert(rows.exists { r =>
+      math.min(r.getAs[Double]("c_ab_r"), r.getAs[Double]("c_ba_r")) < 0.5
+    }, "at least one asymmetric (subset-like) pair must exist in the fixture")
+  }
+
+  test("text_line_dedup keeps first occurrences only and the fixture bites") {
+    val rows = SparkEntry.queries("text_line_dedup")(spark, sf).collect()
+    assert(rows.length == Tables.documents(spark, sf).count())
+    rows.foreach { r =>
+      assert(r.getAs[Int]("n_unique") <= r.getAs[Int]("n_lines"))
+    }
+    assert(rows.exists(r => r.getAs[Int]("n_unique") < r.getAs[Int]("n_lines")),
+      "some doc must contain an intra-doc repeated line")
+  }
+
   test("dedup_semantic: drops have a kept-or-dropped lower-id witness; cells partition the corpus") {
     val rows = SparkEntry.queries("dedup_semantic")(spark, sf).collect()
     val n = Tables.embeddings(spark, sf).count()
