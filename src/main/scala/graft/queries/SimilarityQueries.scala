@@ -354,6 +354,23 @@ object SimilarityQueries {
           (lit(1) - coalesce(col("dup"), lit(0))).as("is_kept"))
     }),
 
+    // Nearest-centroid (Rocchio) classification — the embedding-space
+    // evaluation op a labeled corpus runs before anything learned:
+    // per-label centroids from the EXACT fixed-point lane sums (the
+    // Lloyd UPDATE anatomy with labels as cells — one corpus scan
+    // partial-aggregated to ≤ |labels| rows), assignment by
+    // argmin(‖c‖²−2x·c) over driver-held model parameters (10×65
+    // values, no join), and the label×prediction confusion matrix as
+    // one small count shuffle. At 100 TB: two corpus scans + one
+    // |labels|²-row aggregate — nothing grows with N but the scans.
+    "embedding_classify" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val cents = updateCentroids(emb.withColumn("cell", col("label")))
+      emb.withColumn("pred_label", kmAssign(cents, col("embedding")))
+        .groupBy(col("label"), col("pred_label"))
+        .agg(count(lit(1)).as("n"))
+    }),
+
     // The learned coarse quantizer itself, exported lane-by-lane —
     // pins the full k-means training run (lattice init + KmIters Lloyd
     // rounds of exact-integer updates) against the oracle's
@@ -406,14 +423,17 @@ object SimilarityQueries {
     * score asc, cell asc = Spark's first-occurrence argmin). Ends with
     * centroid CTE `c$KmIters` and assignment CTE `a$KmIters`.
     */
+  // DuckDB fragments of the exact fixed-point centroid math, shared by
+  // the k-means mirror and the nearest-centroid classifier oracle.
+  private val fxList = s"[CAST(floor(embedding[i]::DOUBLE * $FxScale + 0.5) AS BIGINT) " +
+    s"for i in range(1, ${Dim + 1})]"
+  private val laneSums = (1 to Dim).map(i => s"SUM(fx[$i])").mkString("[", ", ", "]")
+  private val centList = s"[CAST((s[i]::DOUBLE / n::DOUBLE) / $FxScale AS FLOAT) " +
+    s"for i in range(1, ${Dim + 1})]"
+  private val ccExpr = "list_reduce(list_prepend(0.0::DOUBLE, " +
+    s"[c[i]::DOUBLE * c[i]::DOUBLE for i in range(1, ${Dim + 1})]), (acc, v) -> acc + v)"
+
   private def kmeansCtes: String = {
-    val fxList = s"[CAST(floor(embedding[i]::DOUBLE * $FxScale + 0.5) AS BIGINT) " +
-      s"for i in range(1, ${Dim + 1})]"
-    val laneSums = (1 to Dim).map(i => s"SUM(fx[$i])").mkString("[", ", ", "]")
-    val centList = s"[CAST((s[i]::DOUBLE / n::DOUBLE) / $FxScale AS FLOAT) " +
-      s"for i in range(1, ${Dim + 1})]"
-    val ccExpr = "list_reduce(list_prepend(0.0::DOUBLE, " +
-      s"[c[i]::DOUBLE * c[i]::DOUBLE for i in range(1, ${Dim + 1})]), (acc, v) -> acc + v)"
     def update(prev: String) =
       s"(SELECT cell, COUNT(*) AS n, $laneSums AS s FROM $prev GROUP BY cell)"
     def cents(m: String) =
@@ -550,6 +570,25 @@ object SimilarityQueries {
          |  FROM sl JOIN embeddings qe ON sl.query_id = qe.vec_id
          |          JOIN embeddings ne ON sl.neighbor_id = ne.vec_id
          |) WHERE rnk <= $K""".stripMargin,
+    "embedding_classify" ->
+      // label-as-cell instance of the kmeansCtes fragments: exact
+      // BIGINT lane sums → float centroid → argmin assignment
+      s"""WITH fx AS (
+         |  SELECT vec_id, label, embedding, $fxList AS fx FROM embeddings),
+         |m AS (
+         |  SELECT label AS cell, COUNT(*) AS n, $laneSums AS s
+         |  FROM fx GROUP BY label),
+         |cc AS (SELECT cell, c, $ccExpr AS cc
+         |       FROM (SELECT cell, $centList AS c FROM m)),
+         |a AS (
+         |  SELECT vec_id, label, cell AS pred_label FROM (
+         |    SELECT f.vec_id, f.label, c.cell,
+         |      ROW_NUMBER() OVER (PARTITION BY f.vec_id ORDER BY
+         |        c.cc - 2 * ${VectorFunctions.Sql.dot("f.embedding", "c.c", Dim)} ASC,
+         |        c.cell ASC) AS rn
+         |    FROM fx f CROSS JOIN cc c) WHERE rn = 1)
+         |SELECT label, pred_label, COUNT(*) AS n
+         |FROM a GROUP BY label, pred_label""".stripMargin,
     "ivf_kmeans_centroids" ->
       s"""WITH $kmeansCtes
          |SELECT cell, CAST(t.i AS INT) AS lane, c[t.i] AS c

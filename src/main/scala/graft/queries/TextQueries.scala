@@ -334,6 +334,74 @@ object TextQueries {
           array_join(slice(col("t"), col("col"), lit(ChunkSize)), " ").as("chunk_text"))
     }),
 
+    // Per-doc duplicated-span rate (the ExactSubstr signal of Lee et
+    // al. 2022, "Deduplicating Training Data Makes Language Models
+    // Better", at fixed gram width): the fraction of a doc's
+    // [[DupSpanN]]-token windows that also occur in ANOTHER document.
+    // Near-dup pair queries answer "which docs are copies"; this one
+    // scores partial copying per doc — the filter criterion
+    // ("drop docs > X% duplicated spans") a curation pass applies
+    // without needing the pair graph. Scale shape: tokenize + gram-
+    // hash ONCE into (doc_id, ghash) pairs (16 bytes/row,
+    // localCheckpointed for the two consumers); gram→distinct-doc
+    // counts via two-phase distinct agg; join-back on the hash (one
+    // shuffle each side, linear in gram count); per-doc rollup. Gram
+    // TEXT never crosses an exchange — only 64-bit hashes do; the
+    // oracle counts on gram strings (identical modulo xxhash64
+    // collisions — none at any test SF).
+    "text_dup_spans" -> ((s, dir) => {
+      import graft.functions.expressions.WordNgrams
+      val grams = Tables.documents(s, dir)
+        .select(col("doc_id"),
+          explode(WordNgrams(col("text"), DupSpanN)).as("g"))
+        .select(col("doc_id"), xxhash64(col("g")).as("gh"))
+        .localCheckpoint()
+      val shared = grams.groupBy(col("gh"))
+        .agg(countDistinct(col("doc_id")).as("nd"))
+        .filter(col("nd") >= 2)
+        .select(col("gh"))
+      grams.join(shared.withColumn("dup", lit(1)), Seq("gh"), "left")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_grams"), count(col("dup")).as("n_dup"))
+        .select(col("doc_id"), col("n_grams"), col("n_dup"),
+          round(col("n_dup").cast("double") / col("n_grams"), 6).as("dup_frac_r"))
+    }),
+
+    // Token-budget data selection — "fill a B-token training budget
+    // with the best documents": docs ranked by quality (stopword
+    // ratio desc, doc_id asc), selected while the running token total
+    // stays ≤ [[SelectBudget]]. The global ordered cumulative sum is
+    // built scale-honestly (a bare SUM OVER (ORDER BY …) collapses
+    // the corpus onto one task): quality range-partitions into
+    // [[BudgetBands]] coarse bands (floor(ratio·bands)), positions =
+    // broadcast per-band offsets (a ≤bands-row cumsum) + in-band
+    // running sums (parallel window per band) — the taxi_concurrency /
+    // text_global_shuffle two-level prefix-sum anatomy, equal to the
+    // single window by associativity. Ordering inputs are IEEE
+    // divisions of the same exact integers on both engines, so the
+    // order — and the integer cumulative sums — hash-match.
+    "text_budget_select" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val docs = Tables.documents(s, dir)
+        .select(col("doc_id"),
+          tokenCount(col("text")).cast("long").as("n_tokens"),
+          stopwordRatio(col("text")).as("q"))
+        .withColumn("band", floor(col("q") * BudgetBands).cast("int"))
+      val offs = docs.groupBy(col("band")).agg(sum(col("n_tokens")).as("tok"))
+        .withColumn("off", coalesce(
+          sum(col("tok")).over(
+            Window.orderBy(col("band").desc).rowsBetween(Window.unboundedPreceding, -1)),
+          lit(0L)))
+        .select(col("band"), col("off"))
+      docs.join(broadcast(offs), "band")
+        .withColumn("cum_tokens", col("off") +
+          sum(col("n_tokens")).over(Window.partitionBy(col("band"))
+            .orderBy(col("q").desc, col("doc_id"))
+            .rowsBetween(Window.unboundedPreceding, 0)))
+        .filter(col("cum_tokens") <= SelectBudget)
+        .select(col("doc_id"), col("n_tokens"), col("cum_tokens"))
+    }),
+
     // Epoch upsampling — the other half of mixture composition:
     // sources weighted ABOVE 1.0 epochs ("2.5 epochs of wiki") emit
     // multiple copies per doc. n_copies = ⌊rate/100⌋ plus one more
@@ -769,7 +837,43 @@ object TextQueries {
   val ChunkSize = 32
   val ChunkStride = 24
 
+  /** `text_dup_spans` gram width — wider than [[ContaminationN]] (a
+    * duplicated SPAN should be rarer than a contaminated phrase; at 8
+    * the fixture still shares ~1000 grams across docs, non-vacuous).
+    */
+  val DupSpanN = 8
+
+  /** `text_budget_select` token budget (≈ 30% of the sf0.01 corpus —
+    * the cut bites) and the coarse quality-band count acting as the
+    * range-partition fan-out of the two-level cumulative sum.
+    */
+  val SelectBudget = 8192L
+  val BudgetBands = 20
+
   val oracleSql: Map[String, String] = Map(
+    "text_dup_spans" ->
+      s"""WITH g AS (
+         |  SELECT doc_id, unnest(${Sql.ngrams("t", DupSpanN)}) AS g
+         |  FROM (SELECT doc_id, ${Sql.tokens("text")} AS t FROM documents)),
+         |f AS (SELECT g, COUNT(DISTINCT doc_id) AS nd FROM g GROUP BY g)
+         |SELECT doc_id, COUNT(*) AS n_grams,
+         |  COUNT(*) FILTER (nd >= 2) AS n_dup,
+         |  ROUND((COUNT(*) FILTER (nd >= 2))::DOUBLE / COUNT(*), 6) AS dup_frac_r
+         |FROM (SELECT g.doc_id, f.nd FROM g JOIN f USING (g))
+         |GROUP BY doc_id""".stripMargin,
+    "text_budget_select" ->
+      // single-window form — equal to the Spark two-level prefix sum
+      // by associativity of the integer token sums
+      s"""SELECT doc_id, n_tokens, cum_tokens FROM (
+         |  SELECT doc_id, n_tokens,
+         |    CAST(SUM(n_tokens) OVER (ORDER BY q DESC, doc_id ASC
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+         |      AS cum_tokens
+         |  FROM (SELECT doc_id,
+         |          CAST(${Sql.tokenCount("text")} AS BIGINT) AS n_tokens,
+         |          ${Sql.stopwordRatio("text")} AS q
+         |        FROM documents))
+         |WHERE cum_tokens <= $SelectBudget""".stripMargin,
     "text_stats" ->
       s"""SELECT doc_id,
          |  length(text) AS n_chars_actual,

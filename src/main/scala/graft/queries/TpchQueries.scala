@@ -222,6 +222,37 @@ object TpchQueries {
           .select(lit("only_r").as("tag"), col("l_partkey")))
     }),
 
+    // NOT IN over a NULLABLE subquery column — the three-valued-logic
+    // semantics the plain left-anti join (`q5`) never exercises, and
+    // the one anti-join form a hash anti join gets WRONG: `x NOT IN S`
+    // is UNKNOWN (not TRUE) when S contains a NULL, so one NULL in the
+    // subquery empties the whole result. Catalyst must plan a
+    // null-aware anti join here because the CASE makes the column
+    // nullable. Two branches pin both halves of the contract:
+    // `null_free` (nullable type, no actual NULLs → real rows survive)
+    // and `null_poisoned` (two real NULLs → count collapses to 0).
+    // SQL front door like `q12`: NOT-IN subqueries have no DataFrame
+    // API. Scale shape: the subquery side is small after its filter →
+    // broadcast; NAAJ adds only a has-null flag on top of the hash
+    // lookup, so the plan stays a broadcast probe, never all-pairs.
+    "q16_null_aware_anti" -> ((s, dir) => {
+      Tables.customer(s, dir).createOrReplaceTempView("q16_customer")
+      Tables.orders(s, dir).createOrReplaceTempView("q16_orders")
+      s.sql("""
+        SELECT 'null_free' AS variant, COUNT(*) AS n_cust
+        FROM q16_customer
+        WHERE c_custkey NOT IN (
+          SELECT CASE WHEN o_orderkey < 0 THEN NULL ELSE o_custkey END
+          FROM q16_orders WHERE o_orderpriority = '1-URGENT')
+        UNION ALL
+        SELECT 'null_poisoned' AS variant, COUNT(*) AS n_cust
+        FROM q16_customer
+        WHERE c_custkey NOT IN (
+          SELECT CASE WHEN o_orderkey % 997 = 0 THEN NULL ELSE o_custkey END
+          FROM q16_orders WHERE o_orderpriority = '1-URGENT')
+      """)
+    }),
+
     // Distinct aggregation + exact distinct counting.
     "q8_distinct_agg" -> ((s, dir) => {
       Tables.lineitem(s, dir)
@@ -331,6 +362,18 @@ object TpchQueries {
         |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty
         |FROM lineitem
         |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())""".stripMargin,
+    "q16_null_aware_anti" ->
+      """SELECT 'null_free' AS variant, COUNT(*) AS n_cust
+        |FROM customer
+        |WHERE c_custkey NOT IN (
+        |  SELECT CASE WHEN o_orderkey < 0 THEN NULL ELSE o_custkey END
+        |  FROM orders WHERE o_orderpriority = '1-URGENT')
+        |UNION ALL
+        |SELECT 'null_poisoned' AS variant, COUNT(*) AS n_cust
+        |FROM customer
+        |WHERE c_custkey NOT IN (
+        |  SELECT CASE WHEN o_orderkey % 997 = 0 THEN NULL ELSE o_custkey END
+        |  FROM orders WHERE o_orderpriority = '1-URGENT')""".stripMargin,
     // decorrelated form: the per-part aggregate the subqueries become
     "q12_correlated_subquery" ->
       """WITH pa AS (
