@@ -38,7 +38,10 @@ object SparkEntry {
       _root_.graft.queries.EventQueries.oracleSql),
     QueryRegistry(
       _root_.graft.queries.CsvQueries.queries,
-      _root_.graft.queries.CsvQueries.oracleSql)
+      _root_.graft.queries.CsvQueries.oracleSql),
+    QueryRegistry(
+      _root_.graft.queries.StorageQueries.queries,
+      _root_.graft.queries.StorageQueries.oracleSql)
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

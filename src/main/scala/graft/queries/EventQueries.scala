@@ -12,6 +12,7 @@ import org.apache.spark.sql.functions._
 object EventQueries {
 
   private val GapMs = 1800000L // 30-minute session gap
+  private val JoinSalt = 8 // events_salted_join hot-key fan-out
   private val TrailMs = 3600000L // rolling-aggregate trailing hour
   private val TrendWindowMs = 21600000L // 6 h trending window
 
@@ -461,6 +462,58 @@ object EventQueries {
           countDistinct(col("user_id")).as("n_users"),
           count(lit(1)).as("n_events"),
           sum(col("value").cast("decimal(18,4)")).cast("double").as("sum_value"))
+    }),
+
+    // SALTED fact-dim join — the manual skew lever when ONE hot key
+    // dwarfs even AQE's split threshold (a power-law user holding 30%
+    // of a 100 TB fact): the dim side replicates ×[[JoinSalt]] with a
+    // salt column, the fact side tags pmod(xxhash64(event_id), salt),
+    // and the equi-join keys on (user_id, salt) — the hot key's rows
+    // now land on [[JoinSalt]] reducers instead of one. Replication
+    // multiplies only the SMALL side (the events_salted_agg policy,
+    // applied to a join). The salt is invisible to the result: the
+    // oracle is the plain enrichment join + rollup, so green proves
+    // the rewrite exact. First lever is still AQE skew-join
+    // (`PlanShapeSpec` pins it on); this is the second.
+    "events_salted_join" -> ((s, dir) => {
+      val dim = Tables.customer(s, dir)
+        .select(col("c_custkey"), col("c_mktsegment"))
+        .withColumn("salt", explode(sequence(lit(0), lit(JoinSalt - 1))))
+      val fact = Tables.events(s, dir)
+        .select(col("user_id"), col("value"),
+          pmod(xxhash64(col("event_id")), lit(JoinSalt.toLong)).as("salt"))
+      fact.join(dim,
+          fact("user_id") === dim("c_custkey") && fact("salt") === dim("salt"))
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(col("value").cast("decimal(18,4)")).cast("double").as("sum_value"))
+    }),
+
+    // Cumulative distinct users per event type by day (the "accounts
+    // that have ever purchased / erred / signed up" adoption curves):
+    // COUNT(DISTINCT) over an expanding frame is illegal as a window
+    // function, so the scale rewrite is first-seen attribution — each
+    // (user, type) contributes once, on its FIRST day (a per-key min:
+    // map-side partial agg, one shuffle of ≤ |users|·|types| rows),
+    // then per-(type, day) new-user counts cumulate. The running
+    // sum's input is the ≤ |types|·|days| row rollup — driver-scale
+    // after aggregation, so the per-type ordered window over it is
+    // honest (the taxi_concurrency smallness argument), never a
+    // window over raw events.
+    "events_cum_users" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val firstDay = Tables.events(s, dir)
+        .select(col("user_id"), col("event_type"), unix_millis(col("ts")).as("t_ms"))
+        .select(col("user_id"), col("event_type"),
+          expr(s"(t_ms - $RetentionEpochMs) div $DayMs").as("day"))
+        .groupBy(col("user_id"), col("event_type")).agg(min(col("day")).as("day"))
+      firstDay.groupBy(col("event_type"), col("day"))
+        .agg(count(lit(1)).as("n_new"))
+        .withColumn("cum_users",
+          sum(col("n_new")).over(Window.partitionBy(col("event_type"))
+            .orderBy(col("day"))
+            .rowsBetween(Window.unboundedPreceding, 0)))
+        .select(col("event_type"), col("day"), col("n_new"), col("cum_users"))
     })
   )
 
@@ -670,6 +723,27 @@ object EventQueries {
         |  COUNT(DISTINCT user_id) AS n_users,
         |  COUNT(*) AS n_events,
         |  CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
-        |FROM events GROUP BY event_type""".stripMargin
+        |FROM events GROUP BY event_type""".stripMargin,
+    // the salt is an engine-side rewrite — the oracle is the PLAIN
+    // enrichment join, so equality proves the rewrite exact
+    "events_salted_join" ->
+      """SELECT c_mktsegment,
+        |  COUNT(*) AS n_events,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+        |FROM events JOIN customer ON user_id = c_custkey
+        |GROUP BY c_mktsegment""".stripMargin,
+    "events_cum_users" ->
+      s"""WITH fd AS (
+         |  SELECT user_id, event_type,
+         |    MIN((epoch_ms(date_trunc('millisecond', ts)) - $RetentionEpochMs) // $DayMs)
+         |      AS day
+         |  FROM events GROUP BY user_id, event_type),
+         |nd AS (SELECT event_type, day, COUNT(*) AS n_new
+         |       FROM fd GROUP BY event_type, day)
+         |SELECT event_type, day, n_new,
+         |  CAST(SUM(n_new) OVER (PARTITION BY event_type ORDER BY day
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+         |    AS cum_users
+         |FROM nd""".stripMargin
   )
 }

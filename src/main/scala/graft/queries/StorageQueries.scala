@@ -1,0 +1,79 @@
+package graft.queries
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Storage-format and table-layout queries: the engine's job is not
+  * just computing over parquet but moving corpora BETWEEN formats and
+  * layouts — format migration (parquet↔ORC, both columnar formats
+  * Spark ships vectorized readers for) and partitioned-directory
+  * layout (the Hive `col=value/` convention every lakehouse table
+  * uses, where a predicate on the partition column prunes entire
+  * directories before any file opens).
+  *
+  * Both fixtures live under target/ (never committed), fixed paths,
+  * overwrite-on-build — the [[CsvQueries.FixturePath]] policy.
+  */
+object StorageQueries {
+
+  /** Repo-local fixture roots — absolute, under target/. */
+  val OrcPath = "/root/repo/target/graft-fixtures/documents_orc"
+  val PartPath = "/root/repo/target/graft-fixtures/documents_by_source"
+
+  /** The partition-pruning predicate's source list: a 2-of-20
+    * selection so the pruned scan touches 10% of directories.
+    */
+  val PrunedSources = Seq("src3", "src7")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Format migration parquet → ORC → engine, verified by the
+    // cross-engine table checksum (the text_table_checksum op — count,
+    // order-independent content fingerprint, char sum, id range per
+    // source). The oracle reads the ORIGINAL parquet, so hash equality
+    // proves the ORC writer+reader round-trips every row and column
+    // bit-faithfully — the validation an actual format migration runs.
+    // Scale shape: the rewrite is one narrow scan→write per partition
+    // (no shuffle); the checksum aggregates map-side to ≤ |sources|
+    // rows.
+    "docs_orc_roundtrip" -> ((s, dir) => {
+      Tables.documents(s, dir).write.mode("overwrite").orc(OrcPath)
+      TextQueries.tableChecksumOf(s.read.orc(OrcPath))
+    }),
+
+    // Hive-style partitioned layout: documents written partitionBy
+    // (source) — 20 `source=…/` directories — then read back with a
+    // partition predicate. The filter never reaches row decoding: it
+    // prunes DIRECTORIES at planning time (PartitionFilters in the
+    // scan node, pinned by PlanShapeSpec), which at 100 TB is the
+    // difference between opening 2 and 2000 partitions. The rollup
+    // re-aggregates per source so the oracle checks content, not just
+    // counts; n_chars rides through the partitioned files, source
+    // through directory names.
+    "docs_partitioned_scan" -> ((s, dir) => {
+      Tables.documents(s, dir).write.mode("overwrite")
+        .partitionBy("source").parquet(PartPath)
+      s.read.parquet(PartPath)
+        .filter(col("source").isin(PrunedSources: _*))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("chars_sum"),
+          min(col("doc_id")).as("id_min"),
+          max(col("doc_id")).as("id_max"))
+    })
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    // oracle reads the original PARQUET — equality proves the ORC
+    // round trip faithful
+    "docs_orc_roundtrip" -> TextQueries.oracleSql("text_table_checksum"),
+    "docs_partitioned_scan" -> {
+      val srcs = PrunedSources.map(s => s"'$s'").mkString(", ")
+      s"""SELECT source, COUNT(*) AS n_docs,
+         |  CAST(SUM(n_chars) AS BIGINT) AS chars_sum,
+         |  MIN(doc_id) AS id_min, MAX(doc_id) AS id_max
+         |FROM documents WHERE source IN ($srcs)
+         |GROUP BY source""".stripMargin
+    }
+  )
+}

@@ -805,7 +805,65 @@ object StreamingQueries {
         col("rnk").cast("int").as("rnk"))
   }
 
+  /** Stream-STATIC enrichment join — the remaining join mode of the
+    * Structured Streaming matrix (stream-stream inner / left-outer /
+    * full-outer are `taxi_duration_stream` / `events_attribution_*`):
+    * each micro-batch hash-joins against a STATIC dimension (customer
+    * → market segment) that never enters the state store — no
+    * watermark on the dim side, no state growth with stream length;
+    * the dim is broadcast, so enrichment adds ZERO shuffle to the
+    * stream (at 100 TB/day the fact stream never repartitions for the
+    * join — the classic streaming-ETL shape). The enriched stream
+    * then runs a per-(segment, day) windowed aggregate in Append
+    * mode. The far-future sentinel (user −1) advances the watermark
+    * at the EventTimeWatermark node BEFORE the join drops it (no
+    * segment matches user −1), so panes flush without the sentinel
+    * ever reaching an aggregate. Batch oracle: the identical join +
+    * day rollup (`window("24 hours")` is epoch-aligned, = the
+    * oracle's integer `t_ms div day · day`).
+    */
+  def enrichStream(spark: SparkSession, sfDir: String): DataFrame = {
+    import java.util.UUID
+    val ss = streamSession(spark)
+    import ss.implicits._
+    val evs = graft.Tables.events(ss, sfDir)
+      .select(col("user_id"), unix_millis(col("ts")).as("t_ms"), col("value"))
+      .collect().map(r => UserEvent(r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .toSeq.sortBy(e => (e.tMs, e.userId))
+    val maxT = evs.map(_.tMs).maxOption.getOrElse(0L)
+    val fed = evs :+ UserEvent(-1L, maxT + 172800000L, 0.0)
+    val dim = graft.Tables.customer(ss, sfDir)
+      .select(col("c_custkey").as("d_user"), col("c_mktsegment").as("segment"))
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = ss.sqlContext
+    val ms = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[UserEvent]
+    val name = "enrich_" + UUID.randomUUID().toString.replace("-", "")
+    val ckpt = TempDir.create("graft-ckpt-")
+    val q = ms.toDF().withColumn("ts", timestamp_millis(col("tMs")))
+      .withWatermark("ts", "60 seconds")
+      .join(broadcast(dim), col("userId") === col("d_user"))
+      .groupBy(col("segment"), window(col("ts"), "24 hours").as("w"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(18,4)")).cast("double").as("sum_value"))
+      .select(col("segment"), unix_millis(col("w.start")).as("day_start_ms"),
+        col("n_events"), col("sum_value"))
+      .writeStream.outputMode("append")
+      .option("checkpointLocation", ckpt.toString)
+      .format("memory").queryName(name)
+      .start()
+    try {
+      val size = math.max(1, math.ceil(fed.size.toDouble / 4).toInt)
+      fed.grouped(size).foreach { b => ms.addData(b); q.processAllAvailable() }
+      ms.addData(Seq(fed.last)); q.processAllAvailable()
+    } finally {
+      q.stop()
+      TempDir.deleteRecursively(ckpt.toString)
+      StateStoreBridge.unloadAll()
+    }
+    ss.table(name)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "events_enrich_stream" -> (enrichStream _),
     "events_trending_stream" -> (trendingStream _),
     "docs_ingest_stream" -> (docsIngestStream _),
     "docs_ingest_file_stream" -> (docsIngestFileStream _),
@@ -831,6 +889,14 @@ object StreamingQueries {
 
   /** Streaming results must converge to the batch oracles. */
   val oracleSql: Map[String, String] = Map(
+    "events_enrich_stream" ->
+      """SELECT c_mktsegment AS segment,
+        |  ((epoch_ms(date_trunc('millisecond', ts)) // 86400000) * 86400000)
+        |    AS day_start_ms,
+        |  COUNT(*) AS n_events,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+        |FROM events JOIN customer ON user_id = c_custkey
+        |GROUP BY 1, 2""".stripMargin,
     "events_trending_stream" -> EventQueries.oracleSql("events_trending"),
     // exactly-once restoration + gate must equal the batch gate
     "docs_ingest_stream" ->
