@@ -177,6 +177,75 @@ class AnalyticsOpsSpec extends AnyFunSuite {
       "some doc must contain an intra-doc repeated line")
   }
 
+  test("text_budget_select equals the brute-force maximal quality-ordered prefix") {
+    // sf0.01: the budget must BITE (sf0.001's whole corpus fits under it)
+    val sf01 = "/root/testdata/sf0.01"
+    val got = SparkEntry.queries("text_budget_select")(spark, sf01).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("n_tokens"),
+        r.getAs[Long]("cum_tokens"))).sortBy(_._1)
+    val docs = Tables.documents(spark, sf01).select(col("doc_id"),
+        graft.functions.TextFunctions.tokenCount(col("text")).cast("long").as("n"),
+        graft.functions.TextFunctions.stopwordRatio(col("text")).as("q"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .sortBy { case (id, _, q) => (-q, id) }
+    val cums = docs.scanLeft(0L)(_ + _._2).tail
+    val want = docs.zip(cums).takeWhile(_._2 <= graft.queries.TextQueries.SelectBudget)
+      .map { case ((id, n, _), c) => (id, n, c) }.sortBy(_._1)
+    assert(got.toSeq == want.toSeq)
+    assert(want.nonEmpty && cums.last > graft.queries.TextQueries.SelectBudget,
+      "fixture budget cut does not bite")
+  }
+
+  test("text_dup_spans equals a brute-force cross-doc shared-gram count") {
+    val n = graft.queries.TextQueries.DupSpanN
+    val got = SparkEntry.queries("text_dup_spans")(spark, sf).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_grams"), r.getAs[Long]("n_dup"))).toMap
+    val docs = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1).split("\\s+").filter(_.nonEmpty)))
+    val grams = docs.map { case (id, t) => id -> t.sliding(n, 1).filter(_.length == n)
+      .map(_.mkString(" ")).toSeq }
+    val docsByGram = grams.flatMap { case (id, gs) => gs.distinct.map(_ -> id) }
+      .groupBy(_._1).view.mapValues(_.map(_._2).distinct.size).toMap
+    grams.filter(_._2.nonEmpty).foreach { case (id, gs) =>
+      val dup = gs.count(g => docsByGram(g) >= 2)
+      assert(got(id) == ((gs.size.toLong, dup.toLong)), s"doc $id")
+    }
+    assert(got.values.exists(_._2 > 0), "fixture shares no spans — vacuous")
+  }
+
+  test("events_cum_users curves are monotone and end at the true distinct counts") {
+    val rows = SparkEntry.queries("events_cum_users")(spark, sf).collect()
+      .map(r => (r.getAs[String]("event_type"), r.getAs[Long]("day"),
+        r.getAs[Long]("n_new"), r.getAs[Long]("cum_users")))
+    val byType = rows.groupBy(_._1).view.mapValues(_.sortBy(_._2)).toMap
+    byType.foreach { case (t, rs) =>
+      // cum is the running sum of n_new, hence strictly increasing
+      assert(rs.map(_._3).scanLeft(0L)(_ + _).tail.sameElements(rs.map(_._4)), t)
+    }
+    val want = Tables.events(spark, sf)
+      .groupBy(col("event_type")).agg(countDistinct(col("user_id")).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byType.view.mapValues(_.last._4).toMap == want,
+      "final cumulative != true distinct user count")
+  }
+
+  test("embedding_classify confusion matrix is consistent and beats chance") {
+    val sf01 = "/root/testdata/sf0.01"
+    val rows = SparkEntry.queries("embedding_classify")(spark, sf01).collect()
+      .map(r => (r.getAs[Int]("label"), r.getAs[Int]("pred_label"), r.getAs[Long]("n")))
+    val rowSums = rows.groupBy(_._1).view.mapValues(_.map(_._3).sum).toMap
+    val want = Tables.embeddings(spark, sf01).groupBy(col("label")).count()
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(rowSums == want, "matrix row sums != label counts")
+    val total = rows.map(_._3).sum
+    val diag = rows.filter(r => r._1 == r._2).map(_._3).sum
+    // 10 balanced labels → chance ≈ 10%; the centroid classifier must
+    // demonstrate the labels are geometrically real (measured ~41%)
+    assert(diag.toDouble / total > 0.25, s"accuracy ${diag.toDouble / total}")
+  }
+
   test("dedup_semantic: drops have a kept-or-dropped lower-id witness; cells partition the corpus") {
     val rows = SparkEntry.queries("dedup_semantic")(spark, sf).collect()
     val n = Tables.embeddings(spark, sf).count()

@@ -25,7 +25,8 @@ class PlanShapeSpec extends AnyFunSuite {
     "taxi_sliding_file_stream", "taxi_late_drop", "docs_ingest_stream",
     "docs_ingest_file_stream", "docs_incremental_stream",
     "events_funnel_stream", "events_attribution_stream",
-    "events_attribution_full_stream", "events_trending_stream")
+    "events_attribution_full_stream", "events_trending_stream",
+    "events_enrich_stream")
 
   /** Pre-AQE physical plan: assertable deterministically; AQE only
     * re-plans *away* from shapes asserted here on runtime stats.
@@ -195,6 +196,38 @@ class PlanShapeSpec extends AnyFunSuite {
       }
       assert(globalSorts.isEmpty, "text_pack_sequences plans a GLOBAL sort")
     } finally spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+  }
+
+  test("q16_null_aware_anti plans broadcast NULL-AWARE anti joins, not nested loops") {
+    // NOT IN over a nullable subquery column must become the
+    // null-aware variant of the broadcast anti join (a plain LeftAnti
+    // would return wrong rows under three-valued logic; a BNLJ
+    // fallback would be the all-pairs scale regression).
+    val joins = plan("q16_null_aware_anti").collect { case b: BroadcastHashJoinExec => b }
+    assert(joins.size == 2, s"expected 2 broadcast anti joins, found ${joins.size}")
+    assert(joins.forall(_.isNullAwareAntiJoin),
+      "NOT IN did not plan as a null-aware anti join")
+  }
+
+  test("events_salted_join keeps the replicated dim on the broadcast side") {
+    // The ×8 salt replication must not push the dim over the broadcast
+    // threshold into a sort-merge join — that would shuffle the fact
+    // on (user_id, salt), paying the exact cost the salt exists to
+    // spread, not create.
+    val n = plan("events_salted_join").collect { case b: BroadcastHashJoinExec => b }.size
+    assert(n == 1, s"expected the salted dim join to broadcast, found $n BHJ")
+  }
+
+  test("docs_partitioned_scan prunes partitions at plan time") {
+    // The source predicate must land in the scan's PartitionFilters
+    // (directory pruning), not its data filters — at 100 TB this is
+    // the difference between opening 2 and 2000 partitions.
+    val scans = plan("docs_partitioned_scan").collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }
+    assert(scans.nonEmpty, "no FileSourceScanExec in the plan")
+    assert(scans.head.partitionFilters.nonEmpty,
+      "source predicate did not become a partition filter")
   }
 
   /** Runtime bloom-filter injection (InjectRuntimeFilter): a selective
