@@ -464,6 +464,77 @@ object EventQueries {
           sum(col("value").cast("decimal(18,4)")).cast("double").as("sum_value"))
     }),
 
+    // A/B experiment readout — the product-analytics op every event
+    // warehouse runs: users assigned to variants by the ':ab'-salted
+    // stable hash (deterministic, independent of every other salt —
+    // assignment never migrates mid-experiment), per-(metric, variant)
+    // moments through the exact DECIMAL recipe (order-free Σx, Σx²;
+    // the events_anomaly anatomy), then lift and Welch t-statistic as
+    // a literally-mirrored double op sequence (division and sqrt are
+    // IEEE-defined — the same bit-exactness argument as the z-score
+    // entry). One shuffle to the ≤ |types|·2-row stats table; the
+    // variant pairing joins 5-row relations.
+    "events_ab_test" -> ((s, dir) => {
+      import graft.functions.TextFunctions.tokenHash
+      val ab = Tables.events(s, dir)
+        .select(col("event_type"), col("value"),
+          (tokenHash(concat(col("user_id").cast("string"), lit(":ab"))) % 2)
+            .as("variant"))
+      val st = ab.groupBy(col("event_type"), col("variant"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast("decimal(18,4)")).cast("double").as("s1"),
+          sum((col("value") * col("value")).cast("decimal(18,4)"))
+            .cast("double").as("s2"))
+        .select(col("event_type"), col("variant"), col("n"),
+          (col("s1") / col("n")).as("mean"),
+          (col("s2") / col("n") - (col("s1") / col("n")) * (col("s1") / col("n")))
+            .as("vr"))
+      val a = st.filter(col("variant") === 0)
+        .select(col("event_type"), col("n").as("n_a"),
+          col("mean").as("mean_a"), col("vr").as("var_a"))
+      val b = st.filter(col("variant") === 1)
+        .select(col("event_type"), col("n").as("n_b"),
+          col("mean").as("mean_b"), col("vr").as("var_b"))
+      a.join(b, "event_type")
+        .select(col("event_type"), col("n_a"), col("n_b"),
+          round(col("mean_a"), 6).as("mean_a_r"),
+          round(col("mean_b"), 6).as("mean_b_r"),
+          round(col("mean_b") - col("mean_a"), 6).as("lift_r"),
+          round((col("mean_b") - col("mean_a")) /
+            sqrt(col("var_a") / col("n_a") + col("var_b") / col("n_b")), 6)
+            .as("t_r"))
+    }),
+
+    // Winsorized (outlier-trimmed) per-group means — the robust-
+    // statistics twin of `q10_quantiles`: exact p05/p95 per event
+    // type (sort-based percentile, interpolation parity with DuckDB's
+    // quantile_cont pinned by q10), values CLAMPED to the band, both
+    // raw and trimmed means through the exact DECIMAL sum. The stats
+    // table reduces to ≤ |types| rows and broadcasts back into the
+    // clamping scan — two passes, no per-row sort beyond the
+    // percentile's own; at 100 TB pass 1 swaps in approx_percentile's
+    // mergeable sketch, same shape.
+    "events_winsorized" -> ((s, dir) => {
+      val e = Tables.events(s, dir).select(col("event_type"), col("value"))
+      val qs = e.groupBy(col("event_type"))
+        .agg(expr("percentile(value, 0.05)").as("p05"),
+          expr("percentile(value, 0.95)").as("p95"))
+      e.join(broadcast(qs), "event_type")
+        .select(col("event_type"), col("p05"), col("p95"), col("value"),
+          least(greatest(col("value"), col("p05")), col("p95")).as("w"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          count(when(col("value") < col("p05") || col("value") > col("p95"),
+            lit(1))).as("n_clipped"),
+          min(col("p05")).as("p05v"), min(col("p95")).as("p95v"),
+          sum(col("value").cast("decimal(18,4)")).cast("double").as("s_raw"),
+          sum(col("w").cast("decimal(18,4)")).cast("double").as("s_w"))
+        .select(col("event_type"), col("n"), col("n_clipped"),
+          round(col("p05v"), 6).as("p05_r"), round(col("p95v"), 6).as("p95_r"),
+          round(col("s_raw") / col("n"), 6).as("mean_raw_r"),
+          round(col("s_w") / col("n"), 6).as("mean_wins_r"))
+    }),
+
     // SALTED fact-dim join — the manual skew lever when ONE hot key
     // dwarfs even AQE's split threshold (a power-law user holding 30%
     // of a 100 TB fact): the dim side replicates ×[[JoinSalt]] with a
@@ -724,6 +795,38 @@ object EventQueries {
         |  COUNT(*) AS n_events,
         |  CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
         |FROM events GROUP BY event_type""".stripMargin,
+    "events_ab_test" -> {
+      val vh = graft.functions.TextFunctions.Sql
+        .tokenHash("CAST(user_id AS VARCHAR) || ':ab'")
+      s"""WITH st AS (
+         |  SELECT event_type, $vh % 2 AS variant, COUNT(*) AS n,
+         |    CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS s1,
+         |    CAST(SUM(CAST(value * value AS DECIMAL(18,4))) AS DOUBLE) AS s2
+         |  FROM events GROUP BY 1, 2),
+         |m AS (SELECT event_type, variant, n, s1 / n AS mean,
+         |        s2 / n - (s1 / n) * (s1 / n) AS vr FROM st)
+         |SELECT a.event_type, a.n AS n_a, b.n AS n_b,
+         |  ROUND(a.mean, 6) AS mean_a_r, ROUND(b.mean, 6) AS mean_b_r,
+         |  ROUND(b.mean - a.mean, 6) AS lift_r,
+         |  ROUND((b.mean - a.mean) / sqrt(a.vr / a.n + b.vr / b.n), 6) AS t_r
+         |FROM (SELECT * FROM m WHERE variant = 0) a
+         |JOIN (SELECT * FROM m WHERE variant = 1) b USING (event_type)""".stripMargin
+    },
+    "events_winsorized" ->
+      """WITH qs AS (
+        |  SELECT event_type,
+        |    quantile_cont(value, 0.05) AS p05,
+        |    quantile_cont(value, 0.95) AS p95
+        |  FROM events GROUP BY event_type)
+        |SELECT e.event_type, COUNT(*) AS n,
+        |  COUNT(*) FILTER (e.value < p05 OR e.value > p95) AS n_clipped,
+        |  ROUND(MIN(p05), 6) AS p05_r, ROUND(MIN(p95), 6) AS p95_r,
+        |  ROUND(CAST(SUM(CAST(e.value AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*), 6)
+        |    AS mean_raw_r,
+        |  ROUND(CAST(SUM(CAST(LEAST(GREATEST(e.value, p05), p95)
+        |    AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*), 6) AS mean_wins_r
+        |FROM events e JOIN qs USING (event_type)
+        |GROUP BY e.event_type""".stripMargin,
     // the salt is an engine-side rewrite — the oracle is the PLAIN
     // enrichment join, so equality proves the rewrite exact
     "events_salted_join" ->

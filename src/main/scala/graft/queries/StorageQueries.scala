@@ -20,6 +20,7 @@ object StorageQueries {
   /** Repo-local fixture roots — absolute, under target/. */
   val OrcPath = "/root/repo/target/graft-fixtures/documents_orc"
   val PartPath = "/root/repo/target/graft-fixtures/documents_by_source"
+  val EvoPath = "/root/repo/target/graft-fixtures/documents_evolution"
 
   /** The partition-pruning predicate's source list: a 2-of-20
     * selection so the pruned scan touches 10% of directories.
@@ -60,6 +61,32 @@ object StorageQueries {
           sum(col("n_chars")).as("chars_sum"),
           min(col("doc_id")).as("id_min"),
           max(col("doc_id")).as("id_max"))
+    }),
+
+    // Schema evolution across file generations — the lakehouse
+    // reality that a long-lived table's early files lack columns later
+    // files carry: generation 1 (even doc_ids) is written WITHOUT the
+    // `lang` column, generation 2 (odd) with it, into `gen=N/`
+    // partition directories; `mergeSchema` unifies them at read time
+    // (gen-1 rows surface NULL lang — no rewrite of old files, the
+    // whole point at 100 TB). The rollup counts lang coverage per
+    // source, so the oracle pins exactly which half carries the new
+    // column. mergeSchema is a read option because schema union costs
+    // a footer read per file — production sets it once in the table
+    // catalog, not per query.
+    "docs_schema_evolution" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      docs.filter(col("doc_id") % 2 === 0)
+        .select(col("doc_id"), col("source"), col("n_chars"))
+        .write.mode("overwrite").parquet(s"$EvoPath/gen=1")
+      docs.filter(col("doc_id") % 2 === 1)
+        .select(col("doc_id"), col("source"), col("n_chars"), col("lang"))
+        .write.mode("overwrite").parquet(s"$EvoPath/gen=2")
+      s.read.option("mergeSchema", "true").parquet(EvoPath)
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          count(col("lang")).as("n_with_lang"),
+          sum(col("n_chars")).as("chars_sum"))
     })
   )
 
@@ -74,6 +101,13 @@ object StorageQueries {
          |  MIN(doc_id) AS id_min, MAX(doc_id) AS id_max
          |FROM documents WHERE source IN ($srcs)
          |GROUP BY source""".stripMargin
-    }
+    },
+    // gen-1 (even ids) rows carry no lang column → NULL after the
+    // schema merge, so lang coverage = the odd half exactly
+    "docs_schema_evolution" ->
+      """SELECT source, COUNT(*) AS n_docs,
+        |  COUNT(*) FILTER (doc_id % 2 = 1) AS n_with_lang,
+        |  CAST(SUM(n_chars) AS BIGINT) AS chars_sum
+        |FROM documents GROUP BY source""".stripMargin
   )
 }

@@ -253,6 +253,38 @@ object TpchQueries {
       """)
     }),
 
+    // Data-quality audit (the dbt-test / Great-Expectations op): each
+    // check is one aggregate over a scan or an anti-join — null-rate,
+    // referential integrity, range invariant — emitted as (check,
+    // n_bad, n_rows) rows. The fixture is clean, so the audited view
+    // carries DETERMINISTIC key-arithmetic corruptions (the
+    // text_pii_redact seeded-fixture policy: every check has real
+    // matches AND real non-matches); the raw-table FK check rides
+    // along and reports its honest zero. Scale shape: each check is a
+    // scan-local partial aggregate or a broadcast anti join — the
+    // audit is one pass per table family, never row-by-row rules.
+    "q17_dq_audit" -> ((s, dir) => {
+      val cust = Tables.customer(s, dir).select(col("c_custkey"))
+      val raw = Tables.orders(s, dir)
+      val corrupted = raw.select(
+        when(col("o_orderkey") % 500 === 0, lit(null).cast("long"))
+          .when(col("o_orderkey") % 777 === 0, col("o_custkey") + 100000L)
+          .otherwise(col("o_custkey")).as("k"),
+        when(col("o_orderkey") % 613 === 0, -col("o_totalprice"))
+          .otherwise(col("o_totalprice")).as("p"))
+        .localCheckpoint() // one corrupted view feeds three checks
+      val nRows = corrupted.count()
+      def check(name: String, bad: DataFrame) =
+        bad.agg(count(lit(1)).as("n_bad"))
+          .select(lit(name).as("check"), col("n_bad"), lit(nRows).as("n_rows"))
+      check("null_custkey", corrupted.filter(col("k").isNull))
+        .unionAll(check("fk_customer", corrupted.filter(col("k").isNotNull)
+          .join(cust, col("k") === col("c_custkey"), "left_anti")))
+        .unionAll(check("nonpositive_price", corrupted.filter(col("p") <= 0)))
+        .unionAll(check("fk_customer_raw",
+          raw.join(cust, col("o_custkey") === col("c_custkey"), "left_anti")))
+    }),
+
     // Distinct aggregation + exact distinct counting.
     "q8_distinct_agg" -> ((s, dir) => {
       Tables.lineitem(s, dir)
@@ -374,6 +406,30 @@ object TpchQueries {
         |WHERE c_custkey NOT IN (
         |  SELECT CASE WHEN o_orderkey % 997 = 0 THEN NULL ELSE o_custkey END
         |  FROM orders WHERE o_orderpriority = '1-URGENT')""".stripMargin,
+    "q17_dq_audit" ->
+      // scalar-subquery counts: each check emits its row even at zero
+      // violations (a filtered GROUP BY would emit nothing on empty)
+      """WITH c AS (
+        |  SELECT CASE WHEN o_orderkey % 500 = 0 THEN NULL
+        |              WHEN o_orderkey % 777 = 0 THEN o_custkey + 100000
+        |              ELSE o_custkey END AS k,
+        |         CASE WHEN o_orderkey % 613 = 0 THEN -o_totalprice
+        |              ELSE o_totalprice END AS p
+        |  FROM orders),
+        |n AS (SELECT COUNT(*) AS n_rows FROM orders)
+        |SELECT 'null_custkey' AS check,
+        |  (SELECT COUNT(*) FROM c WHERE k IS NULL) AS n_bad, n_rows FROM n
+        |UNION ALL
+        |SELECT 'fk_customer',
+        |  (SELECT COUNT(*) FROM c WHERE k IS NOT NULL AND NOT EXISTS
+        |    (SELECT 1 FROM customer WHERE c_custkey = k)), n_rows FROM n
+        |UNION ALL
+        |SELECT 'nonpositive_price',
+        |  (SELECT COUNT(*) FROM c WHERE p <= 0), n_rows FROM n
+        |UNION ALL
+        |SELECT 'fk_customer_raw',
+        |  (SELECT COUNT(*) FROM orders WHERE NOT EXISTS
+        |    (SELECT 1 FROM customer WHERE c_custkey = o_custkey)), n_rows FROM n""".stripMargin,
     // decorrelated form: the per-part aggregate the subqueries become
     "q12_correlated_subquery" ->
       """WITH pa AS (
