@@ -50,4 +50,47 @@ class PartitionPruningSpec extends AnyFunSuite {
         s"user_id filter not pushed to the scan:\n$scan")
     } finally TempDir.deleteRecursively(dir.toString)
   }
+
+  test("dynamic partition pruning: a dim-side filter prunes fact partitions at runtime") {
+    // The runtime half of the pruning story: the fact is partitioned
+    // on the JOIN key and the selective filter sits on the DIM side —
+    // static pruning can't fire (no literal predicate on the fact),
+    // so Catalyst must inject a dynamicpruning subquery into the fact
+    // scan's PartitionFilters (fed by the broadcast of the filtered
+    // dim). At 100 TB this is what keeps a date-dimension join from
+    // scanning every day of a partitioned fact.
+    val dir = TempDir.create("graft-dpp-")
+    // AQE off: AdaptiveSparkPlanExec hides the physical tree from
+    // collect() (the PlanShapeSpec policy); DPP itself is a
+    // pre-adaptive optimizer rule either way.
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      Tables.events(spark, "/root/testdata/sf0.001")
+        .withColumn("day", to_date(col("ts")))
+        .write.partitionBy("day").mode("overwrite").parquet(dir.toString)
+      val fact = spark.read.parquet(dir.toString)
+      val dim = fact.select(col("day")).distinct()
+        .withColumn("dow", dayofweek(col("day")))
+        .filter(col("dow") === 3)
+      val joined = fact.join(dim, Seq("day")).groupBy(col("day")).count()
+      val planStr = joined.queryExecution.executedPlan.toString
+      assert(planStr.contains("dynamicpruning"),
+        s"no dynamicpruning subquery in the fact scan:\n${planStr.take(2000)}")
+      // and it actually prunes: the scan reads fewer files than the layout has
+      val rows = joined.collect()
+      assert(rows.nonEmpty)
+      val scanNode = joined.queryExecution.executedPlan.collect {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec
+          if f.partitionFilters.exists(_.toString.contains("dynamicpruning")) => f
+      }
+      assert(scanNode.nonEmpty, "no fact scan with a dynamicpruning partition filter")
+      val read = scanNode.head.metrics("numFiles").value
+      assert(read < fact.inputFiles.length,
+        s"DPP read $read of ${fact.inputFiles.length} files")
+    } finally {
+      spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+      TempDir.deleteRecursively(dir.toString)
+    }
+  }
 }
