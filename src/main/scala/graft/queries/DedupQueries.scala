@@ -25,6 +25,13 @@ object DedupQueries {
     * so t is encoded exactly once.
     */
   private val NgramJaccardT = 0.5
+  // dedup_lsh_scurve ground-truth floor. The fixture's same-source
+  // pairs sit at shingle-J 0.1–0.3 plus one true dup at 0.9 — 0.1
+  // keeps thousands of sub-inflection pairs (capture ≈ 1−(1−J⁴)⁴,
+  // fractions of a percent — the cheapness the index buys) AND the
+  // near-certain capture at the top, so the report shows both sigmoid
+  // tails
+  private val ScurveMinJac = 0.1
   private val NgramSizeRatio = 1.0 + 1.0 / NgramJaccardT
 
   /** doc_id + 16 minhash signature columns, computed in one pass by
@@ -612,6 +619,48 @@ object DedupQueries {
     // candidate costs one codegen'd dot product. The oracle models the
     // identical banding, so the check is exact over the LSH semantics
     // (same pattern as knn_lsh).
+    // The banded-LSH S-CURVE, measured: per similarity decile of the
+    // exact pair similarities IN THE INDEX'S OWN FEATURE DOMAIN
+    // (5-char shingle Jaccard — the domain the signatures minhash;
+    // trigram-J ground truth would misread capture, since longer
+    // shingles score the same pair lower), the fraction the 4×4 band
+    // index emits as candidates. This is the index-quality report a
+    // dedup pipeline runs when tuning (bands × rows): capture follows
+    // the 1−(1−J⁴)⁴ sigmoid — ≈ 1 for true dups, falling fast below
+    // the ~0.63 inflection, which is exactly the cheapness the index
+    // buys. Ground truth is inherently the quadratic exact compute —
+    // bounded here per source group; at 100 TB this report runs on a
+    // stable SAMPLE of groups (it is a tuning diagnostic, not a
+    // production stage). Shingle sets computed once (localCheckpoint)
+    // for both pair sides; the capture join is one LEFT join on the
+    // canonical pair key + a ≤ 8-row rollup.
+    "dedup_lsh_scurve" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+        .select(col("doc_id"), col("source"),
+          array_sort(MinHash.shingleHashes("text")).as("sh"))
+        .withColumn("sz", size(col("sh")))
+        .localCheckpoint()
+      val a = docs.select(col("source"), col("doc_id").as("doc_a"),
+        col("sh").as("sha"), col("sz").as("sza"))
+      val b = docs.select(col("source"), col("doc_id").as("doc_b"),
+        col("sh").as("shb"), col("sz").as("szb"))
+      val ex = a.join(b, Seq("source")).filter(col("doc_a") < col("doc_b"))
+        .withColumn("inter",
+          graft.functions.expressions.SortedIntersectSize(col("sha"), col("shb")))
+        .withColumn("jac",
+          col("inter").cast("double") / (col("sza") + col("szb") - col("inter")))
+        .filter(col("jac") >= ScurveMinJac)
+      val cap = lshCandidates(Tables.documents(s, dir))
+        .withColumn("captured", lit(1))
+      ex.select(col("doc_a"), col("doc_b"), col("jac"))
+        .join(cap, Seq("doc_a", "doc_b"), "left")
+        .withColumn("bucket", floor(col("jac") * 10).cast("int"))
+        .groupBy(col("bucket"))
+        .agg(count(lit(1)).as("n_true"), count(col("captured")).as("n_captured"))
+        .select(col("bucket"), col("n_true"), col("n_captured"),
+          round(col("n_captured").cast("double") / col("n_true"), 6).as("capture_r"))
+    }),
+
     "dedup_embedding_pairs" -> ((s, dir) => {
       val emb = Tables.embeddings(s, dir)
         .withColumn("nrm", VectorFunctions.norm(col("embedding")))
@@ -762,6 +811,29 @@ object DedupQueries {
          |FROM tg a JOIN tg b ON a.source = b.source AND a.doc_id < b.doc_id
          |WHERE len(list_intersect(a.tg, b.tg))::DOUBLE /
          |      len(list_distinct(list_concat(a.tg, b.tg))) >= $NgramJaccardT""".stripMargin,
+    "dedup_lsh_scurve" ->
+      // exact same-source pair Jaccard in the SHINGLE domain LEFT
+      // JOIN the banded candidate set (the minhash CTEs), rolled up
+      // by similarity decile; union = szA + szB − inter on distinct
+      // shingle sets, so both engines divide identical integers
+      s"""WITH ${minhashPairsCtes("documents")},
+         |sh AS (SELECT doc_id, source,
+         |         ${MinHash.Sql.shingleHashes("text")} AS sh FROM documents),
+         |ex AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |    len(list_intersect(a.sh, b.sh))::DOUBLE /
+         |      (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) AS jac
+         |  FROM sh a JOIN sh b ON a.source = b.source AND a.doc_id < b.doc_id),
+         |exf AS (SELECT * FROM ex WHERE jac >= $ScurveMinJac),
+         |j AS (
+         |  SELECT exf.jac, CASE WHEN cand.doc_a IS NULL THEN 0 ELSE 1 END AS cap
+         |  FROM exf LEFT JOIN cand
+         |    ON exf.doc_a = cand.doc_a AND exf.doc_b = cand.doc_b)
+         |SELECT CAST(floor(jac * 10) AS INT) AS bucket,
+         |  COUNT(*) AS n_true,
+         |  COUNT(*) FILTER (cap = 1) AS n_captured,
+         |  ROUND((COUNT(*) FILTER (cap = 1))::DOUBLE / COUNT(*), 6) AS capture_r
+         |FROM j GROUP BY bucket""".stripMargin,
     "dedup_embedding_pairs" -> {
       val bandMask = (1 << EmbBandBits) - 1
       val bandMatch = (0 until EmbBands)

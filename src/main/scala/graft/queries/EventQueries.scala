@@ -464,6 +464,20 @@ object EventQueries {
           sum(col("value").cast("decimal(18,4)")).cast("double").as("sum_value"))
     }),
 
+    // UNPIVOT (wide→long melt) — the inverse reshape of
+    // `events_pivot`, closing the reshape pair: the per-user count
+    // matrix melts back to (user_id, event_type, n) rows, zeros
+    // included (the pivot materializes them, and ML feature export —
+    // the op's consumer — needs the dense grid). Spark's native
+    // unpivot plans one Expand over the wide relation — |types|×
+    // fan-out of already-aggregated rows, no extra shuffle on top of
+    // the pivot's one.
+    "events_unpivot" -> ((s, dir) => {
+      queries("events_pivot")(s, dir)
+        .unpivot(Array(col("user_id")), EventTypes.map(col).toArray,
+          "event_type", "n")
+    }),
+
     // A/B experiment readout — the product-analytics op every event
     // warehouse runs: users assigned to variants by the ':ab'-salted
     // stable hash (deterministic, independent of every other salt —
@@ -795,6 +809,16 @@ object EventQueries {
         |  COUNT(*) AS n_events,
         |  CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
         |FROM events GROUP BY event_type""".stripMargin,
+    "events_unpivot" -> {
+      val types = EventTypes.map(t => s"'$t'").mkString("[", ", ", "]")
+      s"""WITH u AS (SELECT DISTINCT user_id FROM events),
+         |t AS (SELECT unnest($types) AS event_type),
+         |c AS (SELECT user_id, event_type, COUNT(*) AS n
+         |      FROM events GROUP BY 1, 2)
+         |SELECT u.user_id, t.event_type, COALESCE(c.n, 0) AS n
+         |FROM u CROSS JOIN t
+         |LEFT JOIN c ON c.user_id = u.user_id AND c.event_type = t.event_type""".stripMargin
+    },
     "events_ab_test" -> {
       val vh = graft.functions.TextFunctions.Sql
         .tokenHash("CAST(user_id AS VARCHAR) || ':ab'")

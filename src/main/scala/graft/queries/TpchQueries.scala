@@ -253,6 +253,28 @@ object TpchQueries {
       """)
     }),
 
+    // ANALYZE-style column statistics in ONE scan — the catalog-stats
+    // collection (ndv / min / max per column) a cost-based optimizer
+    // feeds on. All per-column aggregates compute in a single pass
+    // (Catalyst plans the multi-countDistinct via one Expand), then
+    // `stack` reshapes the one wide row into per-column rows — the
+    // scale contrast to running |columns| separate scans. min/max
+    // export as strings so integer and flag columns share one schema
+    // (bigint→string renders identically in both engines).
+    "q18_column_stats" -> ((s, dir) => {
+      val cols = Seq("l_orderkey", "l_partkey", "l_suppkey",
+        "l_returnflag", "l_linestatus")
+      val aggs = cols.flatMap(c => Seq(
+        countDistinct(col(c)).as(s"ndv_$c"),
+        min(col(c)).cast("string").as(s"min_$c"),
+        max(col(c)).cast("string").as(s"max_$c"))) :+ count(lit(1)).as("n_rows")
+      val one = Tables.lineitem(s, dir).agg(aggs.head, aggs.tail: _*)
+      val stackArgs = cols.map(c => s"'$c', ndv_$c, min_$c, max_$c").mkString(", ")
+      one.select(col("n_rows"),
+          expr(s"stack(${cols.size}, $stackArgs) AS (col_name, ndv, min_s, max_s)"))
+        .select(col("col_name"), col("ndv"), col("min_s"), col("max_s"), col("n_rows"))
+    }),
+
     // Data-quality audit (the dbt-test / Great-Expectations op): each
     // check is one aggregate over a scan or an anti-join — null-rate,
     // referential integrity, range invariant — emitted as (check,
@@ -406,6 +428,15 @@ object TpchQueries {
         |WHERE c_custkey NOT IN (
         |  SELECT CASE WHEN o_orderkey % 997 = 0 THEN NULL ELSE o_custkey END
         |  FROM orders WHERE o_orderpriority = '1-URGENT')""".stripMargin,
+    "q18_column_stats" -> {
+      val cols = Seq("l_orderkey", "l_partkey", "l_suppkey",
+        "l_returnflag", "l_linestatus")
+      cols.map(c =>
+        s"""SELECT '$c' AS col_name, COUNT(DISTINCT $c) AS ndv,
+           |  CAST(MIN($c) AS VARCHAR) AS min_s, CAST(MAX($c) AS VARCHAR) AS max_s,
+           |  COUNT(*) AS n_rows FROM lineitem""".stripMargin)
+        .mkString("\nUNION ALL\n")
+    },
     "q17_dq_audit" ->
       // scalar-subquery counts: each check emits its row even at zero
       // violations (a filtered GROUP BY would emit nothing on empty)
