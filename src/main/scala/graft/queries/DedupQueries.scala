@@ -633,9 +633,16 @@ object DedupQueries {
     // stable SAMPLE of groups (it is a tuning diagnostic, not a
     // production stage). Shingle sets computed once (localCheckpoint)
     // for both pair sides; the capture join is one LEFT join on the
-    // canonical pair key + a ≤ 8-row rollup.
+    // canonical pair key + a ≤ 8-row rollup. The sample is IN the
+    // query: a stable source-hash predicate keeps 1-in-5 source
+    // groups (the ':scv' salt — independent of every other sampling
+    // hash), because the diagnostic's cost is quadratic per group and
+    // its estimate converges per-group; the ':scv2' draw keeps the
+    // corpus' duplicate-rich source so the top tail stays populated.
     "dedup_lsh_scurve" -> ((s, dir) => {
+      val sampled = TextFunctions.tokenHash(concat(col("source"), lit(":scv2"))) % 5 === 0
       val docs = Tables.documents(s, dir)
+        .filter(sampled)
         .select(col("doc_id"), col("source"),
           array_sort(MinHash.shingleHashes("text")).as("sh"))
         .withColumn("sz", size(col("sh")))
@@ -650,7 +657,9 @@ object DedupQueries {
         .withColumn("jac",
           col("inter").cast("double") / (col("sza") + col("szb") - col("inter")))
         .filter(col("jac") >= ScurveMinJac)
-      val cap = lshCandidates(Tables.documents(s, dir))
+      // candidates over the sampled docs only — pair capture is a
+      // pairwise band property, unaffected by out-of-sample docs
+      val cap = lshCandidates(Tables.documents(s, dir).filter(sampled))
         .withColumn("captured", lit(1))
       ex.select(col("doc_a"), col("doc_b"), col("jac"))
         .join(cap, Seq("doc_a", "doc_b"), "left")
@@ -816,9 +825,12 @@ object DedupQueries {
       // JOIN the banded candidate set (the minhash CTEs), rolled up
       // by similarity decile; union = szA + szB − inter on distinct
       // shingle sets, so both engines divide identical integers
-      s"""WITH ${minhashPairsCtes("documents")},
+      s"""WITH docs_scv AS (
+         |  SELECT * FROM documents
+         |  WHERE ${TextFunctions.Sql.tokenHash("source || ':scv2'")} % 5 = 0),
+         |${minhashPairsCtes("docs_scv")},
          |sh AS (SELECT doc_id, source,
-         |         ${MinHash.Sql.shingleHashes("text")} AS sh FROM documents),
+         |         ${MinHash.Sql.shingleHashes("text")} AS sh FROM docs_scv),
          |ex AS (
          |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
          |    len(list_intersect(a.sh, b.sh))::DOUBLE /

@@ -253,26 +253,27 @@ object TpchQueries {
       """)
     }),
 
-    // ANALYZE-style column statistics in ONE scan — the catalog-stats
-    // collection (ndv / min / max per column) a cost-based optimizer
-    // feeds on. All per-column aggregates compute in a single pass
-    // (Catalyst plans the multi-countDistinct via one Expand), then
-    // `stack` reshapes the one wide row into per-column rows — the
-    // scale contrast to running |columns| separate scans. min/max
+    // ANALYZE-style column statistics — the catalog-stats collection
+    // (ndv / min / max per column) a cost-based optimizer feeds on.
+    // One PRUNED single-column scan per column, unioned: N distinct
+    // aggregates in one agg would plan a single scan but an
+    // Expand×(N+1) row blow-up above it (measured 6.4 s vs 1.4 s at
+    // sf0.1) — parquet column pruning makes the extra scans nearly
+    // free while each branch keeps a plain two-phase distinct. min/max
     // export as strings so integer and flag columns share one schema
     // (bigint→string renders identically in both engines).
     "q18_column_stats" -> ((s, dir) => {
       val cols = Seq("l_orderkey", "l_partkey", "l_suppkey",
         "l_returnflag", "l_linestatus")
-      val aggs = cols.flatMap(c => Seq(
-        countDistinct(col(c)).as(s"ndv_$c"),
-        min(col(c)).cast("string").as(s"min_$c"),
-        max(col(c)).cast("string").as(s"max_$c"))) :+ count(lit(1)).as("n_rows")
-      val one = Tables.lineitem(s, dir).agg(aggs.head, aggs.tail: _*)
-      val stackArgs = cols.map(c => s"'$c', ndv_$c, min_$c, max_$c").mkString(", ")
-      one.select(col("n_rows"),
-          expr(s"stack(${cols.size}, $stackArgs) AS (col_name, ndv, min_s, max_s)"))
-        .select(col("col_name"), col("ndv"), col("min_s"), col("max_s"), col("n_rows"))
+      cols.map { c =>
+        Tables.lineitem(s, dir).agg(
+          countDistinct(col(c)).as("ndv"),
+          min(col(c)).cast("string").as("min_s"),
+          max(col(c)).cast("string").as("max_s"),
+          count(lit(1)).as("n_rows"))
+          .select(lit(c).as("col_name"), col("ndv"),
+            col("min_s"), col("max_s"), col("n_rows"))
+      }.reduce(_ unionAll _)
     }),
 
     // Data-quality audit (the dbt-test / Great-Expectations op): each
