@@ -334,6 +334,63 @@ object TextQueries {
           array_join(slice(col("t"), col("col"), lit(ChunkSize)), " ").as("chunk_text"))
     }),
 
+    // BPE vocabulary induction — TWO supersteps of actual byte-pair
+    // training (count adjacent-pair frequencies over the word-
+    // frequency table, adopt the most frequent pair as a merge, apply
+    // it corpus-wide, repeat), the tokenizer-training op of an LLM
+    // data pipeline. Scale anatomy: training runs on the WORD-
+    // FREQUENCY table, not the corpus (one corpus scan → vocab-sized
+    // relation, checkpointed); each superstep is one explode→sum pair
+    // count plus a 1-row top-pair broadcast (crossJoin) — the learned
+    // merge is model state, the IVF-centroid pattern. Applying a
+    // merge is a per-word ordered LEFT-FOLD over the token sequence
+    // (greedy leftmost, the EWMA anatomy: init = first token, fold
+    // the rest; a merged token can never re-match its left part since
+    // it got longer) — DuckDB's list_reduce mirrors the identical op
+    // sequence, so the trained merges AND the merged corpus state
+    // hash-match. Output: both merges with their counts + the top-5
+    // tokens of the merged state.
+    "text_bpe_train" -> ((s, dir) => {
+      import graft.functions.expressions.WordNgrams
+      val wf = Tables.documents(s, dir)
+        .select(explode(tokens(col("text"))).as("word"))
+        .groupBy(col("word")).agg(count(lit(1)).as("freq"))
+        .localCheckpoint()
+      def pairTop(seqDf: DataFrame): DataFrame = seqDf
+        .select(col("freq"), explode(WordNgrams(col("seq"), 2)).as("g"))
+        .groupBy(col("g")).agg(sum(col("freq")).as("n"))
+        .orderBy(col("n").desc, col("g").asc).limit(1)
+        .select(col("g"), col("n"),
+          split(col("g"), " ").getItem(0).as("ma"),
+          split(col("g"), " ").getItem(1).as("mb"))
+        .localCheckpoint() // 1-row model state, reused twice
+      def applyMerge(seqDf: DataFrame, top: DataFrame): DataFrame = seqDf
+        .crossJoin(broadcast(top.select(col("ma"), col("mb"))))
+        .withColumn("t", tokens(col("seq")))
+        .withColumn("seq", aggregate(
+          slice(col("t"), lit(2), size(col("t")) - 1),
+          element_at(col("t"), 1),
+          (acc, t) => when(
+            (acc === col("ma") || acc.endsWith(concat(lit(" "), col("ma")))) &&
+              t === col("mb"),
+            concat(acc, t)).otherwise(concat(acc, lit(" "), t))))
+        .select(col("word"), col("freq"), col("seq"))
+      // chars → space-joined sequence (lookahead split keeps no empties)
+      val s0 = wf.withColumn("seq",
+        concat_ws(" ", split(col("word"), "(?!^)(?=.)")))
+      val t1 = pairTop(s0)
+      val s1 = applyMerge(s0, t1)
+      val t2 = pairTop(s1)
+      val s2 = applyMerge(s1, t2)
+      val merges = t1.select(lit("merge1").as("step"), col("g").as("item"), col("n"))
+        .unionAll(t2.select(lit("merge2").as("step"), col("g").as("item"), col("n")))
+      val toks = s2.select(col("freq"), explode(tokens(col("seq"))).as("tk"))
+        .groupBy(col("tk")).agg(sum(col("freq")).as("n"))
+        .orderBy(col("n").desc, col("tk").asc).limit(5)
+        .select(lit("token").as("step"), col("tk").as("item"), col("n"))
+      merges.unionAll(toks)
+    }),
+
     // Per-doc duplicated-span rate (the ExactSubstr signal of Lee et
     // al. 2022, "Deduplicating Training Data Makes Language Models
     // Better", at fixed gram width): the fraction of a doc's
@@ -877,7 +934,41 @@ object TextQueries {
   val SelectBudget = 8192L
   val BudgetBands = 20
 
+  /** CTE pair for one BPE superstep over sequence relation `prev`:
+    * pair counts → 1-row top pair `t$i` → merged sequences `r$i`
+    * (list_reduce = the same init-first ordered fold as Spark's
+    * aggregate-over-slice).
+    */
+  private def bpeRound(i: Int, prev: String): String =
+    s"""p$i AS (SELECT g, SUM(freq) AS n FROM (
+       |  SELECT freq, unnest(${Sql.ngrams(s"string_split(seq, ' ')", 2)}) AS g
+       |  FROM $prev) GROUP BY g),
+       |t$i AS (SELECT g, n, string_split(g, ' ')[1] AS ma,
+       |          string_split(g, ' ')[2] AS mb
+       |        FROM p$i ORDER BY n DESC, g LIMIT 1),
+       |r$i AS (SELECT word, freq,
+       |          list_reduce(string_split(seq, ' '), (acc, t) ->
+       |            CASE WHEN (acc = ma OR ends_with(acc, ' ' || ma)) AND t = mb
+       |                 THEN acc || t ELSE acc || ' ' || t END) AS seq
+       |        FROM $prev, t$i)""".stripMargin
+
   val oracleSql: Map[String, String] = Map(
+    "text_bpe_train" ->
+      s"""WITH wf AS (
+         |  SELECT t AS word, COUNT(*) AS freq FROM (
+         |    SELECT unnest(${Sql.tokens("text")}) AS t FROM documents) GROUP BY t),
+         |r0 AS (SELECT word, freq,
+         |         array_to_string(string_split(word, ''), ' ') AS seq FROM wf),
+         |${bpeRound(1, "r0")},
+         |${bpeRound(2, "r1")}
+         |SELECT 'merge1' AS step, g AS item, CAST(n AS BIGINT) AS n FROM t1
+         |UNION ALL
+         |SELECT 'merge2', g, CAST(n AS BIGINT) FROM t2
+         |UNION ALL
+         |SELECT 'token', tk, n FROM (
+         |  SELECT tk, CAST(SUM(freq) AS BIGINT) AS n FROM (
+         |    SELECT freq, unnest(string_split(seq, ' ')) AS tk FROM r2) t
+         |  GROUP BY tk ORDER BY n DESC, tk LIMIT 5)""".stripMargin,
     "text_dup_spans" ->
       s"""WITH g AS (
          |  SELECT doc_id, unnest(${Sql.ngrams("t", DupSpanN)}) AS g

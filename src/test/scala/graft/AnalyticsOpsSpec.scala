@@ -246,6 +246,29 @@ class AnalyticsOpsSpec extends AnyFunSuite {
     assert(diag.toDouble / total > 0.25, s"accuracy ${diag.toDouble / total}")
   }
 
+  test("text_bpe_train merges are the true argmax pairs, in order") {
+    val rows = SparkEntry.queries("text_bpe_train")(spark, sf).collect()
+      .map(r => (r.getAs[String]("step"), r.getAs[String]("item"), r.getAs[Long]("n")))
+    val m1 = rows.find(_._1 == "merge1").get
+    val m2 = rows.find(_._1 == "merge2").get
+    // brute-force round-1 pair counts off the raw corpus
+    val words = Tables.documents(spark, sf)
+      .select(explode(graft.functions.TextFunctions.tokens(col("text"))).as("w"))
+      .collect().map(_.getString(0))
+    val freq = words.groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val p1 = freq.toSeq.flatMap { case (w, f) =>
+      w.toSeq.sliding(2).filter(_.length == 2)
+        .map(p => s"${p(0)} ${p(1)}" -> f)
+    }.groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+    val want1 = p1.toSeq.minBy { case (g, n) => (-n, g) }
+    assert((m1._2, m1._3) == want1, s"merge1 $m1 vs $want1")
+    // the adopted merge strictly reduces availability of its pair:
+    // round 2's winner count can never exceed round 1's
+    assert(m2._3 <= m1._3)
+    // merged-state tokens carry no separator
+    assert(rows.filter(_._1 == "token").forall(!_._2.contains(" ")))
+  }
+
   test("dedup_semantic: drops have a kept-or-dropped lower-id witness; cells partition the corpus") {
     val rows = SparkEntry.queries("dedup_semantic")(spark, sf).collect()
     val n = Tables.embeddings(spark, sf).count()
