@@ -21,6 +21,7 @@ object StorageQueries {
   val OrcPath = "/root/repo/target/graft-fixtures/documents_orc"
   val PartPath = "/root/repo/target/graft-fixtures/documents_by_source"
   val EvoPath = "/root/repo/target/graft-fixtures/documents_evolution"
+  val JsonlPath = "/root/repo/target/graft-fixtures/documents_jsonl"
 
   /** The partition-pruning predicate's source list: a 2-of-20
     * selection so the pruned scan touches 10% of directories.
@@ -40,6 +41,20 @@ object StorageQueries {
     "docs_orc_roundtrip" -> ((s, dir) => {
       Tables.documents(s, dir).write.mode("overwrite").orc(OrcPath)
       TextQueries.tableChecksumOf(s.read.orc(OrcPath))
+    }),
+
+    // The row-format twin: parquet → JSONL → engine (the interchange
+    // format corpora actually arrive in), same cross-engine checksum
+    // gate. The read supplies the EXPLICIT schema — schema inference
+    // is a second full pass over the data at 100 TB and can widen
+    // types nondeterministically; a production JSONL ingest always
+    // pins its schema. JSON string escaping round-trips through the
+    // writer/reader pair and is proven byte-faithful by the md5
+    // content fingerprint.
+    "docs_jsonl_roundtrip" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      docs.write.mode("overwrite").json(JsonlPath)
+      TextQueries.tableChecksumOf(s.read.schema(docs.schema).json(JsonlPath))
     }),
 
     // Hive-style partitioned layout: documents written partitionBy
@@ -94,6 +109,7 @@ object StorageQueries {
     // oracle reads the original PARQUET — equality proves the ORC
     // round trip faithful
     "docs_orc_roundtrip" -> TextQueries.oracleSql("text_table_checksum"),
+    "docs_jsonl_roundtrip" -> TextQueries.oracleSql("text_table_checksum"),
     "docs_partitioned_scan" -> {
       val srcs = PrunedSources.map(s => s"'$s'").mkString(", ")
       s"""SELECT source, COUNT(*) AS n_docs,

@@ -334,6 +334,26 @@ object TextQueries {
           array_join(slice(col("t"), col("col"), lit(ChunkSize)), " ").as("chunk_text"))
     }),
 
+    // LEAKAGE-AWARE split: assign train/val/test by near-dup CLUSTER,
+    // not by document. Per-doc split hashing (text_split_assign) can
+    // put two near-copies on opposite sides of the train/test fence —
+    // the exact contamination decontamination later has to mop up;
+    // hashing the cluster's canonical id instead makes every
+    // component split-pure BY CONSTRUCTION. Composes the verified
+    // pair graph + connected components (their scale anatomy
+    // unchanged) with a ':csplit'-salted component hash — independent
+    // of the per-doc split hash, deterministic re-runs.
+    "text_cluster_split" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val pairs = DedupQueries.minhashVerifiedPairs(s, dir)
+        .select(col("doc_a"), col("doc_b"))
+      val comp = DedupQueries.connectedComponents(s, pairs,
+        docs.select(col("doc_id")))
+      val ch = tokenHash(concat(col("component").cast("string"), lit(":csplit"))) % 100
+      comp.select(col("doc_id"), col("component"),
+        when(ch < 80, "train").when(ch < 90, "val").otherwise("test").as("split"))
+    }),
+
     // BPE vocabulary induction — TWO supersteps of actual byte-pair
     // training (count adjacent-pair frequencies over the word-
     // frequency table, adopt the most frequent pair as a merge, apply
@@ -953,6 +973,24 @@ object TextQueries {
        |        FROM $prev, t$i)""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
+    "text_cluster_split" ->
+      s"""WITH RECURSIVE ${DedupQueries.minhashPairsCtes("documents")},
+         |pairs AS (${DedupQueries.minhashPairsSelect}),
+         |edges AS (SELECT * FROM (
+         |  SELECT doc_a AS ea, doc_b AS eb FROM pairs
+         |  UNION
+         |  SELECT doc_b, doc_a FROM pairs)),
+         |reach AS (
+         |  SELECT doc_id AS v, doc_id AS r FROM documents
+         |  UNION
+         |  SELECT reach.v, e.eb FROM reach JOIN edges e ON reach.r = e.ea),
+         |comp AS (SELECT v AS doc_id, MIN(r) AS component FROM reach GROUP BY v)
+         |SELECT doc_id, component,
+         |  CASE WHEN h < 80 THEN 'train' WHEN h < 90 THEN 'val'
+         |       ELSE 'test' END AS split
+         |FROM (SELECT doc_id, component,
+         |        ${Sql.tokenHash("CAST(component AS VARCHAR) || ':csplit'")} % 100 AS h
+         |      FROM comp)""".stripMargin,
     "text_bpe_train" ->
       s"""WITH wf AS (
          |  SELECT t AS word, COUNT(*) AS freq FROM (

@@ -276,6 +276,31 @@ object TpchQueries {
       }.reduce(_ unionAll _)
     }),
 
+    // Record linkage / entity resolution — the MDM op: match dirty
+    // name variants back to the clean dictionary under an edit-
+    // distance bound. The dirty side is the deterministic one-char
+    // drop (2nd char of the last word — the seeded-fixture policy);
+    // linkage BLOCKS on the stable first token and verifies
+    // levenshtein ≤ 2 inside blocks only — the all-pairs-avoidance
+    // anatomy of every dedup op here, applied to fuzzy joins. Scale
+    // shape: linkage runs on the DISTINCT-name dictionary (entities
+    // grow sublinearly in rows — 64 names under 20k part rows), so
+    // the quadratic verify is dictionary², and only within blocks.
+    "q19_record_linkage" -> ((s, dir) => {
+      val names = Tables.part(s, dir)
+        .select(col("p_name").as("name")).distinct()
+        .withColumn("blk", split(col("name"), " ").getItem(0))
+        .localCheckpoint() // dictionary feeds both the clean and dirty sides
+      val w2 = split(col("name"), " ").getItem(1)
+      val dirty = names.select(col("blk"),
+        concat(col("blk"), lit(" "),
+          concat(substring(w2, 1, 1), w2.substr(lit(3), length(w2)))).as("dirty"))
+      names.join(dirty, Seq("blk"))
+        .withColumn("dist", levenshtein(col("name"), col("dirty")))
+        .filter(col("dist") <= 2)
+        .select(col("name"), col("dirty"), col("dist"))
+    }),
+
     // Data-quality audit (the dbt-test / Great-Expectations op): each
     // check is one aggregate over a scan or an anti-join — null-rate,
     // referential integrity, range invariant — emitted as (check,
@@ -429,6 +454,18 @@ object TpchQueries {
         |WHERE c_custkey NOT IN (
         |  SELECT CASE WHEN o_orderkey % 997 = 0 THEN NULL ELSE o_custkey END
         |  FROM orders WHERE o_orderpriority = '1-URGENT')""".stripMargin,
+    "q19_record_linkage" ->
+      """WITH names AS (SELECT DISTINCT p_name AS name FROM part),
+        |d AS (SELECT string_split(name, ' ')[1] AS blk,
+        |        string_split(name, ' ')[1] || ' ' ||
+        |        substring(string_split(name, ' ')[2], 1, 1) ||
+        |        substring(string_split(name, ' ')[2], 3) AS dirty
+        |      FROM names),
+        |c AS (SELECT name, string_split(name, ' ')[1] AS blk FROM names)
+        |SELECT c.name, d.dirty,
+        |  CAST(levenshtein(c.name, d.dirty) AS INT) AS dist
+        |FROM c JOIN d USING (blk)
+        |WHERE levenshtein(c.name, d.dirty) <= 2""".stripMargin,
     "q18_column_stats" -> {
       val cols = Seq("l_orderkey", "l_partkey", "l_suppkey",
         "l_returnflag", "l_linestatus")
