@@ -509,6 +509,59 @@ object DedupQueries {
           (col("doc_id") === col("component")).cast("int"))
     }),
 
+    // Multi-source BFS: hop distance from every doc to its
+    // component's canonical (minimum id) — the cluster-GEOMETRY
+    // diagnostic the label-only CC can't give: chain-connected docs
+    // sit far from the representative (a long chain means "near-dup
+    // of a near-dup", where transitive similarity has decayed — the
+    // classic over-merging signal a curation pass inspects before
+    // dropping whole clusters). Driver-bounded frontier supersteps,
+    // the CC anatomy exactly: per superstep one edges⋈dist join
+    // (reusing the edges' src partitioning) + one min aggregation;
+    // convergence = the exact integer distance sum stops falling.
+    // The fixture proves the point: measured chains reach 10 hops at
+    // sf0.01 (7 at sf0.1 — denser corpora merge into rounder
+    // clusters). The oracle's recursive walk caps at 16, above every
+    // measured diameter; the Spark loop requires convergence within
+    // [[CcMaxIters]].
+    "dedup_hop_distance" -> ((s, dir) => {
+      val pairs = minhashVerifiedPairs(s, dir)
+        .select(col("doc_a"), col("doc_b")).localCheckpoint()
+      val nodes = Tables.documents(s, dir).select(col("doc_id"))
+      val comp = connectedComponents(s, pairs, nodes).localCheckpoint()
+      val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+        .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+        .repartition(col("src"))
+        .localCheckpoint()
+      val Inf = 1000000L
+      var dist = comp.select(col("doc_id"),
+        when(col("doc_id") === col("component"), lit(0L)).otherwise(lit(Inf))
+          .as("hops"))
+        .localCheckpoint()
+      def total(d: DataFrame): Long =
+        d.agg(sum(col("hops"))).head.getLong(0)
+      var prev = total(dist)
+      var converged = false
+      var iters = 0
+      while (!converged) {
+        iters += 1
+        require(iters <= CcMaxIters, s"BFS did not converge in $CcMaxIters supersteps")
+        val prop = edges.join(dist, col("src") === col("doc_id"))
+          .select(col("dst").as("doc_id"), (col("hops") + 1).as("hops"))
+        val next = dist.union(prop)
+          .groupBy(col("doc_id")).agg(min(col("hops")).as("hops"))
+          .localCheckpoint()
+        val cur = total(next)
+        converged = cur == prev
+        prev = cur
+        unpersistCheckpoint(dist)
+        dist = next
+      }
+      unpersistCheckpoint(edges)
+      comp.join(dist, "doc_id")
+        .select(col("doc_id"), col("component"), col("hops").cast("int").as("hops"))
+    }),
+
     // Cluster → canonical-doc collapse: the stage after connected
     // components that actually shrinks the corpus. Per multi-member
     // component, the representative is the LONGEST member (doc_id
@@ -801,6 +854,30 @@ object DedupQueries {
          |  MAX(CASE WHEN rk = 1 THEN doc_id END) AS rep_id,
          |  MAX(CASE WHEN rk = 1 THEN n_chars END) AS rep_chars
          |FROM ranked GROUP BY component HAVING COUNT(*) > 1""".stripMargin,
+    "dedup_hop_distance" ->
+      // the CC closure names the canonical; the bounded recursive walk
+      // from canonicals along edges yields min hop distances (UNION
+      // dedups (v, d) pairs; d < 16 caps cycles far above any LSH
+      // clique diameter)
+      s"""WITH RECURSIVE ${minhashPairsCtes("documents")},
+         |pairs AS ($minhashPairsSelect),
+         |edges AS (SELECT * FROM (
+         |  SELECT doc_a AS ea, doc_b AS eb FROM pairs
+         |  UNION
+         |  SELECT doc_b, doc_a FROM pairs)),
+         |reach AS (
+         |  SELECT doc_id AS v, doc_id AS r FROM documents
+         |  UNION
+         |  SELECT reach.v, e.eb FROM reach JOIN edges e ON reach.r = e.ea),
+         |comp AS (SELECT v AS doc_id, MIN(r) AS component FROM reach GROUP BY v),
+         |walk AS (
+         |  SELECT doc_id AS v, 0 AS d FROM comp WHERE doc_id = component
+         |  UNION
+         |  SELECT e.eb, w.d + 1 FROM walk w JOIN edges e ON w.v = e.ea
+         |  WHERE w.d < 16)
+         |SELECT comp.doc_id, comp.component, CAST(MIN(w.d) AS INT) AS hops
+         |FROM comp JOIN walk w ON comp.doc_id = w.v
+         |GROUP BY comp.doc_id, comp.component""".stripMargin,
     "dedup_simhash" ->
       s"""WITH tok AS (
          |  SELECT doc_id, ${TextFunctions.Sql.tokenHash("t")} AS h

@@ -464,6 +464,40 @@ object EventQueries {
           sum(col("value").cast("decimal(18,4)")).cast("double").as("sum_value"))
     }),
 
+    // Time-series resampling with FORWARD FILL — the gap-filling op
+    // every metrics/feature store runs before ML export: per-user
+    // daily value sums land on a DENSE day grid (users × the global
+    // day range — the range is a 1-row aggregate broadcast by the
+    // cross join, never a hardcoded calendar), missing days zero-count,
+    // and the value forward-fills from the user's last active day
+    // (`last(..., ignoreNulls)` over the day order — the IGNORE NULLS
+    // window surface nothing else here exercises; days before a
+    // user's first activity stay NULL, honestly unknown). Scale
+    // shape: the grid explodes |users|×|days| AFTER aggregation (the
+    // per-day rollup is the big input; the grid is output-sized), and
+    // the fill window rides the same user_id partitioning as the
+    // grid join.
+    "events_resample_ffill" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val days = Tables.events(s, dir)
+        .select(col("user_id"), unix_millis(col("ts")).as("t_ms"), col("value"))
+        .select(col("user_id"),
+          expr(s"(t_ms - $RetentionEpochMs) div $DayMs").as("day"), col("value"))
+        .groupBy(col("user_id"), col("day"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(col("value").cast("decimal(18,4)")).cast("double").as("v"))
+      val range = days.agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+      val grid = Tables.events(s, dir).select(col("user_id")).distinct()
+        .crossJoin(broadcast(range))
+        .select(col("user_id"), explode(sequence(col("d0"), col("d1"))).as("day"))
+      val w = Window.partitionBy(col("user_id")).orderBy(col("day"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+      grid.join(days, Seq("user_id", "day"), "left")
+        .select(col("user_id"), col("day"),
+          coalesce(col("n_events"), lit(0L)).as("n_events"),
+          round(last(col("v"), ignoreNulls = true).over(w), 6).as("v_ffill_r"))
+    }),
+
     // UNPIVOT (wide→long melt) — the inverse reshape of
     // `events_pivot`, closing the reshape pair: the per-user count
     // matrix melts back to (user_id, event_type, n) rows, zeros
@@ -809,6 +843,24 @@ object EventQueries {
         |  COUNT(*) AS n_events,
         |  CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
         |FROM events GROUP BY event_type""".stripMargin,
+    "events_resample_ffill" ->
+      s"""WITH d AS (
+         |  SELECT user_id,
+         |    (epoch_ms(date_trunc('millisecond', ts)) - $RetentionEpochMs) // $DayMs
+         |      AS day,
+         |    COUNT(*) AS n_events,
+         |    CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS v
+         |  FROM events GROUP BY 1, 2),
+         |r AS (SELECT MIN(day) AS d0, MAX(day) AS d1 FROM d),
+         |g AS (SELECT u.user_id, t.day
+         |      FROM (SELECT DISTINCT user_id FROM events) u, r,
+         |           LATERAL (SELECT unnest(range(r.d0, r.d1 + 1)) AS day) t)
+         |SELECT g.user_id, g.day,
+         |  COALESCE(d.n_events, 0) AS n_events,
+         |  ROUND(last_value(d.v IGNORE NULLS) OVER (
+         |    PARTITION BY g.user_id ORDER BY g.day
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6) AS v_ffill_r
+         |FROM g LEFT JOIN d ON g.user_id = d.user_id AND g.day = d.day""".stripMargin,
     "events_unpivot" -> {
       val types = EventTypes.map(t => s"'$t'").mkString("[", ", ", "]")
       s"""WITH u AS (SELECT DISTINCT user_id FROM events),
