@@ -466,6 +466,40 @@ object Multimodal {
   final case class ResizedImage(
       media_id: Long, n_bytes_in: Long, n_bytes_out: Long, pix_sum: Long)
 
+  final case class AugmentedImage(
+      media_id: Long, w: Int, h: Int,
+      orig_wsum: Long, flip_wsum: Long, rot_wsum: Long)
+
+  /** Augmentation stage: horizontal flip + 90°-clockwise rotation over
+    * the REAL codec decode — the geometric transforms a vision
+    * training pipeline applies before featurization. Emitted values
+    * are position-WEIGHTED pixel checksums Σ px(i)·(i+1) in output
+    * order: a plain sum is permutation-blind (a flip would "verify"
+    * trivially), the weighted form pins the exact pixel permutation.
+    * rot90-CW output is h wide × w tall: out(y', x') = in(h−1−x', y').
+    * Partition-parallel map; payloads never shuffle.
+    */
+  def augmentImages(
+      media: DataFrame, codec: ImageCodec = PgmCodec): Dataset[AugmentedImage] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.filter(col("kind") === "image").as[MediaItem]
+      .mapPartitions(_.map { m =>
+        val (w, h, _) = codec.decodeImage(m.payload)
+        val px = codec.pixels(m.payload)
+        def wsum(idx: Int => Int): Long = {
+          var s = 0L
+          var i = 0
+          while (i < px.length) { s += (px(idx(i)) & 0xff).toLong * (i + 1); i += 1 }
+          s
+        }
+        AugmentedImage(m.media_id, w, h,
+          wsum(identity),
+          wsum(i => (i / w) * w + (w - 1 - i % w)),
+          wsum(i => (h - 1 - i % h) * w + i / h))
+      })
+  }
+
   /** `features` is the unit-norm intensity-histogram vector (what the
     * ANN operators consume); `hist` is the same histogram in *exact
     * integer* domain — the oracle-checkable shadow, so the driver

@@ -52,6 +52,13 @@ object MultimodalQueries {
     // decode→featurize plumbing bucket by bucket.
     "multimodal_resize" -> ((s, dir) =>
       Multimodal.resizeImages(Multimodal.mediaFromDocuments(s, dir)).toDF()),
+
+    // Geometric augmentation (flip + rot90) over the real decode; the
+    // position-weighted checksums pin the exact pixel permutation
+    // (a plain sum is permutation-blind). The oracle re-derives both
+    // permutations with index arithmetic over the fixture pixel grid.
+    "multimodal_augment" -> ((s, dir) =>
+      Multimodal.augmentImages(Multimodal.mediaFromDocuments(s, dir)).toDF()),
     "multimodal_features" -> ((s, dir) => {
       val f = Multimodal.extractFeatures(Multimodal.mediaFromDocuments(s, dir)).toDF()
       val head = Seq(col("media_id"),
@@ -363,6 +370,23 @@ object MultimodalQueries {
     // pixel string: target (x, y) ← source (x·w // 64, y·h // 64) —
     // the exact arithmetic of PgmCodec.resize, so the oracle pins the
     // real pixel walk, not just the output size.
+    "multimodal_augment" ->
+      // index arithmetic over the fixture pixel grid: flip reads
+      // (y, w−1−x); rot90-CW output pixel i (row length h) reads
+      // in(h−1−i%h, i//h)
+      s"""WITH $contentCte
+         |SELECT cm1.doc_id AS media_id,
+         |  CAST(cm1.w AS INT) AS w, CAST(cm1.h AS INT) AS h,
+         |  CAST(list_sum([ascii(substring(cm.content, i + 1, 1)) * (i + 1)
+         |    for i in range(0, cm1.w * cm1.h)]) AS BIGINT) AS orig_wsum,
+         |  CAST(list_sum([ascii(substring(cm.content,
+         |    (i // cm1.w) * cm1.w + (cm1.w - 1 - i % cm1.w) + 1, 1)) * (i + 1)
+         |    for i in range(0, cm1.w * cm1.h)]) AS BIGINT) AS flip_wsum,
+         |  CAST(list_sum([ascii(substring(cm.content,
+         |    (cm1.h - 1 - i % cm1.h) * cm1.w + (i // cm1.h) + 1, 1)) * (i + 1)
+         |    for i in range(0, cm1.w * cm1.h)]) AS BIGINT) AS rot_wsum
+         |FROM cm1 JOIN cm ON cm1.doc_id = cm.doc_id
+         |WHERE cm.kind = 'image'""".stripMargin,
     "multimodal_resize" ->
       s"""WITH $payloadCte
          |SELECT doc_id AS media_id,
