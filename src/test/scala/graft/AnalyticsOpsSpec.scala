@@ -246,6 +246,74 @@ class AnalyticsOpsSpec extends AnyFunSuite {
     assert(diag.toDouble / total > 0.25, s"accuracy ${diag.toDouble / total}")
   }
 
+  test("multimodal augmentation: flip is an involution, rot90 four times is identity") {
+    import graft.multimodal.Multimodal.PgmCodec
+    // a crafted asymmetric image: transforms must actually move pixels
+    val px = Array.tabulate(12)(i => (i * 17 + 3).toByte)
+    val img = PgmCodec.encode(px, 4, 3)
+    def decode(p: Array[Byte]) = (PgmCodec.decodeImage(p), PgmCodec.pixels(p))
+    def flip(p: Array[Byte]): Array[Byte] = {
+      val ((w, h, _), b) = decode(p)
+      PgmCodec.encode(Array.tabulate(b.length)(i => b((i / w) * w + (w - 1 - i % w))), w, h)
+    }
+    def rot(p: Array[Byte]): Array[Byte] = {
+      val ((w, h, _), b) = decode(p)
+      PgmCodec.encode(Array.tabulate(b.length)(i => b((h - 1 - i % h) * w + i / h)), h, w)
+    }
+    assert(!flip(img).sameElements(img), "flip must move pixels")
+    assert(flip(flip(img)).sameElements(img), "flip ∘ flip != id")
+    assert(rot(rot(rot(rot(img)))).sameElements(img), "rot90⁴ != id")
+    // and rot90 twice = flip both axes (180°), not a flip
+    assert(!rot(rot(img)).sameElements(flip(img)))
+  }
+
+  test("q19_record_linkage links every dirty variant back to its source at distance 1") {
+    val rows = SparkEntry.queries("q19_record_linkage")(spark, sf).collect()
+      .map(r => (r.getAs[String]("name"), r.getAs[String]("dirty"), r.getAs[Int]("dist")))
+    val names = Tables.part(spark, sf).select(col("p_name")).distinct()
+      .collect().map(_.getString(0))
+    names.foreach { n =>
+      val w = n.split(" ")
+      val dirty = s"${w(0)} ${w(1).charAt(0)}${w(1).drop(2)}"
+      assert(rows.contains((n, dirty, 1)), s"missing identity link for '$n'")
+    }
+    assert(rows.forall(_._3 <= 2))
+  }
+
+  test("events_resample_ffill matches a per-user driver-side fill") {
+    val got = SparkEntry.queries("events_resample_ffill")(spark, sf).collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("day")) ->
+        (r.getAs[Long]("n_events"), Option(r.get(r.fieldIndex("v_ffill_r")))))
+      .toMap
+    val users = got.keys.map(_._1).toSeq.distinct
+    val days = got.keys.map(_._2)
+    assert(got.size == users.size * (days.max - days.min + 1), "grid not dense")
+    users.foreach { u =>
+      var lastV: Option[Any] = None
+      (days.min to days.max).foreach { d =>
+        val (n, v) = got((u, d))
+        if (n == 0) assert(v == lastV, s"user $u day $d: fill broke")
+        else { assert(v.isDefined); lastV = v }
+      }
+    }
+  }
+
+  test("dedup_hop_distance: zero iff canonical, and a hop-h node has a hop-(h-1) neighbor") {
+    val rows = SparkEntry.queries("dedup_hop_distance")(spark, sf).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("component"), r.getAs[Int]("hops")))
+    rows.foreach { case (id, comp, h) =>
+      assert((h == 0) == (id == comp), s"doc $id")
+    }
+    val hops = rows.map(r => r._1 -> r._3).toMap
+    val edges = graft.queries.DedupQueries.minhashVerifiedPairs(spark, sf)
+      .select(col("doc_a"), col("doc_b")).collect()
+      .flatMap(r => Seq(r.getLong(0) -> r.getLong(1), r.getLong(1) -> r.getLong(0)))
+      .groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    rows.filter(_._3 > 0).foreach { case (id, _, h) =>
+      assert(edges(id).exists(n => hops(n) == h - 1), s"doc $id has no hop-${h - 1} neighbor")
+    }
+  }
+
   test("text_bpe_train merges are the true argmax pairs, in order") {
     val rows = SparkEntry.queries("text_bpe_train")(spark, sf).collect()
       .map(r => (r.getAs[String]("step"), r.getAs[String]("item"), r.getAs[Long]("n")))
