@@ -800,6 +800,36 @@ object Multimodal {
         lit("audio").as("kind"),
         wavPayload(col("text"), col("doc_id")).as("payload"))
 
+  final case class ResampledAudio(
+      media_id: Long, n_in: Long, n_out: Long, out_wsum: Long)
+
+  /** Audio downsampling stage — ×2 decimation with pair averaging
+    * (the anti-aliasing-lite resample a 100 TB audio corpus runs to
+    * halve storage before feature extraction), over the REAL RIFF
+    * chunk walk: out(i) = ⌊(s(2i) + s(2i+1)) / 2⌋, unpaired tail
+    * dropped. The emitted value is the position-weighted checksum of
+    * the OUTPUT (Σ out(i)·(i+1)) — the [[augmentImages]] rule: a
+    * plain sum could pass with misordered output. Partition-parallel
+    * map; payloads never shuffle.
+    */
+  def resampleAudio(
+      media: DataFrame, codec: AudioCodec = WavCodec): Dataset[ResampledAudio] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.filter(col("kind") === "audio").as[MediaItem]
+      .mapPartitions(_.map { m =>
+        val s = codec.samples(m.payload)
+        val nOut = s.length / 2
+        var wsum = 0L
+        var i = 0
+        while (i < nOut) {
+          wsum += (((s(2 * i) & 0xff) + (s(2 * i + 1) & 0xff)) / 2).toLong * (i + 1)
+          i += 1
+        }
+        ResampledAudio(m.media_id, s.length.toLong, nOut.toLong, wsum)
+      })
+  }
+
   final case class AudioMetaRow(
       media_id: Long, sample_rate: Int, channels: Int, bits_per_sample: Int,
       n_frames: Long, duration_us: Long, n_bytes: Long, sample_sum: Long)

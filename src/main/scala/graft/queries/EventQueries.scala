@@ -464,6 +464,33 @@ object EventQueries {
           sum(col("value").cast("decimal(18,4)")).cast("double").as("sum_value"))
     }),
 
+    // First-order Markov transition matrix over per-user event
+    // sequences — the behavioral-model op (what follows what, and how
+    // often) funnel analysis (fixed pattern) and sessionization
+    // (time-based) don't give. prev = lag(type) under the
+    // deterministic (t_ms, event_id) order; transitions count per
+    // (prev, cur) and normalize per source state — the probability is
+    // one rational double division of exact integers, mirrored. The
+    // lag window and nothing else touches raw events; the matrix is
+    // |types|² rows.
+    "events_markov" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("t_ms"), col("event_id"))
+      val trans = Tables.events(s, dir)
+        .select(col("user_id"), col("event_id"),
+          unix_millis(col("ts")).as("t_ms"), col("event_type"))
+        .withColumn("prev_type", lag(col("event_type"), 1).over(w))
+        .filter(col("prev_type").isNotNull)
+        .groupBy(col("prev_type"), col("event_type"))
+        .agg(count(lit(1)).as("n"))
+      val totals = trans.groupBy(col("prev_type"))
+        .agg(sum(col("n")).as("tot"))
+      trans.join(broadcast(totals), Seq("prev_type"))
+        .select(col("prev_type"), col("event_type"), col("n"),
+          round(col("n").cast("double") / col("tot"), 6).as("p_r"))
+    }),
+
     // Time-series resampling with FORWARD FILL — the gap-filling op
     // every metrics/feature store runs before ML export: per-user
     // daily value sums land on a DENSE day grid (users × the global
@@ -843,6 +870,23 @@ object EventQueries {
         |  COUNT(*) AS n_events,
         |  CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
         |FROM events GROUP BY event_type""".stripMargin,
+    "events_markov" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id,
+        |    epoch_ms(date_trunc('millisecond', ts)) AS t_ms, event_type
+        |  FROM events),
+        |tr AS (
+        |  SELECT prev_type, event_type, COUNT(*) AS n FROM (
+        |    SELECT event_type,
+        |      lag(event_type) OVER (PARTITION BY user_id ORDER BY t_ms, event_id)
+        |        AS prev_type
+        |    FROM e)
+        |  WHERE prev_type IS NOT NULL GROUP BY 1, 2),
+        |tot AS (SELECT prev_type, CAST(SUM(n) AS BIGINT) AS tot
+        |        FROM tr GROUP BY 1)
+        |SELECT tr.prev_type, tr.event_type, tr.n,
+        |  ROUND(tr.n::DOUBLE / tot.tot, 6) AS p_r
+        |FROM tr JOIN tot USING (prev_type)""".stripMargin,
     "events_resample_ffill" ->
       s"""WITH d AS (
          |  SELECT user_id,

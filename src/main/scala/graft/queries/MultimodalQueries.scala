@@ -44,6 +44,12 @@ object MultimodalQueries {
     "multimodal_audio_meta" -> ((s, dir) =>
       Multimodal.decodeAudio(Multimodal.audioFromDocuments(s, dir)).toDF()),
 
+    // ×2 decimation with pair averaging over the real RIFF walk; the
+    // weighted output checksum pins order AND values (the augment
+    // rule).
+    "multimodal_audio_resample" -> ((s, dir) =>
+      Multimodal.resampleAudio(Multimodal.audioFromDocuments(s, dir)).toDF()),
+
     // Real resize + feature-extraction stages. Features are intensity
     // histograms over DECODED content bytes (pixels / PCM / luma —
     // never container bytes); the float32 unit-norm vector isn't
@@ -402,6 +408,15 @@ object MultimodalQueries {
     // µs, n_bytes = 44-byte canonical header (+16 for the LIST chunk
     // every 5th doc) + data, sample_sum = Σ text byte values (ASCII
     // corpus: 1 char = 1 byte).
+    "multimodal_audio_resample" ->
+      s"""SELECT doc_id AS media_id,
+         |  CAST(length(text) AS BIGINT) AS n_in,
+         |  CAST(length(text) // 2 AS BIGINT) AS n_out,
+         |  CAST(coalesce(list_sum(
+         |    [((ascii(substring(text, 2 * i + 1, 1)) +
+         |       ascii(substring(text, 2 * i + 2, 1))) // 2) * (i + 1)
+         |     for i in range(0, length(text) // 2)]), 0) AS BIGINT) AS out_wsum
+         |FROM documents WHERE doc_id % 3 = 1""".stripMargin,
     "multimodal_audio_meta" ->
       s"""SELECT doc_id AS media_id,
          |  CAST(8000 + (doc_id % 4) * 4000 AS INT) AS sample_rate,

@@ -276,6 +276,26 @@ object TpchQueries {
       }.reduce(_ unionAll _)
     }),
 
+    // Market-basket pair affinity — the co-occurrence op of
+    // recommender bootstraps: part pairs bought together, support =
+    // co-occurring orders. Scale anatomy: the pair expansion happens
+    // WITHIN an order only (orders hold a handful of items — bounded
+    // fan-out, the LSH-bucket principle on a natural key; corpus
+    // all-pairs never materializes), after a distinct that collapses
+    // repeated parts per order; the global top-20 under a TOTAL order
+    // (support desc, pa, pb) is a TakeOrdered, not a full sort.
+    "q20_market_basket" -> ((s, dir) => {
+      val li = Tables.lineitem(s, dir)
+        .select(col("l_orderkey"), col("l_partkey")).distinct()
+      val a = li.select(col("l_orderkey"), col("l_partkey").as("pa"))
+      val b = li.select(col("l_orderkey"), col("l_partkey").as("pb"))
+      a.join(b, Seq("l_orderkey")).filter(col("pa") < col("pb"))
+        .groupBy(col("pa"), col("pb"))
+        .agg(count(lit(1)).as("support"))
+        .orderBy(col("support").desc, col("pa"), col("pb"))
+        .limit(20)
+    }),
+
     // Record linkage / entity resolution — the MDM op: match dirty
     // name variants back to the clean dictionary under an edit-
     // distance bound. The dirty side is the deterministic one-char
@@ -454,6 +474,13 @@ object TpchQueries {
         |WHERE c_custkey NOT IN (
         |  SELECT CASE WHEN o_orderkey % 997 = 0 THEN NULL ELSE o_custkey END
         |  FROM orders WHERE o_orderpriority = '1-URGENT')""".stripMargin,
+    "q20_market_basket" ->
+      """WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)
+        |SELECT a.l_partkey AS pa, b.l_partkey AS pb, COUNT(*) AS support
+        |FROM li a JOIN li b
+        |  ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        |GROUP BY 1, 2
+        |ORDER BY support DESC, pa, pb LIMIT 20""".stripMargin,
     "q19_record_linkage" ->
       """WITH names AS (SELECT DISTINCT p_name AS name FROM part),
         |d AS (SELECT string_split(name, ' ')[1] AS blk,
