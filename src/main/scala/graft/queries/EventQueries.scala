@@ -464,6 +464,38 @@ object EventQueries {
           sum(col("value").cast("decimal(18,4)")).cast("double").as("sum_value"))
     }),
 
+    // RFM segmentation — recency / frequency / monetary buckets per
+    // user, the classic customer-value grid. Recency measures against
+    // the corpus horizon (a 1-row max-day aggregate broadcast — the
+    // resample/BPE model-state pattern, never a hardcoded "today");
+    // monetary sums through DECIMAL; bucket thresholds are config
+    // literals (quantile-based cuts would work too — q10's machinery —
+    // but fixed business thresholds are what real RFM ships). One
+    // shuffle to per-user rows; everything after is map-side.
+    "events_rfm" -> ((s, dir) => {
+      val per = Tables.events(s, dir)
+        .select(col("user_id"), unix_millis(col("ts")).as("t_ms"), col("value"))
+        .select(col("user_id"),
+          expr(s"(t_ms - $RetentionEpochMs) div $DayMs").as("day"), col("value"))
+        .groupBy(col("user_id"))
+        .agg(max(col("day")).as("last_day"), count(lit(1)).as("f"),
+          sum(col("value").cast("decimal(18,4)")).cast("double").as("m"))
+      val horizon = per.agg(max(col("last_day")).as("maxd"))
+      per.crossJoin(broadcast(horizon))
+        .select(col("user_id"),
+          (col("maxd") - col("last_day")).as("recency_days"),
+          col("f"), round(col("m"), 4).as("m_r"))
+        .withColumn("r_bucket",
+          when(col("recency_days") <= 0, 1)
+            .when(col("recency_days") <= 1, 2).otherwise(3))
+        .withColumn("f_bucket",
+          when(col("f") >= 70, 1).when(col("f") >= 62, 2).otherwise(3))
+        .withColumn("m_bucket",
+          when(col("m_r") >= 3500.0, 1).when(col("m_r") >= 3000.0, 2).otherwise(3))
+        .withColumn("segment",
+          concat_ws("-", col("r_bucket"), col("f_bucket"), col("m_bucket")))
+    }),
+
     // First-order Markov transition matrix over per-user event
     // sequences — the behavioral-model op (what follows what, and how
     // often) funnel analysis (fixed pattern) and sessionization
@@ -870,6 +902,31 @@ object EventQueries {
         |  COUNT(*) AS n_events,
         |  CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
         |FROM events GROUP BY event_type""".stripMargin,
+    "events_rfm" ->
+      s"""WITH per AS (
+         |  SELECT user_id,
+         |    MAX((epoch_ms(date_trunc('millisecond', ts)) - $RetentionEpochMs)
+         |        // $DayMs) AS last_day,
+         |    COUNT(*) AS f,
+         |    CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS m
+         |  FROM events GROUP BY user_id),
+         |h AS (SELECT MAX(last_day) AS maxd FROM per),
+         |b AS (SELECT user_id, maxd - last_day AS recency_days, f,
+         |        ROUND(m, 4) AS m_r FROM per, h)
+         |SELECT user_id, recency_days, f, m_r,
+         |  CASE WHEN recency_days <= 0 THEN 1
+         |       WHEN recency_days <= 1 THEN 2 ELSE 3 END AS r_bucket,
+         |  CASE WHEN f >= 70 THEN 1 WHEN f >= 62 THEN 2 ELSE 3 END AS f_bucket,
+         |  CASE WHEN m_r >= 3500.0 THEN 1 WHEN m_r >= 3000.0 THEN 2 ELSE 3 END
+         |    AS m_bucket,
+         |  CAST(CASE WHEN recency_days <= 0 THEN 1
+         |            WHEN recency_days <= 1 THEN 2 ELSE 3 END AS VARCHAR)
+         |    || '-' ||
+         |  CAST(CASE WHEN f >= 70 THEN 1 WHEN f >= 62 THEN 2 ELSE 3 END AS VARCHAR)
+         |    || '-' ||
+         |  CAST(CASE WHEN m_r >= 3500.0 THEN 1 WHEN m_r >= 3000.0 THEN 2 ELSE 3 END
+         |    AS VARCHAR) AS segment
+         |FROM b""".stripMargin,
     "events_markov" ->
       """WITH e AS (
         |  SELECT user_id, event_id,

@@ -276,6 +276,50 @@ object TpchQueries {
       }.reduce(_ unionAll _)
     }),
 
+    // TPC-H Q21 SHAPE: the chained correlated EXISTS + NOT EXISTS —
+    // the hardest standard decorrelation case (Catalyst rewrites the
+    // EXISTS to a left-semi and the NOT EXISTS to a left-anti join,
+    // both on the correlation key). Semantics on this schema:
+    // suppliers who were the SOLE supplier with returned lines on a
+    // multi-supplier order. SQL front door like q12/q14/q16 —
+    // correlated-exists chains have no DataFrame API.
+    "q21_exists_chain" -> ((s, dir) => {
+      Tables.lineitem(s, dir).createOrReplaceTempView("q21_lineitem")
+      s.sql("""
+        SELECT l1.l_suppkey, COUNT(DISTINCT l1.l_orderkey) AS n_orders
+        FROM q21_lineitem l1
+        WHERE l1.l_returnflag = 'R'
+          AND EXISTS (SELECT 1 FROM q21_lineitem l2
+                      WHERE l2.l_orderkey = l1.l_orderkey
+                        AND l2.l_suppkey <> l1.l_suppkey)
+          AND NOT EXISTS (SELECT 1 FROM q21_lineitem l3
+                          WHERE l3.l_orderkey = l1.l_orderkey
+                            AND l3.l_suppkey <> l1.l_suppkey
+                            AND l3.l_returnflag = 'R')
+        GROUP BY l1.l_suppkey
+      """)
+    }),
+
+    // Share-of-total reporting (the BI percent-of-whole): revenue per
+    // nation plus its share of the global total. The total is a 1-row
+    // aggregate joined back by broadcast — the grand total never
+    // recomputes per group and no window spans the whole relation.
+    // Shares divide the DECIMAL-exact revenue doubles — one mirrored
+    // IEEE division.
+    "q22_share_of_total" -> ((s, dir) => {
+      val rev = Tables.orders(s, dir)
+        .join(Tables.customer(s, dir), col("o_custkey") === col("c_custkey"))
+        .join(Tables.nation(s, dir), col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name"))
+        .agg(dsum(col("o_totalprice")).as("revenue"), count(lit(1)).as("n_orders"))
+      val total = rev.agg(sum(col("revenue").cast("decimal(18,4)"))
+        .cast("double").as("total"))
+      rev.crossJoin(broadcast(total))
+        .select(col("n_name"), col("n_orders"),
+          round(col("revenue"), 4).as("revenue_r"),
+          round(col("revenue") / col("total"), 6).as("share_r"))
+    }),
+
     // Market-basket pair affinity — the co-occurrence op of
     // recommender bootstraps: part pairs bought together, support =
     // co-occurring orders. Scale anatomy: the pair expansion happens
@@ -474,6 +518,32 @@ object TpchQueries {
         |WHERE c_custkey NOT IN (
         |  SELECT CASE WHEN o_orderkey % 997 = 0 THEN NULL ELSE o_custkey END
         |  FROM orders WHERE o_orderpriority = '1-URGENT')""".stripMargin,
+    "q21_exists_chain" ->
+      """SELECT l1.l_suppkey, COUNT(DISTINCT l1.l_orderkey) AS n_orders
+        |FROM lineitem l1
+        |WHERE l1.l_returnflag = 'R'
+        |  AND EXISTS (SELECT 1 FROM lineitem l2
+        |              WHERE l2.l_orderkey = l1.l_orderkey
+        |                AND l2.l_suppkey <> l1.l_suppkey)
+        |  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+        |                  WHERE l3.l_orderkey = l1.l_orderkey
+        |                    AND l3.l_suppkey <> l1.l_suppkey
+        |                    AND l3.l_returnflag = 'R')
+        |GROUP BY l1.l_suppkey""".stripMargin,
+    "q22_share_of_total" ->
+      """WITH rev AS (
+        |  SELECT n_name,
+        |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+        |    COUNT(*) AS n_orders
+        |  FROM orders
+        |  JOIN customer ON o_custkey = c_custkey
+        |  JOIN nation ON c_nationkey = n_nationkey
+        |  GROUP BY n_name),
+        |t AS (SELECT CAST(SUM(CAST(revenue AS DECIMAL(18,4))) AS DOUBLE) AS total
+        |      FROM rev)
+        |SELECT n_name, n_orders, ROUND(revenue, 4) AS revenue_r,
+        |  ROUND(revenue / total, 6) AS share_r
+        |FROM rev, t""".stripMargin,
     "q20_market_basket" ->
       """WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)
         |SELECT a.l_partkey AS pa, b.l_partkey AS pb, COUNT(*) AS support
