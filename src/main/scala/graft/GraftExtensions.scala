@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.expressions.{DotProductFloat, PackedTrigrams, SortedIntersectSize, WordNgrams}
+import graft.functions.expressions.{DotProductFloat, DotProductInt, MinHashSignature, PackedTrigrams, SimHash16, SortedIntersectSize, WordNgrams}
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.graftbridge.ColumnBridge
 
@@ -35,6 +35,13 @@ object GraftExtensions {
     // WordNgrams' bare require() for n < 2. eval() only runs on a
     // RESOLVED foldable expression (an unresolved one would throw an
     // unhelpful UnresolvedException at registration time).
+    "graft_dot_int" -> (exprs => DotProductInt(exprs(0), exprs(1))),
+    "graft_simhash16" -> (exprs => SimHash16(exprs(0))),
+    // fixed 16×5 signature parameters — the MinHash object's contract;
+    // parameterizing them through SQL literals would let one caller
+    // silently produce band-incompatible signatures
+    "graft_minhash_sig" -> (exprs =>
+      MinHashSignature(exprs(0), graft.functions.MinHash.NumHashes, 5)),
     "graft_word_ngrams" -> { exprs =>
       val nExpr = exprs(1)
       val n = if (nExpr.resolved && nExpr.foldable) nExpr.eval() else null

@@ -181,6 +181,16 @@ class FunctionsSpec extends AnyFunSuite {
     assert(r.getDouble(0) == 11.0)
     assert(r.getInt(1) == 1)
     assert(r.getInt(2) == 2)
+    // the quantized-ANN, SimHash, and MinHash kernels too — the SQL
+    // front door covers every registered native expression
+    val r2 = spark.sql(
+      """SELECT
+        |  graft_dot_int(array(1, 2), array(3, 4)) AS di,
+        |  graft_simhash16('the cat sat') AS sh,
+        |  graft_minhash_sig('the cat sat on the mat') AS ms""".stripMargin).head()
+    assert(r2.getLong(0) == 11L)
+    assert(r2.getLong(1) >= 0L && r2.getLong(1) < 65536L)
+    assert(r2.getSeq[Long](2).length == graft.functions.MinHash.NumHashes)
   }
 
   test("graft_word_ngrams rejects n < 2 and non-literal n with the friendly message") {
