@@ -464,6 +464,30 @@ object EventQueries {
           sum(col("value").cast("decimal(18,4)")).cast("double").as("sum_value"))
     }),
 
+    // User-journey path analysis (the Sankey/flow report): each
+    // user's first three event types under the deterministic (t_ms,
+    // event_id) order, concatenated into a path, counted across
+    // users. Complements events_markov (global pairwise transitions)
+    // with ORDERED short sequences. The rank window and the path
+    // aggregation share one user_id partitioning; paths are
+    // conditional-max extractions (map-side partial), never
+    // collect_list of full histories.
+    "events_paths" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("t_ms"), col("event_id"))
+      def at(n: Int) = max(when(col("rn") === n, col("event_type")))
+      Tables.events(s, dir)
+        .select(col("user_id"), col("event_id"),
+          unix_millis(col("ts")).as("t_ms"), col("event_type"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 3)
+        .groupBy(col("user_id"))
+        .agg(at(1).as("e1"), at(2).as("e2"), at(3).as("e3"))
+        .groupBy(concat_ws(">", col("e1"), col("e2"), col("e3")).as("path"))
+        .agg(count(lit(1)).as("n_users"))
+    }),
+
     // RFM segmentation — recency / frequency / monetary buckets per
     // user, the classic customer-value grid. Recency measures against
     // the corpus horizon (a 1-row max-day aggregate broadcast — the
@@ -902,6 +926,20 @@ object EventQueries {
         |  COUNT(*) AS n_events,
         |  CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
         |FROM events GROUP BY event_type""".stripMargin,
+    "events_paths" ->
+      """WITH r AS (
+        |  SELECT user_id, event_type,
+        |    ROW_NUMBER() OVER (PARTITION BY user_id
+        |      ORDER BY epoch_ms(date_trunc('millisecond', ts)), event_id) AS rn
+        |  FROM events),
+        |p AS (
+        |  SELECT user_id,
+        |    MAX(CASE WHEN rn = 1 THEN event_type END) AS e1,
+        |    MAX(CASE WHEN rn = 2 THEN event_type END) AS e2,
+        |    MAX(CASE WHEN rn = 3 THEN event_type END) AS e3
+        |  FROM r WHERE rn <= 3 GROUP BY user_id)
+        |SELECT concat_ws('>', e1, e2, e3) AS path, COUNT(*) AS n_users
+        |FROM p GROUP BY 1""".stripMargin,
     "events_rfm" ->
       s"""WITH per AS (
          |  SELECT user_id,

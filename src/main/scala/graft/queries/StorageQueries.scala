@@ -57,6 +57,36 @@ object StorageQueries {
       TextQueries.tableChecksumOf(s.read.schema(docs.schema).json(JsonlPath))
     }),
 
+    // Corpus snapshot DIFF — the data-ops report run between table
+    // versions before promoting one: FULL OUTER join of the two
+    // snapshots' (doc_id, content-digest) relations classifies every
+    // id as added / removed / changed / unchanged, rolled up per
+    // source. v2 is a deterministic mutation of v1 (the seeded-fixture
+    // policy: drops at %97, edits at %101, additions at %89 — every
+    // status fires). Scale shape: only (id, source, 128-bit digest)
+    // rows cross the join — text never leaves its scan; one shuffle
+    // per side + the ≤ sources×4 rollup.
+    "docs_snapshot_diff" -> ((s, dir) => {
+      val base = Tables.documents(s, dir)
+      val v1 = base.select(col("doc_id"), col("source").as("s1"),
+        md5(col("text")).as("h1"))
+      val v2 = base.filter(col("doc_id") % 97 =!= 0)
+        .select(col("doc_id"), col("source").as("s2"),
+          md5(when(col("doc_id") % 101 === 0, concat(col("text"), lit(" v2")))
+            .otherwise(col("text"))).as("h2"))
+        .unionAll(base.filter(col("doc_id") % 89 === 0)
+          .select((col("doc_id") + 1000000L).as("doc_id"),
+            col("source").as("s2"), md5(concat(col("text"), lit(" new"))).as("h2")))
+      v1.join(v2, Seq("doc_id"), "full_outer")
+        .select(coalesce(col("s1"), col("s2")).as("source"),
+          when(col("h1").isNull, "added")
+            .when(col("h2").isNull, "removed")
+            .when(col("h1") =!= col("h2"), "changed")
+            .otherwise("unchanged").as("status"))
+        .groupBy(col("source"), col("status"))
+        .agg(count(lit(1)).as("n"))
+    }),
+
     // Hive-style partitioned layout: documents written partitionBy
     // (source) — 20 `source=…/` directories — then read back with a
     // partition predicate. The filter never reaches row decoding: it
@@ -110,6 +140,24 @@ object StorageQueries {
     // round trip faithful
     "docs_orc_roundtrip" -> TextQueries.oracleSql("text_table_checksum"),
     "docs_jsonl_roundtrip" -> TextQueries.oracleSql("text_table_checksum"),
+    "docs_snapshot_diff" ->
+      """WITH v1 AS (
+        |  SELECT doc_id, source AS s1, md5(text) AS h1 FROM documents),
+        |v2 AS (
+        |  SELECT doc_id, source AS s2,
+        |    md5(CASE WHEN doc_id % 101 = 0 THEN text || ' v2' ELSE text END) AS h2
+        |  FROM documents WHERE doc_id % 97 <> 0
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, source, md5(text || ' new')
+        |  FROM documents WHERE doc_id % 89 = 0)
+        |SELECT COALESCE(s1, s2) AS source,
+        |  CASE WHEN h1 IS NULL THEN 'added'
+        |       WHEN h2 IS NULL THEN 'removed'
+        |       WHEN h1 <> h2 THEN 'changed'
+        |       ELSE 'unchanged' END AS status,
+        |  COUNT(*) AS n
+        |FROM v1 FULL OUTER JOIN v2 USING (doc_id)
+        |GROUP BY 1, 2""".stripMargin,
     "docs_partitioned_scan" -> {
       val srcs = PrunedSources.map(s => s"'$s'").mkString(", ")
       s"""SELECT source, COUNT(*) AS n_docs,

@@ -334,6 +334,27 @@ object TextQueries {
           array_join(slice(col("t"), col("col"), lit(ChunkSize)), " ").as("chunk_text"))
     }),
 
+    // Vocabulary growth curve (the Heaps'-law measurement a corpus
+    // profile reports): distinct tokens seen within the first N docs,
+    // at fixed N checkpoints. The scale rewrite of "cumulative
+    // distinct" again (the events_cum_users first-seen trick, token
+    // domain): each token contributes at its MINIMUM doc_id (one
+    // explode → min agg, vocabulary-sized result), checkpoints then
+    // count first-seen ids under each bound via a small explode —
+    // never a per-prefix rescan. Checkpoints are literals shared with
+    // the oracle.
+    "text_vocab_growth" -> ((s, dir) => {
+      val firstSeen = Tables.documents(s, dir)
+        .select(col("doc_id"), explode(tokens(col("text"))).as("t"))
+        .groupBy(col("t")).agg(min(col("doc_id")).as("first_doc"))
+      firstSeen
+        .select(col("first_doc"),
+          explode(array(VocabCheckpoints.map(lit(_)): _*)).as("n_docs_prefix"))
+        .filter(col("first_doc") < col("n_docs_prefix"))
+        .groupBy(col("n_docs_prefix"))
+        .agg(count(lit(1)).as("vocab"))
+    }),
+
     // LEAKAGE-AWARE split: assign train/val/test by near-dup CLUSTER,
     // not by document. Per-doc split hashing (text_split_assign) can
     // put two near-copies on opposite sides of the train/test fence —
@@ -941,6 +962,12 @@ object TextQueries {
   val ChunkSize = 32
   val ChunkStride = 24
 
+  /** `text_vocab_growth` prefix checkpoints (doc_id bounds). The
+    * fixture's 31-word vocabulary saturates early — exactly the
+    * Heaps'-law shape the report exists to show.
+    */
+  val VocabCheckpoints: Seq[Int] = Seq(5, 10, 20, 50)
+
   /** `text_dup_spans` gram width — wider than [[ContaminationN]] (a
     * duplicated SPAN should be rarer than a contaminated phrase; at 8
     * the fixture still shares ~1000 grams across docs, non-vacuous).
@@ -973,6 +1000,17 @@ object TextQueries {
        |        FROM $prev, t$i)""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
+    "text_vocab_growth" -> {
+      val cps = VocabCheckpoints.mkString("[", ", ", "]")
+      s"""WITH fs AS (
+         |  SELECT t, MIN(doc_id) AS first_doc FROM (
+         |    SELECT doc_id, unnest(${Sql.tokens("text")}) AS t FROM documents)
+         |  GROUP BY t)
+         |SELECT c.n_docs_prefix, COUNT(*) AS vocab
+         |FROM fs, (SELECT unnest($cps) AS n_docs_prefix) c
+         |WHERE fs.first_doc < c.n_docs_prefix
+         |GROUP BY c.n_docs_prefix""".stripMargin
+    },
     "text_cluster_split" ->
       s"""WITH RECURSIVE ${DedupQueries.minhashPairsCtes("documents")},
          |pairs AS (${DedupQueries.minhashPairsSelect}),
