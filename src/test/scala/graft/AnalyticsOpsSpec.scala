@@ -246,6 +246,36 @@ class AnalyticsOpsSpec extends AnyFunSuite {
     assert(diag.toDouble / total > 0.25, s"accuracy ${diag.toDouble / total}")
   }
 
+  test("events_markov: transitions account for every non-first event; probabilities sum to 1") {
+    val rows = SparkEntry.queries("events_markov")(spark, sf).collect()
+      .map(r => (r.getAs[String]("prev_type"), r.getAs[String]("event_type"),
+        r.getAs[Long]("n"), r.getAs[Double]("p_r")))
+    val nEvents = Tables.events(spark, sf).count()
+    val nUsers = Tables.events(spark, sf).select("user_id").distinct().count()
+    assert(rows.map(_._3).sum == nEvents - nUsers, "every event after a user's first transitions")
+    rows.groupBy(_._1).foreach { case (p, rs) =>
+      val ps = rs.map(_._4).sum
+      assert(math.abs(ps - 1.0) < 1e-4, s"$p rows sum to $ps")
+    }
+  }
+
+  test("events_paths partitions the user base; q20 supports are real co-occurrence counts") {
+    val paths = SparkEntry.queries("events_paths")(spark, sf).collect()
+    val nUsers = Tables.events(spark, sf).select("user_id").distinct().count()
+    assert(paths.map(_.getAs[Long]("n_users")).sum == nUsers)
+    val basket = SparkEntry.queries("q20_market_basket")(spark, sf).collect()
+      .map(r => (r.getAs[Long]("pa"), r.getAs[Long]("pb"), r.getAs[Long]("support")))
+    val orders = Tables.lineitem(spark, sf)
+      .select(col("l_orderkey"), col("l_partkey")).distinct().collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    basket.foreach { case (pa, pb, sup) =>
+      assert(pa < pb)
+      val want = orders.values.count(s => s.contains(pa) && s.contains(pb))
+      assert(sup == want, s"pair ($pa,$pb)")
+    }
+  }
+
   test("multimodal augmentation: flip is an involution, rot90 four times is identity") {
     import graft.multimodal.Multimodal.PgmCodec
     // a crafted asymmetric image: transforms must actually move pixels
