@@ -56,13 +56,15 @@ class PlanShapeSpec extends AnyFunSuite {
     // quantized domain, and knn_int8_rerank's stage 1 IS that int8
     // scan (its stage-2 joins are equi-joins). Nothing else may fall
     // back to a nested-loop join.
-    // text_bpe_train and events_resample_ffill crossJoin a BROADCAST
-    // 1-row model-state relation (top pair / day range) — a
-    // conditionless broadcast join is planned as BNLJ by definition
+    // text_bpe_train, events_resample_ffill, events_rfm, and
+    // q22_share_of_total crossJoin a BROADCAST 1-row model-state
+    // relation (top pair / day range / corpus horizon / grand total) —
+    // a conditionless broadcast join is planned as BNLJ by definition
     // and is O(N·1); the guard is against all-PAIRS fallbacks, not
     // scalar fan-out.
     val allowed = Set("knn_brute", "multimodal_feature_knn", "knn_int8",
-      "knn_int8_rerank", "text_bpe_train", "events_resample_ffill")
+      "knn_int8_rerank", "text_bpe_train", "events_resample_ffill",
+      "events_rfm", "q22_share_of_total")
     (SparkEntry.queries.keySet -- streamingEntries -- allowed).toSeq.sorted.foreach { name =>
       val bnlj = plan(name).collect { case b: BroadcastNestedLoopJoinExec => b }
       assert(bnlj.isEmpty, s"$name plans BroadcastNestedLoopJoin")
