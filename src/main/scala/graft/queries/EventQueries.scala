@@ -262,6 +262,35 @@ object EventQueries {
           col("n_events"))
     }),
 
+    // SCD Type-2 history build — the OTHER slowly-changing-dimension
+    // shape, completing the pair with events_latest_state (SCD1): the
+    // full validity-interval history [valid_from, valid_to) per key,
+    // versions advancing only on STATE CHANGE. Consecutive same-state
+    // rows collapse first (lag compare — the gaps-and-islands
+    // collapse), then lead() closes each interval with the next
+    // change's start; the current state stays open (NULL valid_to) —
+    // exactly the dimension table a warehouse joins facts against
+    // AS OF their event time. Scale anatomy: both windows and the
+    // filter between them ride ONE user_id exchange (Filter preserves
+    // partitioning AND sort order, so the second window neither
+    // re-shuffles nor re-sorts); timestamps compare as exact epoch
+    // millis, versions are exact ints — nothing floats.
+    "events_scd2" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("t_ms"), col("event_id"))
+      Tables.events(s, dir)
+        .select(col("user_id"), col("event_id"),
+          unix_millis(col("ts")).as("t_ms"), col("event_type"))
+        .withColumn("prev_type", lag(col("event_type"), 1).over(w))
+        .filter(col("prev_type").isNull ||
+          col("prev_type") =!= col("event_type"))
+        .select(col("user_id"), col("event_type").as("state"),
+          row_number().over(w).as("version"),
+          col("t_ms").as("valid_from_ms"),
+          lead(col("t_ms"), 1).over(w).as("valid_to_ms"))
+    }),
+
     // Distribution-position windows — percent_rank and ntile complete
     // the ranking-function family (row_number/rank live in q6 and the
     // trending entries). Order is the total (value, event_id) — the
@@ -830,6 +859,19 @@ object EventQueries {
         |SELECT user_id, last.t_ms AS last_t_ms, last.event_id AS last_event_id,
         |       last.event_type AS last_type, last.value AS last_value, n_events
         |FROM m""".stripMargin,
+    "events_scd2" ->
+      """WITH e AS (SELECT user_id, event_id, event_type,
+        |             epoch_ms(date_trunc('millisecond', ts)) AS t_ms FROM events),
+        |ch AS (SELECT *, LAG(event_type) OVER
+        |         (PARTITION BY user_id ORDER BY t_ms, event_id) AS prev_type
+        |       FROM e),
+        |f AS (SELECT * FROM ch
+        |      WHERE prev_type IS NULL OR prev_type <> event_type)
+        |SELECT user_id, event_type AS state,
+        |  CAST(ROW_NUMBER() OVER w AS INT) AS version,
+        |  t_ms AS valid_from_ms,
+        |  LEAD(t_ms) OVER w AS valid_to_ms
+        |FROM f WINDOW w AS (PARTITION BY user_id ORDER BY t_ms, event_id)""".stripMargin,
     "events_value_ranks" ->
       """SELECT user_id, event_id, value,
         |  ROUND(percent_rank() OVER w, 6) AS pr_r,

@@ -132,8 +132,43 @@ object StorageQueries {
         .agg(count(lit(1)).as("n_docs"),
           count(col("lang")).as("n_with_lang"),
           sum(col("n_chars")).as("chars_sum"))
+    }),
+
+    // Small-file compaction PLANNING — the OPTIMIZE bin-packing pass
+    // every lakehouse table needs once streaming/incremental writes
+    // accumulate small files: files (stand-in: each doc, sized by
+    // n_chars — a real run feeds the table's file manifest, which is
+    // METADATA-sized, not data-sized) pack greedily in (source,
+    // doc_id) order into ≥[[TargetBinBytes]] bins via a running-sum
+    // window — bin = bytes-before ÷ target, the textbook cumulative-
+    // sum binning that never moves data, only plans the rewrite. Each
+    // output row is one compaction job: contiguous id range, file
+    // count, total bytes (first/last bound the range so the rewrite
+    // job can prune its input scan). All-integer arithmetic; the
+    // window and rollup ride one source-keyed exchange (the rollup
+    // key refines the window key).
+    "docs_compaction_bins" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.documents(s, dir)
+        .select(col("source"), col("doc_id"), col("n_chars"))
+        .withColumn("cum", sum(col("n_chars")).over(w))
+        .withColumn("bin",
+          expr(s"(cum - n_chars) div $TargetBinBytes").cast("int"))
+        .groupBy(col("source"), col("bin"))
+        .agg(count(lit(1)).as("n_files"),
+          sum(col("n_chars")).as("bin_bytes"),
+          min(col("doc_id")).as("first_id"),
+          max(col("doc_id")).as("last_id"))
     })
   )
+
+  /** Compaction target bin size in bytes (stand-in scale for the
+    * fixture's ~500-char docs: ~8 files per bin; production uses
+    * 128 MB–1 GB).
+    */
+  val TargetBinBytes = 4096L
 
   val oracleSql: Map[String, String] = Map(
     // oracle reads the original PARQUET — equality proves the ORC
@@ -172,6 +207,17 @@ object StorageQueries {
       """SELECT source, COUNT(*) AS n_docs,
         |  COUNT(*) FILTER (doc_id % 2 = 1) AS n_with_lang,
         |  CAST(SUM(n_chars) AS BIGINT) AS chars_sum
-        |FROM documents GROUP BY source""".stripMargin
+        |FROM documents GROUP BY source""".stripMargin,
+    "docs_compaction_bins" ->
+      s"""WITH c AS (
+         |  SELECT source, doc_id, n_chars,
+         |    SUM(n_chars) OVER (PARTITION BY source ORDER BY doc_id
+         |      ROWS UNBOUNDED PRECEDING) AS cum
+         |  FROM documents)
+         |SELECT source, CAST((cum - n_chars) // $TargetBinBytes AS INT) AS bin,
+         |  COUNT(*) AS n_files,
+         |  CAST(SUM(n_chars) AS BIGINT) AS bin_bytes,
+         |  MIN(doc_id) AS first_id, MAX(doc_id) AS last_id
+         |FROM c GROUP BY 1, 2""".stripMargin
   )
 }

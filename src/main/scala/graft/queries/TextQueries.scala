@@ -800,6 +800,77 @@ object TextQueries {
         size(regexp_extract_all(fx, lit(PiiIpRe), lit(0))).as("n_ips"),
         length(red).as("redacted_len"),
         md5(red).as("redacted_md5"))
+    }),
+
+    // BM25 ranked retrieval over the [[SearchTerms]] posting lists —
+    // the standard ranked-search scorer (length-normalized, tf-
+    // saturating) that tf-idf's raw ratio doesn't give. The term
+    // filter sits directly above the explode (scan stage), so only
+    // the |terms| posting lists ever shuffle — never the corpus; dl
+    // rides the explode row so no second doc-length join is needed.
+    // The DF table is |terms| rows, broadcast. idf stays the RAW
+    // rational (N − df + 0.5)/(df + 0.5) — monotone in the log form,
+    // exact-rational double (the text_tfidf no-transcendental rule).
+    // A ≤3-double sum's value depends on ADDITION ORDER, so per-term
+    // scores pivot out max-when style and add in literal term order —
+    // bit-identical on both engines (the events_paths extraction
+    // idiom). k1+1 and 1−b are pre-folded literals (2.2, 0.25): both
+    // engines parse the same decimal string to the same double,
+    // where folding at runtime could differ in the last ulp.
+    "text_bm25" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val nDocs = docs.count() // corpus size: one tiny job, scalar
+      val avgdl = docs.select(sum(tokenCount(col("text"))))
+        .first.getLong(0).toDouble / nDocs
+      // (doc_id, dl, token, tf) for query terms only; feeds BOTH the
+      // df aggregation and the scoring pass — checkpointed once
+      val tf = docs
+        .select(col("doc_id"), tokenCount(col("text")).as("dl"),
+          explode(tokens(col("text"))).as("token"))
+        .filter(col("token").isin(SearchTerms: _*))
+        .groupBy(col("doc_id"), col("dl"), col("token"))
+        .agg(count(lit(1)).as("tf"))
+        .localCheckpoint()
+      val df = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
+      val idf = (lit(nDocs.toDouble) - col("df").cast("double") + lit(0.5)) /
+        (col("df").cast("double") + lit(0.5))
+      val denom = col("tf").cast("double") +
+        lit(Bm25K1) * (lit(0.25) + lit(Bm25B) *
+          (col("dl").cast("double") / lit(avgdl)))
+      val scored = tf.join(broadcast(df), "token")
+        .withColumn("sc", idf * (col("tf").cast("double") * lit(2.2) / denom))
+      def at(t: String) =
+        coalesce(max(when(col("token") === t, col("sc"))), lit(0.0))
+      scored.groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_terms"),
+          round(SearchTerms.map(at).reduceLeft(_ + _), 6).as("score_r"))
+    }),
+
+    // Temperature-flattened mixture sampling (q_s ∝ p_s^α, α = 1/2) —
+    // the multilingual/multi-domain rebalancing rule (mT5/XLM-R
+    // style): rare sources are upsampled toward, common sources
+    // damped from, their natural share p_s. The per-doc keep rate is
+    // C·p_s^(α−1) = C/√p_s, clamped to 100%. √ is the one power IEEE
+    // guarantees correctly rounded, so the rate is deterministic
+    // cross-engine with NO transcendental (exp/ln) in sight; FLOOR
+    // then collapses it to an exact integer percent compared against
+    // the ':temp'-salted stable hash — independent of the split/mix/
+    // strat hashes, re-run-stable, no RNG. The share table is
+    // |sources| rows, broadcast; the sample itself is a pure map.
+    "text_mixture_temperature" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val nDocs = docs.count() // one tiny job, scalar (tfidf policy)
+      val shares = docs.groupBy(col("source")).agg(count(lit(1)).as("cnt"))
+      val rate = least(lit(100L),
+        floor(lit(TempSampleC) /
+          sqrt(col("cnt").cast("double") / lit(nDocs.toDouble))))
+        .cast("int")
+      val mh = tokenHash(concat(col("doc_id").cast("string"), lit(":temp"))) % 100
+      docs.select(col("doc_id"), col("source"))
+        .join(broadcast(shares), "source")
+        .select(col("doc_id"), col("source"), rate.as("rate_pct"), mh.as("mh"))
+        .filter(col("mh") < col("rate_pct"))
+        .select(col("doc_id"), col("source"), col("rate_pct"))
     })
   )
 
@@ -812,6 +883,18 @@ object TextQueries {
     * 46 docs at sf0.01 — non-vacuous at every SF).
     */
   val PhraseTerms = Seq("table", "hash")
+
+  /** BM25 shape parameters (the standard Robertson defaults). 2.2 and
+    * 0.25 literals in the queries are the pre-folded k1+1 and 1−b.
+    */
+  val Bm25K1 = 1.2
+  val Bm25B = 0.75
+
+  /** Temperature-sampling scale C in rate = C/√p_s percent: 10 puts a
+    * uniform 20-source corpus (p ≈ 0.05) near a 45% keep rate, so
+    * both keeps and drops fire at every SF.
+    */
+  val TempSampleC = 10.0
 
   /** The tf-annotated postings relation (token, doc_id, tf). */
   private def postings(s: SparkSession, dir: String): DataFrame =
@@ -1414,6 +1497,43 @@ object TextQueries {
          |  CAST(len(regexp_extract_all(pii_text, '$PiiIpRe')) AS INT) AS n_ips,
          |  CAST(length(r) AS INT) AS redacted_len,
          |  md5(r) AS redacted_md5
-         |FROM red""".stripMargin
+         |FROM red""".stripMargin,
+    "text_bm25" -> {
+      val termsList = SearchTerms.map(t => s"'$t'").mkString("(", ", ", ")")
+      val pivot = SearchTerms.map(t =>
+        s"COALESCE(MAX(CASE WHEN token = '$t' THEN sc END), 0.0)")
+        .mkString(" + ")
+      s"""WITH n AS (
+         |  SELECT COUNT(*)::DOUBLE AS nd,
+         |    SUM(${Sql.tokenCount("text")})::DOUBLE / COUNT(*) AS avgdl
+         |  FROM documents),
+         |tf AS (
+         |  SELECT doc_id, dl, token, COUNT(*) AS tf
+         |  FROM (SELECT doc_id, ${Sql.tokenCount("text")} AS dl,
+         |          unnest(${Sql.tokens("text")}) AS token FROM documents)
+         |  WHERE token IN $termsList
+         |  GROUP BY doc_id, dl, token),
+         |df AS (SELECT token, COUNT(*) AS df FROM tf GROUP BY token),
+         |sc AS (
+         |  SELECT tf.doc_id, tf.token,
+         |    ((n.nd - df.df::DOUBLE + 0.5) / (df.df::DOUBLE + 0.5)) *
+         |      (tf.tf::DOUBLE * 2.2 /
+         |       (tf.tf::DOUBLE + $Bm25K1 * (0.25 + $Bm25B *
+         |          (tf.dl::DOUBLE / n.avgdl)))) AS sc
+         |  FROM tf JOIN df USING (token) CROSS JOIN n)
+         |SELECT doc_id, COUNT(*) AS n_terms,
+         |  ROUND($pivot, 6) AS score_r
+         |FROM sc GROUP BY doc_id""".stripMargin
+    },
+    "text_mixture_temperature" ->
+      s"""WITH n AS (SELECT COUNT(*)::DOUBLE AS nd FROM documents),
+         |sh AS (SELECT source, COUNT(*) AS cnt FROM documents GROUP BY source)
+         |SELECT doc_id, source, rate_pct FROM (
+         |  SELECT d.doc_id, d.source,
+         |    CAST(LEAST(100, CAST(FLOOR($TempSampleC /
+         |      sqrt(sh.cnt::DOUBLE / n.nd)) AS BIGINT)) AS INT) AS rate_pct,
+         |    ${Sql.tokenHash("CAST(d.doc_id AS VARCHAR) || ':temp'")} % 100 AS mh
+         |  FROM documents d JOIN sh USING (source) CROSS JOIN n)
+         |WHERE mh < rate_pct""".stripMargin
   )
 }

@@ -1,0 +1,138 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Contracts for the BM25 / temperature-mixture / SCD2 / compaction-
+  * planning additions, asserted against independent driver-side
+  * recomputation (value-level equality is the DuckDB oracle's job):
+  * BM25 equals a brute-force rescore under the same op order, the
+  * temperature rate is the C/√p formula and favors rare sources, SCD2
+  * intervals tile each user's timeline exactly at its state changes,
+  * and compaction bins are the exact cumulative-sum packing.
+  */
+class LakehouseRetrievalOpsSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  private val sf = "/root/testdata/sf0.001"
+
+  private def toks(text: String): Array[String] =
+    text.split("\\s+").filter(_.nonEmpty)
+
+  test("text_bm25 equals a brute-force rescore; boolean-AND hits are exactly the n_terms=3 docs") {
+    val docs = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) -> toks(r.getString(1))).toMap
+    val n = docs.size
+    val avgdl = docs.valuesIterator.map(_.length.toLong).sum.toDouble / n
+    val terms = queries.TextQueries.SearchTerms
+    val df = terms.map(t => t -> docs.valuesIterator.count(_.contains(t))).toMap
+    val want = docs.flatMap { case (id, tk) =>
+      val dl = tk.length
+      val present = terms.filter(tk.contains(_))
+      if (present.isEmpty) None
+      else {
+        // literal mirror of the query's op order, summed in term order
+        val score = terms.map { t =>
+          val tf = tk.count(_ == t)
+          if (tf == 0) 0.0
+          else {
+            val idf = (n.toDouble - df(t).toDouble + 0.5) / (df(t).toDouble + 0.5)
+            idf * (tf.toDouble * 2.2 /
+              (tf.toDouble + 1.2 * (0.25 + 0.75 * (dl.toDouble / avgdl))))
+          }
+        }.reduceLeft(_ + _)
+        Some(id -> (present.size.toLong,
+          BigDecimal(score).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble))
+      }
+    }
+    val got = SparkEntry.queries("text_bm25")(spark, sf).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_terms"), r.getAs[Double]("score_r"))).toMap
+    assert(got.keySet == want.keySet)
+    got.foreach { case (id, (nt, sc)) =>
+      assert((nt, sc) == want(id), s"doc $id: got ($nt, $sc), want ${want(id)}")
+    }
+    val andHits = SparkEntry.queries("text_search_boolean")(spark, sf)
+      .select(col("doc_id")).collect().map(_.getLong(0)).toSet
+    assert(got.filter(_._2._1 == 3).keySet == andHits,
+      "BM25 n_terms=3 docs must be exactly the boolean-AND result")
+  }
+
+  test("text_mixture_temperature rates follow C/sqrt(p) and favor rare sources") {
+    val counts = Tables.documents(spark, sf)
+      .groupBy(col("source")).agg(count(lit(1)).as("cnt")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val n = counts.values.sum.toDouble
+    val kept = SparkEntry.queries("text_mixture_temperature")(spark, sf).collect()
+    assert(kept.nonEmpty)
+    val rateBySrc = kept.map(r =>
+      r.getAs[String]("source") -> r.getAs[Int]("rate_pct")).toMap
+    rateBySrc.foreach { case (src, rate) =>
+      val want = math.min(100L,
+        math.floor(queries.TextQueries.TempSampleC /
+          math.sqrt(counts(src).toDouble / n)).toLong)
+      assert(rate.toLong == want, s"$src: rate $rate != $want")
+    }
+    // monotone: a strictly larger source never gets a strictly larger rate
+    for {
+      (s1, r1) <- rateBySrc; (s2, r2) <- rateBySrc
+      if counts(s1) < counts(s2)
+    } assert(r1 >= r2, s"rarer $s1 (rate $r1) must be >= $s2 (rate $r2)")
+  }
+
+  test("events_scd2 intervals tile each user's timeline at exactly its state changes") {
+    val evs = Tables.events(spark, sf)
+      .select(col("user_id"), col("event_id"), unix_millis(col("ts")).as("t_ms"),
+        col("event_type")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    val gotByUser = SparkEntry.queries("events_scd2")(spark, sf).collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Int]("version"),
+        r.getAs[String]("state"), r.getAs[Long]("valid_from_ms"),
+        Option(r.getAs[java.lang.Long]("valid_to_ms")).map(_.longValue)))
+      .groupBy(_._1)
+    evs.groupBy(_._1).foreach { case (u, rows) =>
+      val ordered = rows.sortBy(e => (e._3, e._2)).map(e => (e._3, e._4))
+      // brute-force change points: first event + every state switch
+      val changes = ordered.foldLeft(Vector.empty[(Long, String)]) {
+        case (acc, (t, st)) =>
+          if (acc.lastOption.forall(_._2 != st)) acc :+ (t -> st) else acc
+      }
+      val got = gotByUser(u).sortBy(_._2)
+      assert(got.map(_._2).toSeq == (1 to changes.size), s"user $u versions")
+      got.zip(changes).foreach { case ((_, _, st, from, _), (ct, cst)) =>
+        assert(st == cst && from == ct, s"user $u")
+      }
+      // intervals tile: each valid_to is the NEXT version's valid_from;
+      // only the last stays open
+      got.sliding(2).foreach { pair =>
+        if (pair.length == 2)
+          assert(pair(0)._5.contains(pair(1)._4), s"user $u gap")
+      }
+      assert(got.last._5.isEmpty && got.init.forall(_._5.nonEmpty), s"user $u open")
+    }
+  }
+
+  test("docs_compaction_bins is the exact cumulative-sum packing and covers every file") {
+    val files = Tables.documents(spark, sf)
+      .select(col("source"), col("doc_id"), col("n_chars")).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val target = queries.StorageQueries.TargetBinBytes
+    val want = files.groupBy(_._1).flatMap { case (src, fs) =>
+      val sorted = fs.sortBy(_._2)
+      val cums = sorted.scanLeft(0L)(_ + _._3).init // bytes BEFORE each file
+      sorted.zip(cums).groupBy { case (_, before) => before / target }
+        .map { case (bin, grp) =>
+          (src, bin.toInt) -> (grp.length.toLong, grp.map(_._1._3).sum,
+            grp.map(_._1._2).min, grp.map(_._1._2).max)
+        }
+    }
+    val got = SparkEntry.queries("docs_compaction_bins")(spark, sf).collect()
+      .map(r => (r.getAs[String]("source"), r.getAs[Int]("bin")) ->
+        (r.getAs[Long]("n_files"), r.getAs[Long]("bin_bytes"),
+          r.getAs[Long]("first_id"), r.getAs[Long]("last_id"))).toMap
+    assert(got == want)
+    // coverage: file counts and bytes add back up to the corpus
+    assert(got.values.map(_._1).sum == files.length)
+    assert(got.values.map(_._2).sum == files.map(_._3).sum)
+  }
+}
