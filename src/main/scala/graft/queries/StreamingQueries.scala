@@ -183,6 +183,41 @@ object StreamingQueries {
     }
   }
 
+  /** O9 on the NEW arbitrary-state API: `transformWithState`
+    * (see [[graft.streaming.TotalCountProcessor]]) — same replay,
+    * same upsert-sink convergence, same oracle as `taxi_total_stream`;
+    * only the stateful operator changes generation. RocksDB provider
+    * flipped for THIS session only (the API rejects HDFS-backed).
+    */
+  def totalTwsStream(spark: SparkSession, sfDir: String): DataFrame = {
+    val ss = streamSession(spark)
+    ss.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val rides = TaxiReplay.ridesFromEvents(ss, sfDir).collect().toSeq
+    val ordered = TaxiReplay.servingOrder(rides, MaxDelayMs)
+    val (ms, df) = TaxiReplay.memoryStream(ss)
+    val sink = new KeyedUpsertSink(Seq("cell"))
+    val ckpt = TempDir.create("graft-ckpt-")
+    val q = TwsTotalCount.totalCountTws(cellsOf(df)).toDF()
+      .writeStream.outputMode("update")
+      .option("checkpointLocation", ckpt.toString)
+      .foreachBatch(sink.upsert _)
+      .start()
+    try {
+      TaxiReplay.feedInBatches(ms, ordered, 4, () => q.processAllAvailable())
+      sink.toDF(ss)
+        .select(col("cell"), col("lastTMs").as("last_t_ms"), col("cnt"),
+          graft.geo.NycGeo.cellCenterLon(col("cell")).as("center_lon"),
+          graft.geo.NycGeo.cellCenterLat(col("cell")).as("center_lat"))
+        .localCheckpoint()
+    } finally {
+      q.stop()
+      TempDir.deleteRecursively(ckpt.toString)
+      sink.close()
+      StateStoreBridge.unloadAll()
+    }
+  }
+
   /** O10 streaming: Append mode — rows emitted only when the watermark
     * passes window end (Flink's default event-time trigger).
     */
@@ -869,6 +904,7 @@ object StreamingQueries {
     "docs_ingest_file_stream" -> (docsIngestFileStream _),
     "docs_incremental_stream" -> (docsIncrementalStream _),
     "taxi_total_stream" -> (totalStream _),
+    "taxi_total_tws" -> (totalTwsStream _),
     "taxi_sliding_stream" -> (slidingStream _),
     "taxi_sliding_file_stream" -> (slidingFileStream _),
     "taxi_dedup_stream" -> (dedupStream _),
@@ -939,6 +975,8 @@ object StreamingQueries {
          |FROM documents
          |WHERE ${graft.functions.TextFunctions.Sql.stopwordRatio("text")} >= 0.05""".stripMargin,
     "taxi_total_stream" -> TaxiQueries.oracleSql("taxi_total_count"),
+    // generation change in the stateful operator, not in the contract
+    "taxi_total_tws" -> TaxiQueries.oracleSql("taxi_total_count"),
     "taxi_sliding_stream" -> TaxiQueries.oracleSql("taxi_sliding_count"),
     "taxi_sliding_file_stream" -> TaxiQueries.slidingSecondsSql,
     "taxi_dedup_stream" -> TaxiQueries.oracleSql("taxi_sliding_count"),

@@ -1,0 +1,66 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Dataset, Encoders}
+import org.apache.spark.sql.streaming.{OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues, ValueState}
+
+/** Running per-cell totals state. */
+final case class TotalTwsState(sum: Long, lastT: Long)
+
+/** One Update-mode emission of the running total (mirrors the
+  * `totalArrivalCount` aggregate row pre-center-projection).
+  */
+final case class TotalCount(cell: Int, lastTMs: Long, cnt: Long)
+
+/** O9 on Spark 4's NEW arbitrary-state API (`transformWithState`) —
+  * the modernized twin of the `flatMapGroupsWithState` fold and the
+  * Update-mode aggregate: per-key `ValueState` holds (Σ passengers,
+  * max event time) and each micro-batch emits the key's current
+  * total (last-write-wins through the keyed upsert sink, O14).
+  *
+  * Why it earns a place next to the older forms: named state
+  * variables with independent encoders + per-state TTL
+  * ([[TTLConfig]]), timers decoupled from output mode, and
+  * initial-state bootstrap — the API surface Spark is consolidating
+  * stateful streaming on. The engine contract stays identical, which
+  * is exactly what the shared oracle pins.
+  *
+  * Both folds are COMMUTATIVE (sum, max), so unlike
+  * `runningCountPerEvent` no event-time ordering/buffering is needed
+  * — any arrival order converges to the same final state.
+  *
+  * transformWithState requires the RocksDB state-store provider
+  * (Spark rejects HDFS-backed at query start); the query harness
+  * flips the provider for its own isolated session only — the
+  * measured-negative default for the OTHER replay entries (SCALE.md
+  * "State-store provider") stands.
+  */
+class TotalCountProcessor extends StatefulProcessor[Int, CellEvent, TotalCount] {
+  @transient private var st: ValueState[TotalTwsState] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    st = getHandle.getValueState("total", Encoders.product[TotalTwsState],
+      TTLConfig.NONE)
+
+  override def handleInputRows(
+      cell: Int,
+      rows: Iterator[CellEvent],
+      timers: TimerValues): Iterator[TotalCount] = {
+    var s = if (st.exists()) st.get() else TotalTwsState(0L, Long.MinValue)
+    rows.foreach { e =>
+      s = TotalTwsState(s.sum + e.passengers, math.max(s.lastT, e.tMs))
+    }
+    st.update(s)
+    Iterator.single(TotalCount(cell, s.lastT, s.sum))
+  }
+}
+
+object TwsTotalCount {
+  /** The transformWithState pipeline over projected cell events. */
+  def totalCountTws(cells: Dataset[CellEvent]): Dataset[TotalCount] = {
+    import cells.sparkSession.implicits._
+    cells
+      .groupByKey(_.cell)
+      .transformWithState(new TotalCountProcessor,
+        TimeMode.None(), OutputMode.Update())
+  }
+}
