@@ -557,15 +557,19 @@ object DedupQueries {
     // sit far from the representative (a long chain means "near-dup
     // of a near-dup", where transitive similarity has decayed — the
     // classic over-merging signal a curation pass inspects before
-    // dropping whole clusters). Driver-bounded frontier supersteps,
-    // the CC anatomy exactly: per superstep one edges⋈dist join
-    // (reusing the edges' src partitioning) + one min aggregation;
-    // convergence = the exact integer distance sum stops falling.
-    // The fixture proves the point: measured chains reach 10 hops at
-    // sf0.01 (7 at sf0.1 — denser corpora merge into rounder
-    // clusters). The oracle's recursive walk caps at 16, above every
-    // measured diameter; the Spark loop requires convergence within
-    // [[CcMaxIters]].
+    // dropping whole clusters). FRONTIER supersteps, not full-table
+    // ones: only nodes whose distance improved last round propagate,
+    // so each superstep's join touches the frontier's incident edges
+    // — not all |E| — and at 100 TB the per-round work decays with
+    // the shrinking frontier instead of staying corpus-sized (the
+    // textbook delta-BFS the full dist⋈edges form wastes). The dist
+    // table crosses one doc_id-keyed join per round; convergence =
+    // the frontier empties (its count IS the per-round action — no
+    // separate checksum pass). The fixture proves the point: measured
+    // chains reach 10 hops at sf0.01 (7 at sf0.1 — denser corpora
+    // merge into rounder clusters). The oracle's recursive walk caps
+    // at 16, above every measured diameter; the Spark loop requires
+    // convergence within [[CcMaxIters]].
     "dedup_hop_distance" -> ((s, dir) => {
       val pairs = minhashVerifiedPairs(s, dir)
         .select(col("doc_a"), col("doc_b")).localCheckpoint()
@@ -580,24 +584,34 @@ object DedupQueries {
         when(col("doc_id") === col("component"), lit(0L)).otherwise(lit(Inf))
           .as("hops"))
         .localCheckpoint()
-      def total(d: DataFrame): Long =
-        d.agg(sum(col("hops"))).head.getLong(0)
-      var prev = total(dist)
-      var converged = false
+      // round-0 frontier: the canonicals themselves
+      var frontier = dist.filter(col("hops") === 0L)
+      var frontierSize = frontier.count()
+      var mergedCk: DataFrame = null
       var iters = 0
-      while (!converged) {
+      while (frontierSize > 0) {
         iters += 1
         require(iters <= CcMaxIters, s"BFS did not converge in $CcMaxIters supersteps")
-        val prop = edges.join(dist, col("src") === col("doc_id"))
-          .select(col("dst").as("doc_id"), (col("hops") + 1).as("hops"))
-        val next = dist.union(prop)
-          .groupBy(col("doc_id")).agg(min(col("hops")).as("hops"))
+        // relaxations from the frontier only
+        val prop = edges.join(frontier, col("src") === col("doc_id"))
+          .select(col("dst"), (col("hops") + 1).as("cand"))
+          .groupBy(col("dst")).agg(min(col("cand")).as("cand"))
+          .withColumnRenamed("dst", "doc_id")
+        // one checkpointed merge feeds BOTH next-dist and next-frontier
+        val merged = dist.join(prop, Seq("doc_id"), "left")
+          .select(col("doc_id"), col("hops"), col("cand"))
           .localCheckpoint()
-        val cur = total(next)
-        converged = cur == prev
-        prev = cur
-        unpersistCheckpoint(dist)
-        dist = next
+        val nextFrontier = merged.filter(col("cand") < col("hops"))
+          .select(col("doc_id"), col("cand").as("hops"))
+        frontierSize = nextFrontier.count()
+        // round i−1's blocks: the initial dist checkpoint (round 1)
+        // or the previous merged (dist/frontier are projections of it)
+        if (mergedCk != null) unpersistCheckpoint(mergedCk)
+        else unpersistCheckpoint(dist)
+        mergedCk = merged
+        dist = merged.select(col("doc_id"),
+          least(col("hops"), coalesce(col("cand"), lit(Inf))).as("hops"))
+        frontier = nextFrontier
       }
       unpersistCheckpoint(edges)
       comp.join(dist, "doc_id")
