@@ -31,6 +31,11 @@ object EventQueries {
     * retention matrix with real decay where weeks saturate at 100%.
     */
   val RetentionEpochMs = 1704067200000L
+
+  /** Debounce window: 30 min keeps ~87% of sf0.01 events — both keeps
+    * and drops fire at every SF.
+    */
+  val DebounceMs = 1800000L
   val DayMs = 86400000L
   // merge demo: base snapshot = first 15 days, delta = the rest.
   // NOTE: must be declared AFTER RetentionEpochMs/DayMs — object vals
@@ -289,6 +294,62 @@ object EventQueries {
           row_number().over(w).as("version"),
           col("t_ms").as("valid_from_ms"),
           lead(col("t_ms"), 1).over(w).as("valid_to_ms"))
+    }),
+
+    // Per-key DEBOUNCE — keep an event only when ≥ [[DebounceMs]] has
+    // passed since the last KEPT event: the alert/notification
+    // throttle (and batch twin of dropDuplicatesWithinWatermark's
+    // time-proximity dedup). NOT expressible as a lag() window — the
+    // reference point is the last SURVIVOR, a recursive dependency —
+    // so it runs as the per-key ordered LEFT-FOLD (the events_ewma
+    // anatomy): sorted per-user series, aggregate HOF with a
+    // (last_kept, kept_ids) accumulator, kept ids exploded back to
+    // rows. All-integer comparisons — deterministic by identical fold
+    // sequence. One shuffle; per-key state is the kept-id list
+    // (bounded by history size — the same honest per-key-history
+    // caveat as events_ewma, fine where histories are bounded;
+    // unbounded keys stream through mapGroups instead).
+    "events_debounce" -> ((s, dir) => {
+      Tables.events(s, dir)
+        .select(col("user_id"), unix_millis(col("ts")).as("t_ms"),
+          col("event_id"))
+        .groupBy(col("user_id"))
+        .agg(sort_array(collect_list(struct(col("t_ms"), col("event_id"))))
+          .as("series"))
+        .select(col("user_id"), expr(
+          s"""aggregate(slice(series, 2, size(series) - 1),
+             |  named_struct('last', element_at(series, 1).t_ms,
+             |               'kept', array(element_at(series, 1).event_id)),
+             |  (acc, e) -> CASE WHEN e.t_ms - acc.last >= $DebounceMs
+             |    THEN named_struct('last', e.t_ms,
+             |                      'kept', concat(acc.kept, array(e.event_id)))
+             |    ELSE acc END).kept""".stripMargin).as("kept"))
+        .select(col("user_id"), explode(col("kept")).as("event_id"))
+    }),
+
+    // SCD2 point-in-time lookup — the CONSUMER of the history build:
+    // every fact row enriched with the dimension state valid AT ITS
+    // EVENT TIME (valid_from ≤ t < valid_to, open current row) — what
+    // "join facts against the dimension as of then" means in a
+    // warehouse. Scale anatomy: the join is EQUI on the dimension key
+    // (one hash exchange each side; at 100 TB the dimension persists
+    // bucketed on it) and the interval predicate evaluates inside the
+    // hash match against the key's FEW versions — a bounded post-
+    // filter, never a range-only join; exactly-one-match per fact is
+    // structural (the spec's tiling property) and pinned by the
+    // oracle's row count.
+    "events_scd2_lookup" -> ((s, dir) => {
+      val dim = queries("events_scd2")(s, dir)
+        .select(col("user_id"), col("state"), col("version"),
+          col("valid_from_ms"), col("valid_to_ms"))
+      val facts = Tables.events(s, dir)
+        .select(col("user_id"), col("event_id"),
+          unix_millis(col("ts")).as("t_ms"))
+      facts.join(dim, Seq("user_id"))
+        .filter(col("t_ms") >= col("valid_from_ms") &&
+          (col("valid_to_ms").isNull || col("t_ms") < col("valid_to_ms")))
+        .select(col("user_id"), col("event_id"), col("t_ms"),
+          col("state"), col("version"))
     }),
 
     // Distribution-position windows — percent_rank and ntile complete
@@ -872,6 +933,48 @@ object EventQueries {
         |  t_ms AS valid_from_ms,
         |  LEAD(t_ms) OVER w AS valid_to_ms
         |FROM f WINDOW w AS (PARTITION BY user_id ORDER BY t_ms, event_id)""".stripMargin,
+    // the taxi_early_fires recursive-recurrence pattern, NOT a
+    // list_reduce fold: DuckDB v1.0.0's list_reduce corrupts struct
+    // accumulators with list/string fields across rows (measured: a
+    // 4-element fold keeps only the last id; at other SFs kept ids
+    // leak BETWEEN users). Each user's sorted time list rides the
+    // recursion; each step advances to the first time ≥ last kept +
+    // window (plain-BIGINT list ops only — the machinery the early-
+    // fires oracle already proves). The kept id is the min id at the
+    // kept time (ties at one timestamp keep exactly the (t, id)-first
+    // — matching the fold's order).
+    "events_debounce" ->
+      s"""WITH RECURSIVE e AS (SELECT user_id, event_id,
+         |    epoch_ms(date_trunc('millisecond', ts)) AS t_ms FROM events),
+         |srt AS (SELECT user_id, list(t_ms ORDER BY t_ms) AS ts
+         |        FROM e GROUP BY user_id),
+         |keep AS (
+         |  SELECT user_id, ts, ts[1] AS t FROM srt WHERE len(ts) >= 1
+         |  UNION ALL
+         |  SELECT k.user_id, k.ts,
+         |    list_min(list_filter(k.ts, x -> x >= k.t + $DebounceMs)) AS t
+         |  FROM keep k
+         |  WHERE list_min(list_filter(k.ts, x -> x >= k.t + $DebounceMs))
+         |    IS NOT NULL)
+         |SELECT k.user_id, MIN(e.event_id) AS event_id
+         |FROM keep k JOIN e ON e.user_id = k.user_id AND e.t_ms = k.t
+         |GROUP BY k.user_id, k.t""".stripMargin,
+    "events_scd2_lookup" ->
+      """WITH e AS (SELECT user_id, event_id, event_type,
+        |             epoch_ms(date_trunc('millisecond', ts)) AS t_ms FROM events),
+        |ch AS (SELECT *, LAG(event_type) OVER
+        |         (PARTITION BY user_id ORDER BY t_ms, event_id) AS prev_type
+        |       FROM e),
+        |f AS (SELECT * FROM ch
+        |      WHERE prev_type IS NULL OR prev_type <> event_type),
+        |dim AS (SELECT user_id, event_type AS state,
+        |          CAST(ROW_NUMBER() OVER w AS INT) AS version,
+        |          t_ms AS valid_from_ms, LEAD(t_ms) OVER w AS valid_to_ms
+        |        FROM f WINDOW w AS (PARTITION BY user_id ORDER BY t_ms, event_id))
+        |SELECT e.user_id, e.event_id, e.t_ms, dim.state, dim.version
+        |FROM e JOIN dim ON e.user_id = dim.user_id
+        |  AND e.t_ms >= dim.valid_from_ms
+        |  AND (dim.valid_to_ms IS NULL OR e.t_ms < dim.valid_to_ms)""".stripMargin,
     "events_value_ranks" ->
       """SELECT user_id, event_id, value,
         |  ROUND(percent_rank() OVER w, 6) AS pr_r,

@@ -156,6 +156,49 @@ object MultimodalQueries {
         .select(col("query_id"), col("col.vec_id").as("neighbor_id"),
           (col("pos") + 1).cast("int").as("rnk"),
           org.apache.spark.sql.functions.round(col("col.cos"), 6).as("cos_r"))
+    }),
+
+    // Cross-modal pair mining — the image↔text alignment step a
+    // contrastive (CLIP-style) training set is built from: each image
+    // is matched to its best caption candidate by feature agreement.
+    // Stand-in encoders, REAL plumbing: the image side is the exact
+    // integer intensity histogram over the real codec decode
+    // (MediaFeatures.hist), the caption side a 16-bucket token-hash
+    // histogram — both exact ints, so the score (integer dot product
+    // via zip_with/aggregate, < 2^53 → double accumulation exact) and
+    // the argmax are hash-checkable, no float drift. Scale anatomy:
+    // candidates pair only WITHIN a source block (the LSH-bucket
+    // principle — never corpus all-pairs), payloads never shuffle
+    // (features leave the decode stage as 16 ints), and the per-image
+    // argmax is a commutative max(struct) — map-side partial, the
+    // events_latest_state idiom, never a rank window over the pair
+    // relation.
+    "multimodal_caption_match" -> ((s, dir) => {
+      import graft.functions.TextFunctions.{tokenHash, tokens}
+      val docs = graft.Tables.documents(s, dir)
+      val media = Multimodal.mediaFromDocuments(s, dir)
+      val imgs = Multimodal.extractFeatures(media.filter(col("kind") === "image"))
+        .toDF()
+        .select(col("media_id"), col("hist"))
+        .join(docs.select(col("doc_id").as("media_id"), col("source")), "media_id")
+      val caps = docs.filter(col("doc_id") % 3 === 1)
+        .select(col("doc_id").as("caption_id"), col("source"),
+          explode(tokens(col("text"))).as("t"))
+        .select(col("caption_id"), col("source"),
+          pmod(tokenHash(col("t")), lit(16)).as("b"))
+        .groupBy(col("caption_id"), col("source"))
+        .agg(array((0 until 16).map(b =>
+          sum(when(col("b") === b, 1L).otherwise(0L))): _*).as("chist"))
+      imgs.join(caps, "source")
+        .select(col("media_id"), col("caption_id"),
+          aggregate(zip_with(col("hist"), col("chist"), (a, c) => a * c),
+            lit(0.0), (acc, x) => acc + x).cast("long").as("score"))
+        .groupBy(col("media_id"))
+        .agg(count(lit(1)).as("n_cands"),
+          max(struct(col("score"), (-col("caption_id")).as("negid"))).as("best"))
+        .select(col("media_id"), col("n_cands"),
+          col("best.score").as("score"),
+          (-col("best.negid")).as("caption_id"))
     })
   )
 
@@ -465,6 +508,39 @@ object MultimodalQueries {
          |    ROUND((${dot("q", "c")}) / (sqrt(${nrm2("q")}) * sqrt(${nrm2("c")})), 6) AS cos_r
          |  FROM ls q JOIN ls c ON q.media_id % 50 = 0 AND q.media_id != c.media_id
          |) WHERE rnk <= 5""".stripMargin
+    },
+
+    // exact-integer mirror: pixel hist over decoded content, caption
+    // hist over token-hash buckets, argmax via the struct-max idiom
+    "multimodal_caption_match" -> {
+      val hh = graft.functions.TextFunctions.Sql.tokenHash("t")
+      val ih = (0 until 16).map(b => s"${histSql(b)} AS h$b").mkString(",\n  ")
+      val ch = (0 until 16).map(b =>
+        s"SUM(CASE WHEN $hh % 16 = $b THEN 1 ELSE 0 END) AS c$b").mkString(",\n  ")
+      val dot = (0 until 16).map(b => s"ih.h$b * ch.c$b").mkString(" + ")
+      s"""WITH $contentCte,
+         |ih AS (
+         |  SELECT cm.doc_id AS media_id, d.source,
+         |  $ih
+         |  FROM cm JOIN documents d ON cm.doc_id = d.doc_id
+         |  WHERE cm.kind = 'image'),
+         |tok AS (SELECT doc_id AS caption_id, source,
+         |          unnest(${graft.functions.TextFunctions.Sql.tokens("text")}) AS t
+         |        FROM documents WHERE doc_id % 3 = 1),
+         |ch AS (
+         |  SELECT caption_id, source,
+         |  $ch
+         |  FROM tok GROUP BY 1, 2),
+         |sc AS (
+         |  SELECT ih.media_id, ch.caption_id, ($dot) AS score
+         |  FROM ih JOIN ch USING (source)),
+         |m AS (
+         |  SELECT media_id, COUNT(*) AS n_cands,
+         |    MAX(struct_pack(score := score, negid := -caption_id)) AS best
+         |  FROM sc GROUP BY media_id)
+         |SELECT media_id, n_cands, best.score AS score,
+         |  -best.negid AS caption_id
+         |FROM m""".stripMargin
     }
   )
 }

@@ -112,6 +112,66 @@ class LakehouseRetrievalOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("events_debounce equals the brute-force greedy throttle") {
+    val evs = Tables.events(spark, sf)
+      .select(col("user_id"), col("event_id"), unix_millis(col("ts")).as("t_ms"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val want = evs.groupBy(_._1).toSeq.flatMap { case (u, rows) =>
+      var last = Long.MinValue
+      var first = true
+      rows.sortBy(e => (e._3, e._2)).flatMap { case (_, id, t) =>
+        if (first || t - last >= queries.EventQueries.DebounceMs) {
+          first = false; last = t; Some(u -> id)
+        } else None
+      }
+    }.toSet
+    val got = SparkEntry.queries("events_debounce")(spark, sf).collect()
+      .map(r => r.getAs[Long]("user_id") -> r.getAs[Long]("event_id")).toSet
+    assert(got == want)
+    assert(got.size < evs.length, "drops must fire")
+  }
+
+  test("events_scd2_lookup enriches every event exactly once with its change-point state") {
+    val evs = Tables.events(spark, sf)
+      .select(col("user_id"), col("event_id"), unix_millis(col("ts")).as("t_ms"),
+        col("event_type")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    val got = SparkEntry.queries("events_scd2_lookup")(spark, sf).collect()
+      .map(r => r.getAs[Long]("event_id") ->
+        (r.getAs[String]("state"), r.getAs[Int]("version"))).toMap
+    assert(got.size == evs.length, "exactly one dimension match per event")
+    // the looked-up state must be the event's own type: an event IS
+    // the latest change at-or-before its own timestamp
+    evs.foreach { case (_, eid, _, tpe) =>
+      assert(got(eid)._1 == tpe, s"event $eid state")
+    }
+  }
+
+  // value-level argmax is the DuckDB oracle's check (exact integer
+  // scores); this spec pins the structural contract
+  test("multimodal_caption_match pairs stay in their source block and cover every image") {
+    val rows = SparkEntry.queries("multimodal_caption_match")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val docs = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("source")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val capsBySource = docs.toSeq
+      .collect { case (id, src) if id % 3 == 1 => src -> id }
+      .groupBy(_._1).view.mapValues(_.size).toMap
+    rows.foreach { r =>
+      val img = r.getAs[Long]("media_id")
+      val cap = r.getAs[Long]("caption_id")
+      assert(img % 3 == 0 && cap % 3 == 1, "kinds")
+      assert(docs(img) == docs(cap), "pair must share its source block")
+      assert(r.getAs[Long]("n_cands") == capsBySource(docs(img)).toLong)
+    }
+    // one row per image that has any caption candidate
+    val imgsWithCaps = docs.collect {
+      case (id, src) if id % 3 == 0 && capsBySource.contains(src) => id
+    }
+    assert(rows.map(_.getAs[Long]("media_id")).toSet == imgsWithCaps.toSet)
+  }
+
   test("docs_compaction_bins is the exact cumulative-sum packing and covers every file") {
     val files = Tables.documents(spark, sf)
       .select(col("source"), col("doc_id"), col("n_chars")).collect()
