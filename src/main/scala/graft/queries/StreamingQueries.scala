@@ -218,6 +218,58 @@ object StreamingQueries {
     }
   }
 
+  /** Per-key debounce run AS A STREAM on transformWithState with
+    * EVENT-TIME TIMERS ([[graft.streaming.DebounceProcessor]]) — the
+    * order-dependent fold buffered against out-of-order arrival,
+    * Append emission on watermark finality, converging to the batch
+    * `events_debounce` oracle. Same events replay harness as
+    * `events_sessionize_stream`; RocksDB provider per-session (the
+    * API requires it); the far-future sentinel (user −1, filtered)
+    * advances the watermark and its re-feed batch fires the tail
+    * timers.
+    */
+  def debounceStream(spark: SparkSession, sfDir: String): DataFrame = {
+    val ss = streamSession(spark)
+    ss.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    import ss.implicits._
+    val evs = graft.Tables.events(ss, sfDir)
+      .select(col("user_id"), col("event_id"), unix_millis(col("ts")).as("t_ms"))
+      .collect().map(r => DebounceEvent(r.getLong(0), r.getLong(1), r.getLong(2)))
+      .toSeq.sortBy(e => (e.tMs, e.eventId))
+    val maxT = evs.map(_.tMs).maxOption.getOrElse(0L)
+    val fed = evs :+ DebounceEvent(-1L, -1L, maxT + 7200000L)
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = ss.sqlContext
+    val ms = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[DebounceEvent]
+    val name = "deb_" + UUID.randomUUID().toString.replace("-", "")
+    val ckpt = TempDir.create("graft-ckpt-")
+    val stream = ms.toDF()
+      .withColumn("ts", timestamp_millis(col("tMs")))
+      .withWatermark("ts", "60 seconds")
+      .as[DebounceEvent]
+    val q = stream.groupByKey(_.userId)
+      .transformWithState(new DebounceProcessor(EventQueries.DebounceMs),
+        org.apache.spark.sql.streaming.TimeMode.EventTime(),
+        org.apache.spark.sql.streaming.OutputMode.Append())
+      .toDF()
+      .writeStream.outputMode("append")
+      .option("checkpointLocation", ckpt.toString)
+      .format("memory").queryName(name)
+      .start()
+    try {
+      val size = math.max(1, math.ceil(fed.size.toDouble / 4).toInt)
+      fed.grouped(size).foreach { b => ms.addData(b); q.processAllAvailable() }
+      // flush batch: apply the sentinel-advanced watermark and fire
+      // the tail timers (no-data micro-batches are disabled)
+      ms.addData(Seq(fed.last)); q.processAllAvailable()
+    } finally {
+      q.stop()
+      TempDir.deleteRecursively(ckpt.toString)
+      StateStoreBridge.unloadAll()
+    }
+    ss.table(name).filter(col("user_id") >= 0)
+  }
+
   /** O10 streaming: Append mode — rows emitted only when the watermark
     * passes window end (Flink's default event-time trigger).
     */
@@ -905,6 +957,7 @@ object StreamingQueries {
     "docs_incremental_stream" -> (docsIncrementalStream _),
     "taxi_total_stream" -> (totalStream _),
     "taxi_total_tws" -> (totalTwsStream _),
+    "events_debounce_stream" -> (debounceStream _),
     "taxi_sliding_stream" -> (slidingStream _),
     "taxi_sliding_file_stream" -> (slidingFileStream _),
     "taxi_dedup_stream" -> (dedupStream _),
@@ -977,6 +1030,8 @@ object StreamingQueries {
     "taxi_total_stream" -> TaxiQueries.oracleSql("taxi_total_count"),
     // generation change in the stateful operator, not in the contract
     "taxi_total_tws" -> TaxiQueries.oracleSql("taxi_total_count"),
+    // the Append emission set must equal the batch throttle exactly
+    "events_debounce_stream" -> EventQueries.oracleSql("events_debounce"),
     "taxi_sliding_stream" -> TaxiQueries.oracleSql("taxi_sliding_count"),
     "taxi_sliding_file_stream" -> TaxiQueries.slidingSecondsSql,
     "taxi_dedup_stream" -> TaxiQueries.oracleSql("taxi_sliding_count"),

@@ -26,7 +26,7 @@ class PlanShapeSpec extends AnyFunSuite {
     "docs_ingest_file_stream", "docs_incremental_stream",
     "events_funnel_stream", "events_attribution_stream",
     "events_attribution_full_stream", "events_trending_stream",
-    "events_enrich_stream")
+    "events_enrich_stream", "events_debounce_stream")
 
   /** Pre-AQE physical plan: assertable deterministically; AQE only
     * re-plans *away* from shapes asserted here on runtime stats.
