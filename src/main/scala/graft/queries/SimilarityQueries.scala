@@ -214,6 +214,24 @@ object SimilarityQueries {
     // quantization error a production store accepts for the memory
     // win (recall is re-ranked against float vectors for the top
     // candidates when it matters).
+    // Distributed Gram matrix over the int8 codes — the scale-hard
+    // half of PCA ([[graft.functions.GramAggregator]]): one data pass,
+    // per-partition flat-Long-array accumulation, only dim(dim+1)/2
+    // numbers cross the wire; the dim×dim eigensolve downstream is
+    // driver-trivial and deliberately out of scope. Exact integer
+    // domain → the full matrix hash-checks cross-engine.
+    "embedding_gram" -> ((s, dir) => {
+      import s.implicits._
+      val codes = Tables.embeddings(s, dir)
+        .select(VectorFunctions.quantize(col("embedding"),
+          VectorFunctions.quantScale(col("embedding"))).as("codes"))
+        .as[Seq[Int]]
+      codes.select(new graft.functions.GramAggregator(Dim).toColumn)
+        .toDF("gram")
+        .select(explode(col("gram")).as("e"))
+        .select(col("e.i").as("i"), col("e.j").as("j"), col("e.g").as("g"))
+    }),
+
     "knn_int8" -> ((s, dir) => {
       import s.implicits._
       val base = Tables.embeddings(s, dir)
@@ -476,6 +494,18 @@ object SimilarityQueries {
          |FROM (SELECT vec_id, embedding,
          |        ${VectorFunctions.Sql.quantScale("embedding")} AS scale
          |      FROM embeddings) e, range(1, ${Dim + 1}) t(i)""".stripMargin,
+    "embedding_gram" ->
+      s"""WITH qz AS (
+         |  SELECT ${VectorFunctions.Sql.quantCodes("embedding", "scale", Dim)} AS codes
+         |  FROM (SELECT embedding,
+         |          ${VectorFunctions.Sql.quantScale("embedding")} AS scale
+         |        FROM embeddings))
+         |SELECT CAST(ti.i AS INT) AS i, CAST(tj.j AS INT) AS j,
+         |  CAST(SUM(CAST(codes[ti.i + 1] AS BIGINT) * codes[tj.j + 1]) AS BIGINT)
+         |    AS g
+         |FROM qz, range(0, $Dim) ti(i), range(0, $Dim) tj(j)
+         |WHERE tj.j >= ti.i
+         |GROUP BY 1, 2""".stripMargin,
     "knn_int8" ->
       s"""WITH qz AS (
          |  SELECT vec_id, scale,

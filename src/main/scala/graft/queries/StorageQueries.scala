@@ -134,6 +134,44 @@ object StorageQueries {
           sum(col("n_chars")).as("chars_sum"))
     }),
 
+    // Time travel — reconstruct the table AS OF a past version from
+    // the commit LOG (insert/update/delete ops per version): the
+    // lakehouse read path snapshot_diff (two materialized snapshots)
+    // doesn't cover, incl. DELETE TOMBSTONES — the op
+    // events_latest_state/merge_upsert lack. The log is a
+    // deterministic fixture mutation chain (v1 full insert, v2 edits
+    // %101 + deletes %97, v3 inserts %89 — beyond the as-of horizon,
+    // so time travel visibly EXCLUDES them); reconstruction = ops at
+    // version ≤ [[TimeTravelVersion]] → commutative max(struct) per
+    // key (map-side partial — the latest-state idiom, no window) →
+    // tombstone filter. A same-version update+delete collision
+    // (%101·%97 ids) resolves by the struct's op-string tiebreak —
+    // deterministic and identical cross-engine ('update' > 'delete').
+    // Tombstone digests are '' not NULL: engines disagree on NULL
+    // order inside struct comparison.
+    "docs_time_travel" -> ((s, dir) => {
+      val base = Tables.documents(s, dir)
+      val v1 = base.select(col("doc_id"), lit(1L).as("version"),
+        lit("insert").as("op"), md5(col("text")).as("digest"))
+      val v2 = base.filter(col("doc_id") % 101 === 0)
+        .select(col("doc_id"), lit(2L).as("version"), lit("update").as("op"),
+          md5(concat(col("text"), lit(" v2"))).as("digest"))
+        .unionAll(base.filter(col("doc_id") % 97 === 0)
+          .select(col("doc_id"), lit(2L).as("version"),
+            lit("delete").as("op"), lit("").as("digest")))
+      val v3 = base.filter(col("doc_id") % 89 === 0)
+        .select((col("doc_id") + 1000000L).as("doc_id"), lit(3L).as("version"),
+          lit("insert").as("op"),
+          md5(concat(col("text"), lit(" new"))).as("digest"))
+      v1.unionAll(v2).unionAll(v3)
+        .filter(col("version") <= TimeTravelVersion)
+        .groupBy(col("doc_id"))
+        .agg(max(struct(col("version"), col("op"), col("digest"))).as("last"))
+        .filter(col("last.op") =!= "delete")
+        .select(col("doc_id"), col("last.version").as("version"),
+          col("last.op").as("op"), col("last.digest").as("digest"))
+    }),
+
     // Small-file compaction PLANNING — the OPTIMIZE bin-packing pass
     // every lakehouse table needs once streaming/incremental writes
     // accumulate small files: files (stand-in: each doc, sized by
@@ -169,6 +207,11 @@ object StorageQueries {
     * 128 MB–1 GB).
     */
   val TargetBinBytes = 4096L
+
+  /** The as-of version `docs_time_travel` reconstructs: 2, so v3's
+    * inserts are visibly excluded and v2's edits + tombstones apply.
+    */
+  val TimeTravelVersion = 2L
 
   val oracleSql: Map[String, String] = Map(
     // oracle reads the original PARQUET — equality proves the ORC
@@ -208,6 +251,26 @@ object StorageQueries {
         |  COUNT(*) FILTER (doc_id % 2 = 1) AS n_with_lang,
         |  CAST(SUM(n_chars) AS BIGINT) AS chars_sum
         |FROM documents GROUP BY source""".stripMargin,
+    "docs_time_travel" ->
+      s"""WITH log AS (
+         |  SELECT doc_id, 1::BIGINT AS version, 'insert' AS op,
+         |         md5(text) AS digest FROM documents
+         |  UNION ALL
+         |  SELECT doc_id, 2, 'update', md5(text || ' v2')
+         |  FROM documents WHERE doc_id % 101 = 0
+         |  UNION ALL
+         |  SELECT doc_id, 2, 'delete', '' FROM documents WHERE doc_id % 97 = 0
+         |  UNION ALL
+         |  SELECT doc_id + 1000000, 3, 'insert', md5(text || ' new')
+         |  FROM documents WHERE doc_id % 89 = 0),
+         |m AS (
+         |  SELECT doc_id,
+         |    MAX(struct_pack(version := version, op := op, digest := digest))
+         |      AS last
+         |  FROM log WHERE version <= $TimeTravelVersion GROUP BY doc_id)
+         |SELECT doc_id, last.version AS version, last.op AS op,
+         |  last.digest AS digest
+         |FROM m WHERE last.op <> 'delete'""".stripMargin,
     "docs_compaction_bins" ->
       s"""WITH c AS (
          |  SELECT source, doc_id, n_chars,

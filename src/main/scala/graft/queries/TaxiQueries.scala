@@ -132,6 +132,30 @@ object TaxiQueries {
           (col("t_end") - col("t_start")).as("duration_ms"))
     }),
 
+    // Origin→destination matrix — the trip-flow rollup a taxi/mobility
+    // deployment actually reports (reference computes arrivals only;
+    // OD closes the pair): START and END legs of each ride meet on
+    // pair_id (= rideId div 2, the ETL's pairing key), both bbox-
+    // filtered and projected to GRID CELLS before the join — only
+    // (pair_id, cell[, passengers]) ints cross the exchange. Two
+    // bounded shuffles: the pair join (keyed, 1:1) and the (o, d)
+    // rollup whose key space is trips-bounded, never cells². The END
+    // leg carries the passenger count (the reference's convention:
+    // arrivals own the count).
+    "taxi_od_matrix" -> ((s, dir) => {
+      val r = rides(s, dir).filter(NycGeo.isInNYC(col("lon"), col("lat")))
+      val o = r.filter(col("isStart"))
+        .select(expr("rideId div 2").as("pair_id"),
+          NycGeo.gridCell(col("lon"), col("lat")).as("o_cell"))
+      val d = r.filter(!col("isStart"))
+        .select(expr("rideId div 2").as("pair_id"),
+          NycGeo.gridCell(col("lon"), col("lat")).as("d_cell"),
+          col("passengers"))
+      o.join(d, Seq("pair_id"))
+        .groupBy(col("o_cell"), col("d_cell"))
+        .agg(count(lit(1)).as("n_trips"), sum(col("passengers")).as("pax"))
+    }),
+
     // O15 trip→event ETL: one input row becomes a START and an END
     // event via explode(array(...)) — the awk script's 1→2 expansion
     // (`convertTrips.sh:35`) as a single narrow Spark stage, no shuffle.
@@ -263,6 +287,17 @@ object TaxiQueries {
        |SELECT cell, w_end_ms, seq, early_cnt FROM fires""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
+    "taxi_od_matrix" ->
+      s"""WITH r AS (SELECT * FROM ($ridesSql) WHERE ${NycGeo.Sql.isInNYC}),
+         |o AS (SELECT rideId // 2 AS pair_id, ${NycGeo.Sql.gridCell} AS o_cell
+         |      FROM r WHERE isStart),
+         |d AS (SELECT rideId // 2 AS pair_id, ${NycGeo.Sql.gridCell} AS d_cell,
+         |        passengers
+         |      FROM r WHERE NOT isStart)
+         |SELECT o_cell, d_cell, COUNT(*) AS n_trips,
+         |  CAST(SUM(passengers) AS BIGINT) AS pax
+         |FROM o JOIN d USING (pair_id)
+         |GROUP BY 1, 2""".stripMargin,
     "taxi_total_count" ->
       s"""SELECT cell, MAX(t_ms) AS last_t_ms, CAST(SUM(passengers) AS BIGINT) AS cnt,
          |  ${NycGeo.Sql.cellCenterLon("cell")} AS center_lon,

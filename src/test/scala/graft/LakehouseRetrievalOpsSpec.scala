@@ -172,6 +172,68 @@ class LakehouseRetrievalOpsSpec extends AnyFunSuite {
     assert(rows.map(_.getAs[Long]("media_id")).toSet == imgsWithCaps.toSet)
   }
 
+  test("embedding_gram equals the brute-force outer-product sum") {
+    val codes = SparkEntry.queries("embedding_quantize")(spark, sf).collect()
+      .map(r => (r.getAs[Long]("vec_id"), r.getAs[Int]("lane"), r.getAs[Int]("code")))
+      .groupBy(_._1).view.mapValues(_.sortBy(_._2).map(_._3)).toMap
+    val dim = codes.head._2.length
+    val want = (for { i <- 0 until dim; j <- i until dim } yield
+      (i, j) -> codes.valuesIterator
+        .map(c => c(i).toLong * c(j)).sum).toMap
+    val got = SparkEntry.queries("embedding_gram")(spark, sf).collect()
+      .map(r => (r.getAs[Int]("i"), r.getAs[Int]("j")) -> r.getAs[Long]("g")).toMap
+    assert(got == want)
+    // diagonal entries are sums of squares
+    (0 until dim).foreach(i => assert(got((i, i)) >= 0L))
+  }
+
+  test("docs_time_travel: as-of-2 state has no v3 inserts, applies v2 edits, honors tombstones") {
+    val ids = Tables.documents(spark, sf).select(col("doc_id")).collect()
+      .map(_.getLong(0)).toSet
+    val got = SparkEntry.queries("docs_time_travel")(spark, sf).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("version"), r.getAs[String]("op"))).toMap
+    assert(got.keySet.forall(_ < 1000000L), "v3 inserts must be invisible at as-of 2")
+    ids.foreach { id =>
+      val deleted = id % 97 == 0
+      val updated = id % 101 == 0
+      if (deleted && !updated) assert(!got.contains(id), s"doc $id tombstoned")
+      else {
+        assert(got.contains(id), s"doc $id must survive")
+        val wantV = if (updated) 2L else 1L
+        assert(got(id)._1 == wantV, s"doc $id version")
+      }
+    }
+  }
+
+  test("taxi_od_matrix equals the brute-force pairing over the fixture math") {
+    // driver mirror of ridesSql's derivation (same double op sequence)
+    val legs = Tables.events(spark, sf)
+      .select(col("event_id"), col("user_id")).collect()
+      .map { r =>
+        val id = r.getLong(0); val u = r.getLong(1)
+        val lon = -74.05 + (u % 360) * 0.001
+        val lat = 40.5 + (id % 520) * 0.001
+        (id, id % 2 == 0, lon, lat, (id % 4 + 1).toInt)
+      }
+      .filter { case (_, _, lon, lat, _) =>
+        lon >= -74.05 && lon <= -73.7 && lat >= 40.5 && lat <= 41.0 }
+    def cell(lon: Double, lat: Double): Int =
+      (math.floor((74.05 - math.abs(lon)) / 0.0014) +
+        math.floor((41.0 - lat) / 0.00125) * 250).toInt
+    val byPair = legs.groupBy(_._1 / 2)
+    val want = byPair.values.toSeq.flatMap { ls =>
+      for {
+        s <- ls.find(_._2); e <- ls.find(!_._2)
+      } yield ((cell(s._3, s._4), cell(e._3, e._4)), e._5.toLong)
+    }.groupBy(_._1).view
+      .mapValues(v => (v.size.toLong, v.map(_._2).sum)).toMap
+    val got = SparkEntry.queries("taxi_od_matrix")(spark, sf).collect()
+      .map(r => (r.getAs[Int]("o_cell"), r.getAs[Int]("d_cell")) ->
+        (r.getAs[Long]("n_trips"), r.getAs[Long]("pax"))).toMap
+    assert(got == want)
+  }
+
   test("docs_compaction_bins is the exact cumulative-sum packing and covers every file") {
     val files = Tables.documents(spark, sf)
       .select(col("source"), col("doc_id"), col("n_chars")).collect()
