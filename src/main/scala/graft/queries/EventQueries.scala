@@ -36,6 +36,11 @@ object EventQueries {
     * and drops fire at every SF.
     */
   val DebounceMs = 1800000L
+
+  /** Daily per-user quota (fixture runs ~4 events/user/day, so 2
+    * exercises both keeps and drops at every SF).
+    */
+  val QuotaDaily = 2
   val DayMs = 86400000L
   // merge demo: base snapshot = first 15 days, delta = the rest.
   // NOTE: must be declared AFTER RetentionEpochMs/DayMs — object vals
@@ -294,6 +299,31 @@ object EventQueries {
           row_number().over(w).as("version"),
           col("t_ms").as("valid_from_ms"),
           lead(col("t_ms"), 1).over(w).as("valid_to_ms"))
+    }),
+
+    // Per-(user, day) QUOTA — the COUNT-based rate cap completing the
+    // throttle pair with the TIME-based debounce: the first
+    // [[QuotaDaily]] events of each user-day survive (under the
+    // deterministic (t, id) order), later ones drop; each kept row
+    // carries the day's drop count for the enforcement report. Both
+    // the rank window and the day-count window ride ONE (user, day)
+    // exchange; at 100 TB `day` is also the table's partition column,
+    // so the shuffle is partition-local.
+    "events_quota" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val part = Window.partitionBy(col("user_id"), col("day"))
+      val w = part.orderBy(col("t_ms"), col("event_id"))
+      Tables.events(s, dir)
+        .select(col("user_id"), col("event_id"),
+          unix_millis(col("ts")).as("t_ms"))
+        .withColumn("day", expr(s"(t_ms - $RetentionEpochMs) div $DayMs"))
+        .withColumn("rn", row_number().over(w))
+        .withColumn("n_day", count(lit(1)).over(part))
+        .filter(col("rn") <= QuotaDaily)
+        .select(col("user_id"), col("day"), col("event_id"),
+          col("rn").cast("int").as("rn"),
+          (col("n_day") - least(col("n_day"), lit(QuotaDaily.toLong)))
+            .as("n_dropped_day"))
     }),
 
     // Per-key DEBOUNCE — keep an event only when ≥ [[DebounceMs]] has
@@ -933,6 +963,19 @@ object EventQueries {
         |  t_ms AS valid_from_ms,
         |  LEAD(t_ms) OVER w AS valid_to_ms
         |FROM f WINDOW w AS (PARTITION BY user_id ORDER BY t_ms, event_id)""".stripMargin,
+    "events_quota" ->
+      s"""WITH e AS (SELECT user_id, event_id,
+         |    epoch_ms(date_trunc('millisecond', ts)) AS t_ms FROM events),
+         |d AS (SELECT user_id, event_id, t_ms,
+         |    (t_ms - $RetentionEpochMs) // $DayMs AS day FROM e),
+         |r AS (SELECT user_id, day, event_id,
+         |    ROW_NUMBER() OVER (PARTITION BY user_id, day
+         |      ORDER BY t_ms, event_id) AS rn,
+         |    COUNT(*) OVER (PARTITION BY user_id, day) AS n_day
+         |  FROM d)
+         |SELECT user_id, day, event_id, CAST(rn AS INT) AS rn,
+         |  n_day - LEAST(n_day, $QuotaDaily) AS n_dropped_day
+         |FROM r WHERE rn <= $QuotaDaily""".stripMargin,
     // the taxi_early_fires recursive-recurrence pattern, NOT a
     // list_reduce fold: DuckDB v1.0.0's list_reduce corrupts struct
     // accumulators with list/string fields across rows (measured: a

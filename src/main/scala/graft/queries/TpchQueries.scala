@@ -276,6 +276,39 @@ object TpchQueries {
       }.reduce(_ unionAll _)
     }),
 
+    // TPC-H Q2 SHAPE: minimum-cost supplier per part — the correlated
+    // scalar MIN in WHERE with a multi-table correlated subquery
+    // (both the outer and inner sides join supplier→nation→region),
+    // the remaining standard decorrelation case q12 (scalar agg of
+    // the part's own rows) and q21 (EXISTS chain) don't cover.
+    // Catalyst decorrelates to an aggregate-on-pk + join + equality
+    // filter. partsupp surrogate: per-(part, supplier) cost =
+    // MIN(l_extendedprice) — MIN/MAX select a value rather than sum,
+    // so double costs are order-free and exact cross-engine. SQL
+    // front door (correlated WHERE has no DataFrame API).
+    "q23_min_cost_supplier" -> ((s, dir) => {
+      Tables.lineitem(s, dir).createOrReplaceTempView("q23_lineitem")
+      Tables.supplier(s, dir).createOrReplaceTempView("q23_supplier")
+      Tables.nation(s, dir).createOrReplaceTempView("q23_nation")
+      Tables.region(s, dir).createOrReplaceTempView("q23_region")
+      s.sql(s"""
+        WITH eu AS (
+          SELECT s_suppkey, s_name FROM q23_supplier
+          JOIN q23_nation ON s_nationkey = n_nationkey
+          JOIN q23_region ON n_regionkey = r_regionkey
+          WHERE r_name = '$MinCostRegion'),
+        ps AS (
+          SELECT l_partkey AS pk, l_suppkey AS sk,
+                 MIN(l_extendedprice) AS cost
+          FROM q23_lineitem GROUP BY 1, 2)
+        SELECT p1.pk, p1.sk, eu.s_name, p1.cost
+        FROM ps p1 JOIN eu ON p1.sk = eu.s_suppkey
+        WHERE p1.cost = (SELECT MIN(p2.cost)
+                         FROM ps p2 JOIN eu e2 ON p2.sk = e2.s_suppkey
+                         WHERE p2.pk = p1.pk)
+      """)
+    }),
+
     // TPC-H Q21 SHAPE: the chained correlated EXISTS + NOT EXISTS —
     // the hardest standard decorrelation case (Catalyst rewrites the
     // EXISTS to a left-semi and the NOT EXISTS to a left-anti join,
@@ -408,7 +441,27 @@ object TpchQueries {
     })
   )
 
+  /** `q23_min_cost_supplier`'s region cut (2 of 5 regions' suppliers
+    * stay in, so the correlated MIN is over a real subset).
+    */
+  val MinCostRegion = "EUROPE"
+
   val oracleSql: Map[String, String] = Map(
+    "q23_min_cost_supplier" ->
+      s"""WITH eu AS (
+         |  SELECT s_suppkey, s_name FROM supplier
+         |  JOIN nation ON s_nationkey = n_nationkey
+         |  JOIN region ON n_regionkey = r_regionkey
+         |  WHERE r_name = '$MinCostRegion'),
+         |ps AS (
+         |  SELECT l_partkey AS pk, l_suppkey AS sk,
+         |         MIN(l_extendedprice) AS cost
+         |  FROM lineitem GROUP BY 1, 2)
+         |SELECT p1.pk, p1.sk, eu.s_name, p1.cost
+         |FROM ps p1 JOIN eu ON p1.sk = eu.s_suppkey
+         |WHERE p1.cost = (SELECT MIN(p2.cost)
+         |                 FROM ps p2 JOIN eu e2 ON p2.sk = e2.s_suppkey
+         |                 WHERE p2.pk = p1.pk)""".stripMargin,
     "q1_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
         |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,

@@ -234,6 +234,49 @@ class LakehouseRetrievalOpsSpec extends AnyFunSuite {
     assert(got == want)
   }
 
+  test("events_quota keeps exactly the first K per user-day and reports true drop counts") {
+    val K = queries.EventQueries.QuotaDaily
+    val byDay = Tables.events(spark, sf)
+      .select(col("user_id"), col("event_id"), unix_millis(col("ts")).as("t_ms"))
+      .collect()
+      .map { r =>
+        val t = r.getLong(2)
+        ((r.getLong(0), (t - queries.EventQueries.RetentionEpochMs) / 86400000L),
+          (t, r.getLong(1)))
+      }
+      .groupBy(_._1).view.mapValues(_.map(_._2).sortBy(identity)).toMap
+    val got = SparkEntry.queries("events_quota")(spark, sf).collect()
+      .map(r => ((r.getAs[Long]("user_id"), r.getAs[Long]("day")),
+        r.getAs[Long]("event_id"), r.getAs[Int]("rn"),
+        r.getAs[Long]("n_dropped_day")))
+    assert(got.nonEmpty && got.exists(_._4 > 0), "drops must fire")
+    got.groupBy(_._1).foreach { case (key, rows) =>
+      val evs = byDay(key)
+      assert(rows.length == math.min(K, evs.length))
+      val keptWant = evs.take(K).map(_._2).toSet
+      assert(rows.map(_._2).toSet == keptWant, s"$key kept set")
+      rows.foreach(r => assert(r._4 == (evs.length - math.min(K, evs.length)).toLong))
+    }
+  }
+
+  test("q23_min_cost_supplier rows are exactly the per-part min-cost EU suppliers") {
+    val rows = SparkEntry.queries("q23_min_cost_supplier")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val eu = Tables.supplier(spark, sf)
+      .join(Tables.nation(spark, sf), col("s_nationkey") === col("n_nationkey"))
+      .join(Tables.region(spark, sf), col("n_regionkey") === col("r_regionkey"))
+      .filter(col("r_name") === queries.TpchQueries.MinCostRegion)
+      .select(col("s_suppkey")).collect().map(_.getLong(0)).toSet
+    val ps = Tables.lineitem(spark, sf)
+      .groupBy(col("l_partkey"), col("l_suppkey"))
+      .agg(min(col("l_extendedprice")).as("cost")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .filter(t => eu.contains(t._2))
+    val minByPart = ps.groupBy(_._1).view.mapValues(_.map(_._3).min).toMap
+    val want = ps.filter(t => t._3 == minByPart(t._1)).map(t => (t._1, t._2)).toSet
+    assert(rows.map(r => (r.getAs[Long]("pk"), r.getAs[Long]("sk"))).toSet == want)
+  }
+
   test("docs_compaction_bins is the exact cumulative-sum packing and covers every file") {
     val files = Tables.documents(spark, sf)
       .select(col("source"), col("doc_id"), col("n_chars")).collect()
