@@ -760,6 +760,40 @@ object StreamingQueries {
     ss.table(name)
   }
 
+  /** [[docsIngestFileStream]] under `Trigger.AvailableNow` — the
+    * production BACKFILL/catch-up trigger: consume everything already
+    * in the directory in rate-limited micro-batches (the source's
+    * maxFilesPerTrigger bound still applies), then the query STOPS
+    * ITSELF — no driver-side processAllAvailable loop. This is the
+    * shape a scheduled nightly ingest runs: same checkpoint contract
+    * as the continuous form, so the two can alternate on one
+    * checkpoint dir at deployment. Same gate, same batch oracle.
+    */
+  def docsIngestAvailableNow(spark: SparkSession, sfDir: String): DataFrame = {
+    val ss = streamSession(spark)
+    val fed = docEvents(ss, sfDir)
+    val (stream, chunkDir) = DocsReplay.fileStream(ss, fed, nChunks = 3)
+    val name = "ingestan_" + UUID.randomUUID().toString.replace("-", "")
+    val ckpt = TempDir.create("graft-ckpt-")
+    val q = ingestManifest(stream)
+      .writeStream.outputMode("append")
+      .option("checkpointLocation", ckpt.toString)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .format("memory").queryName(name)
+      .start()
+    try {
+      // AvailableNow terminates on its own once the backlog drains
+      require(q.awaitTermination(120000),
+        "AvailableNow ingest did not drain within 120 s")
+    } finally {
+      if (q.isActive) q.stop()
+      TempDir.deleteRecursively(ckpt.toString)
+      TempDir.deleteRecursively(chunkDir)
+      StateStoreBridge.unloadAll()
+    }
+    ss.table(name)
+  }
+
   /** Streaming INCREMENTAL curation — the day-2 steady state of a
     * corpus pipeline, run as a stream: the already-ingested corpus
     * (split hash < 90) is a PERSISTED near-dup index (band table +
@@ -954,6 +988,7 @@ object StreamingQueries {
     "events_trending_stream" -> (trendingStream _),
     "docs_ingest_stream" -> (docsIngestStream _),
     "docs_ingest_file_stream" -> (docsIngestFileStream _),
+    "docs_ingest_available_now" -> (docsIngestAvailableNow _),
     "docs_incremental_stream" -> (docsIncrementalStream _),
     "taxi_total_stream" -> (totalStream _),
     "taxi_total_tws" -> (totalTwsStream _),
@@ -1022,6 +1057,11 @@ object StreamingQueries {
          |WHERE d.doc_id NOT IN (SELECT new_id FROM dup)""".stripMargin
     },
     // file ingress must converge to the identical batch gate
+    "docs_ingest_available_now" ->
+      s"""SELECT doc_id, source,
+         |  ${graft.functions.TextFunctions.Sql.tokenCount("text")} AS n_tokens
+         |FROM documents
+         |WHERE ${graft.functions.TextFunctions.Sql.stopwordRatio("text")} >= 0.05""".stripMargin,
     "docs_ingest_file_stream" ->
       s"""SELECT doc_id, source,
          |  ${graft.functions.TextFunctions.Sql.tokenCount("text")} AS n_tokens

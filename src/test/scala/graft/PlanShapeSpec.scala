@@ -23,7 +23,8 @@ class PlanShapeSpec extends AnyFunSuite {
     "taxi_early_fires", "taxi_duration_stream", "taxi_running_stream",
     "taxi_dedup_stream", "events_sessionize_stream",
     "taxi_sliding_file_stream", "taxi_late_drop", "docs_ingest_stream",
-    "docs_ingest_file_stream", "docs_incremental_stream",
+    "docs_ingest_file_stream", "docs_ingest_available_now",
+    "docs_incremental_stream",
     "events_funnel_stream", "events_attribution_stream",
     "events_attribution_full_stream", "events_trending_stream",
     "events_enrich_stream", "events_debounce_stream")
