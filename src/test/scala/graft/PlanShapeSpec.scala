@@ -74,6 +74,35 @@ class PlanShapeSpec extends AnyFunSuite {
       "knn_brute should broadcast the query side of its all-pairs join")
   }
 
+  test("text_bm25 broadcasts the DF table; events_scd2 rides ONE exchange") {
+    // DF join flipping to sort-merge would shuffle the posting lists
+    // by token; the scd2 windows + change-filter must reuse one
+    // user_id partitioning (Filter preserves partitioning AND order).
+    assert(plan("text_bm25").collect { case b: BroadcastHashJoinExec => b }.nonEmpty,
+      "BM25 document-frequency join must be broadcast")
+    // exchanges exist only in the EXECUTED plan (EnsureRequirements),
+    // and AQE must be off to see the physical tree pre-materialization
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val ex = SparkEntry.queries("events_scd2")(spark, sf)
+        .queryExecution.executedPlan.collect {
+          case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+        }
+      assert(ex.size == 1,
+        s"events_scd2 expected exactly 1 shuffle, found ${ex.size}")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+  }
+
+  test("multimodal_caption_match broadcasts the caption histograms into the block join") {
+    // the source-block join must keep the (tiny, caption-count-sized)
+    // histogram side broadcast — a sort-merge flip would shuffle the
+    // image features by source
+    assert(plan("multimodal_caption_match")
+      .collect { case b: BroadcastHashJoinExec => b }.nonEmpty,
+      "caption block join must be a broadcast hash join")
+  }
+
   test("text_lm_score broadcasts the vocabulary into the scoring join") {
     // The top-K bigram vocabulary is tiny by construction; if the
     // scoring join ever degrades to sort-merge, the full bigram
