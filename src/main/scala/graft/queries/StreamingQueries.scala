@@ -270,6 +270,62 @@ object StreamingQueries {
     ss.table(name).filter(col("user_id") >= 0)
   }
 
+  /** The batch→stream MIGRATION path on the new API
+    * ([[graft.streaming.TotalCountBootstrapProcessor]]): history
+    * (events before a deterministic 60%-quantile cutoff) is
+    * aggregated by a BATCH job into per-cell state AND written to the
+    * sink (the backfill's own output); the stream starts FROM that
+    * state (`StatefulProcessorWithInitialState`) and folds only the
+    * remaining 40%. The converged sink must equal the full batch
+    * oracle — proving handoff loses nothing at the seam. Nobody
+    * starts a 100 TB streaming job from zero state; this is the
+    * adoption-critical facet of transformWithState.
+    */
+  def totalBootstrapStream(spark: SparkSession, sfDir: String): DataFrame = {
+    val ss = streamSession(spark)
+    ss.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    import ss.implicits._
+    val rides = TaxiReplay.ridesFromEvents(ss, sfDir).collect().toSeq
+    val ordered = TaxiReplay.servingOrder(rides, MaxDelayMs)
+    val times = ordered.map(_.tMs).sorted
+    val cutoff = times(math.min(times.size - 1, (times.size * 6) / 10))
+    val (hist, live) = ordered.partition(_.tMs < cutoff)
+    // batch backfill: aggregate history into initial per-cell state
+    val histCells = TaxiPipelines.cellProject(
+      ss.createDataset(hist).toDF()
+        .withColumn("ts", timestamp_millis(col("tMs"))))
+    val init = histCells
+      .groupBy(col("cell"))
+      .agg(sum(col("passengers")).as("s"), max(unix_millis(col("ts"))).as("t"))
+      .as[(Int, Long, Long)]
+      .map { case (c, s, t) => (c, TotalTwsState(s, t)) }
+    val sink = new KeyedUpsertSink(Seq("cell"))
+    // the backfill writes its own snapshot before the stream takes over
+    sink.upsert(init.map { case (c, st) => TotalCount(c, st.lastT, st.sum) }
+      .toDF(), -1L)
+    val (ms, df) = TaxiReplay.memoryStream(ss)
+    val ckpt = TempDir.create("graft-ckpt-")
+    val q = TwsTotalCount.totalCountBootstrap(cellsOf(df), init).toDF()
+      .writeStream.outputMode("update")
+      .option("checkpointLocation", ckpt.toString)
+      .foreachBatch(sink.upsert _)
+      .start()
+    try {
+      TaxiReplay.feedInBatches(ms, live, 3, () => q.processAllAvailable())
+      sink.toDF(ss)
+        .select(col("cell"), col("lastTMs").as("last_t_ms"), col("cnt"),
+          graft.geo.NycGeo.cellCenterLon(col("cell")).as("center_lon"),
+          graft.geo.NycGeo.cellCenterLat(col("cell")).as("center_lat"))
+        .localCheckpoint()
+    } finally {
+      q.stop()
+      TempDir.deleteRecursively(ckpt.toString)
+      sink.close()
+      StateStoreBridge.unloadAll()
+    }
+  }
+
   /** O10 streaming: Append mode — rows emitted only when the watermark
     * passes window end (Flink's default event-time trigger).
     */
@@ -992,6 +1048,7 @@ object StreamingQueries {
     "docs_incremental_stream" -> (docsIncrementalStream _),
     "taxi_total_stream" -> (totalStream _),
     "taxi_total_tws" -> (totalTwsStream _),
+    "taxi_total_bootstrap" -> (totalBootstrapStream _),
     "events_debounce_stream" -> (debounceStream _),
     "taxi_sliding_stream" -> (slidingStream _),
     "taxi_sliding_file_stream" -> (slidingFileStream _),
@@ -1070,6 +1127,8 @@ object StreamingQueries {
     "taxi_total_stream" -> TaxiQueries.oracleSql("taxi_total_count"),
     // generation change in the stateful operator, not in the contract
     "taxi_total_tws" -> TaxiQueries.oracleSql("taxi_total_count"),
+    // batch backfill + stream handoff must lose nothing at the seam
+    "taxi_total_bootstrap" -> TaxiQueries.oracleSql("taxi_total_count"),
     // the Append emission set must equal the batch throttle exactly
     "events_debounce_stream" -> EventQueries.oracleSql("events_debounce"),
     "taxi_sliding_stream" -> TaxiQueries.oracleSql("taxi_sliding_count"),

@@ -54,6 +54,42 @@ class TotalCountProcessor extends StatefulProcessor[Int, CellEvent, TotalCount] 
   }
 }
 
+/** [[TotalCountProcessor]] with INITIAL-STATE BOOTSTRAP
+  * (`StatefulProcessorWithInitialState`) — the batch→stream migration
+  * path: a backfill job aggregates history into per-key state, the
+  * stream starts FROM that state and continues the same fold. The
+  * third facet of the new API (after ValueState and timers) and the
+  * one an actual adoption depends on — nobody starts a 100 TB
+  * streaming job from zero state.
+  */
+class TotalCountBootstrapProcessor
+    extends org.apache.spark.sql.streaming.StatefulProcessorWithInitialState[
+      Int, CellEvent, TotalCount, TotalTwsState] {
+  @transient private var st: ValueState[TotalTwsState] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    st = getHandle.getValueState("total", Encoders.product[TotalTwsState],
+      TTLConfig.NONE)
+
+  override def handleInitialState(
+      cell: Int,
+      initial: TotalTwsState,
+      timers: TimerValues): Unit =
+    st.update(initial)
+
+  override def handleInputRows(
+      cell: Int,
+      rows: Iterator[CellEvent],
+      timers: TimerValues): Iterator[TotalCount] = {
+    var s = if (st.exists()) st.get() else TotalTwsState(0L, Long.MinValue)
+    rows.foreach { e =>
+      s = TotalTwsState(s.sum + e.passengers, math.max(s.lastT, e.tMs))
+    }
+    st.update(s)
+    Iterator.single(TotalCount(cell, s.lastT, s.sum))
+  }
+}
+
 object TwsTotalCount {
   /** The transformWithState pipeline over projected cell events. */
   def totalCountTws(cells: Dataset[CellEvent]): Dataset[TotalCount] = {
@@ -62,5 +98,19 @@ object TwsTotalCount {
       .groupByKey(_.cell)
       .transformWithState(new TotalCountProcessor,
         TimeMode.None(), OutputMode.Update())
+  }
+
+  /** The bootstrap pipeline: stream continues the fold from a
+    * batch-aggregated initial state.
+    */
+  def totalCountBootstrap(
+      cells: Dataset[CellEvent],
+      initial: Dataset[(Int, TotalTwsState)]): Dataset[TotalCount] = {
+    import cells.sparkSession.implicits._
+    cells
+      .groupByKey(_.cell)
+      .transformWithState(new TotalCountBootstrapProcessor,
+        TimeMode.None(), OutputMode.Update(),
+        initial.groupByKey(_._1).mapValues(_._2))
   }
 }

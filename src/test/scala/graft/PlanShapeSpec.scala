@@ -19,7 +19,8 @@ class PlanShapeSpec extends AnyFunSuite {
     * is the materialized result, not the plan under test).
     */
   private val streamingEntries = Set(
-    "taxi_total_stream", "taxi_total_tws", "taxi_sliding_stream", "taxi_early_stream",
+    "taxi_total_stream", "taxi_total_tws", "taxi_total_bootstrap",
+    "taxi_sliding_stream", "taxi_early_stream",
     "taxi_early_fires", "taxi_duration_stream", "taxi_running_stream",
     "taxi_dedup_stream", "events_sessionize_stream",
     "taxi_sliding_file_stream", "taxi_late_drop", "docs_ingest_stream",
