@@ -326,6 +326,51 @@ object StreamingQueries {
     }
   }
 
+  /** Per-user per-type running counts on transformWithState's MAP
+    * state ([[graft.streaming.TypeCountProcessor]]) — completes the
+    * state-primitive coverage (ValueState → `taxi_total_tws`,
+    * ListState+timers → `events_debounce_stream`, initial state →
+    * `taxi_total_bootstrap`, MapState → here). Delta emission of only
+    * the cells each batch touched; the keyed upsert sink converges to
+    * the batch per-(user, type) counts — the pivot's long form.
+    */
+  def typeCountsStream(spark: SparkSession, sfDir: String): DataFrame = {
+    val ss = streamSession(spark)
+    ss.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    import ss.implicits._
+    val fed = graft.Tables.events(ss, sfDir)
+      .select(col("user_id"), col("event_type"),
+        unix_millis(col("ts")).as("t_ms"), col("event_id"))
+      .collect()
+      .sortBy(r => (r.getLong(2), r.getLong(3)))
+      .map(r => TypedEvent(r.getLong(0), r.getString(1))).toSeq
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = ss.sqlContext
+    val ms = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[TypedEvent]
+    val sink = new KeyedUpsertSink(Seq("user_id", "event_type"))
+    val ckpt = TempDir.create("graft-ckpt-")
+    val q = ms.toDS()
+      .groupByKey(_.userId)
+      .transformWithState(new TypeCountProcessor,
+        org.apache.spark.sql.streaming.TimeMode.None(),
+        org.apache.spark.sql.streaming.OutputMode.Update())
+      .toDF()
+      .writeStream.outputMode("update")
+      .option("checkpointLocation", ckpt.toString)
+      .foreachBatch(sink.upsert _)
+      .start()
+    try {
+      val size = math.max(1, math.ceil(fed.size.toDouble / 3).toInt)
+      fed.grouped(size).foreach { b => ms.addData(b); q.processAllAvailable() }
+      sink.toDF(ss).localCheckpoint()
+    } finally {
+      q.stop()
+      TempDir.deleteRecursively(ckpt.toString)
+      sink.close()
+      StateStoreBridge.unloadAll()
+    }
+  }
+
   /** O10 streaming: Append mode — rows emitted only when the watermark
     * passes window end (Flink's default event-time trigger).
     */
@@ -1049,6 +1094,7 @@ object StreamingQueries {
     "taxi_total_stream" -> (totalStream _),
     "taxi_total_tws" -> (totalTwsStream _),
     "taxi_total_bootstrap" -> (totalBootstrapStream _),
+    "events_type_counts_stream" -> (typeCountsStream _),
     "events_debounce_stream" -> (debounceStream _),
     "taxi_sliding_stream" -> (slidingStream _),
     "taxi_sliding_file_stream" -> (slidingFileStream _),
@@ -1129,6 +1175,10 @@ object StreamingQueries {
     "taxi_total_tws" -> TaxiQueries.oracleSql("taxi_total_count"),
     // batch backfill + stream handoff must lose nothing at the seam
     "taxi_total_bootstrap" -> TaxiQueries.oracleSql("taxi_total_count"),
+    // converged MapState cells must equal the batch pivot's long form
+    "events_type_counts_stream" ->
+      """SELECT user_id, event_type, COUNT(*) AS n
+        |FROM events GROUP BY user_id, event_type""".stripMargin,
     // the Append emission set must equal the batch throttle exactly
     "events_debounce_stream" -> EventQueries.oracleSql("events_debounce"),
     "taxi_sliding_stream" -> TaxiQueries.oracleSql("taxi_sliding_count"),
