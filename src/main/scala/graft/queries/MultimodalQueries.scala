@@ -22,7 +22,8 @@ object MultimodalQueries {
         md5(col("payload")).as("digest"))
     }),
 
-    // Stub image decode through the typed mapPartitions stage.
+    // Real PGM decode (header parse + pixel walk) through the typed
+    // mapPartitions stage; the oracle rebuilds the bytes.
     "multimodal_image_meta" -> ((s, dir) =>
       Multimodal.decodeImages(Multimodal.mediaFromDocuments(s, dir)).toDF()),
 

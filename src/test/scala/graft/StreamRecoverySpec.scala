@@ -67,4 +67,51 @@ class StreamRecoverySpec extends AnyFunSuite {
       StateStoreBridge.unloadAll()
     }
   }
+
+  test("AvailableNow resumes a continuous query's checkpoint: trigger modes interop") {
+    // the docs_ingest_available_now claim made concrete: a scheduled
+    // AvailableNow catch-up run takes over the CONTINUOUS query's
+    // checkpoint (same source log, same dedup state) — the deployment
+    // where a 24/7 stream is replaced by a nightly drain, or vice
+    // versa, without re-ingesting or duplicating anything.
+    val ss = StreamingQueries.streamSession(spark)
+    val docs = Tables.documents(ss, sf)
+      .select(col("doc_id"), col("text"), col("source"))
+      .collect().map(r => DocEvent(r.getLong(0),
+        1_700_000_000_000L + r.getLong(0) * 100L, r.getString(1), r.getString(2)))
+      .toSeq.sortBy(_.docId)
+    val chunkDir = TempDir.create("graft-interop-")
+    val ckpt = TempDir.create("graft-ckpt-")
+    val outDir = TempDir.create("graft-out-")
+    def sinkOf(b: org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row]) =
+      b.outputMode("append")
+        .option("checkpointLocation", ckpt.toString)
+        .format("parquet").option("path", outDir.toString)
+    try {
+      DocsReplay.writeChunk(chunkDir.toString, 0, docs)
+      val q1 = sinkOf(StreamingQueries.ingestManifest(
+        DocsReplay.openStream(ss, chunkDir.toString)).writeStream).start()
+      try q1.processAllAvailable() finally q1.stop()
+      DocsReplay.writeChunk(chunkDir.toString, 1, docs) // upstream retries
+      val q2 = sinkOf(StreamingQueries.ingestManifest(
+        DocsReplay.openStream(ss, chunkDir.toString)).writeStream)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      try require(q2.awaitTermination(120000), "AvailableNow did not drain")
+      finally { if (q2.isActive) q2.stop() }
+      val out = ss.read.parquet(outDir.toString)
+        .select(col("doc_id")).collect().map(_.getLong(0))
+      val want = Tables.documents(ss, sf)
+        .filter(graft.functions.TextFunctions.stopwordRatio(col("text")) >= 0.05)
+        .select(col("doc_id")).collect().map(_.getLong(0)).toSet
+      assert(out.length == out.distinct.length,
+        "trigger-mode switch re-emitted rows")
+      assert(out.toSet == want)
+    } finally {
+      TempDir.deleteRecursively(chunkDir.toString)
+      TempDir.deleteRecursively(ckpt.toString)
+      TempDir.deleteRecursively(outDir.toString)
+      StateStoreBridge.unloadAll()
+    }
+  }
 }
