@@ -611,6 +611,35 @@ object TextQueries {
         .select(col("doc_id"), col("pos"))
     }),
 
+    // Source-balanced ROUND-ROBIN interleave — the write-order
+    // complement of text_global_shuffle: training shards should not
+    // serve long single-source runs (gradient batches go stale), so
+    // the order cycles sources — doc k of source A lands next to doc
+    // k of source B. Position = (per-source rank − 1) · |sources| +
+    // source index: collision-free because the source index is a
+    // strict mod-|sources| residue; positions are globally unique and
+    // the leading cycle is 1..|sources| (spec-pinned). The per-source
+    // rank window is the only data-sized shuffle; the source-index
+    // table is |sources| rows, broadcast. Per-source order is the
+    // ':shuf'-salted stable hash — deterministic, RNG-free, and
+    // independent of the split/mixture salts.
+    "text_interleave" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val docs = Tables.documents(s, dir)
+        .select(col("doc_id"), col("source"),
+          tokenHash(concat(lit("shuf:"), col("doc_id").cast("string"))).as("h"))
+      val srcIdx = docs.select(col("source")).distinct()
+        .withColumn("sidx",
+          (row_number().over(Window.orderBy(col("source"))) - 1).cast("long"))
+      val nSrc = srcIdx.count()
+      val w = Window.partitionBy(col("source")).orderBy(col("h"), col("doc_id"))
+      docs.withColumn("rk", row_number().over(w))
+        .join(broadcast(srcIdx), "source")
+        .select(col("doc_id"), col("source"),
+          ((col("rk") - 1).cast("long") * lit(nSrc) + col("sidx") + 1L)
+            .as("pos"))
+    }),
+
     // Cross-document boilerplate detection (the C4/RefinedWeb line-
     // dedup curation stage): a "line" is a fixed [[BoilerLineTokens]]-
     // token window (the fixture corpus has no newlines; production
@@ -1403,6 +1432,22 @@ object TextQueries {
          |SELECT bs.doc_id, CAST(offs.off + ROW_NUMBER() OVER (
          |  PARTITION BY bs.b ORDER BY bs.h, bs.doc_id) AS BIGINT) AS pos
          |FROM bs JOIN offs ON bs.b = offs.b""".stripMargin,
+    "text_interleave" ->
+      s"""WITH d AS (
+         |  SELECT doc_id, source,
+         |    ${Sql.tokenHash("'shuf:' || CAST(doc_id AS VARCHAR)")} AS h
+         |  FROM documents),
+         |si AS (SELECT source,
+         |         ROW_NUMBER() OVER (ORDER BY source) - 1 AS sidx,
+         |         COUNT(*) OVER () AS nsrc
+         |       FROM (SELECT DISTINCT source FROM documents)),
+         |rk AS (SELECT doc_id, source,
+         |         ROW_NUMBER() OVER (PARTITION BY source
+         |           ORDER BY h, doc_id) AS rk
+         |       FROM d)
+         |SELECT rk.doc_id, rk.source,
+         |  CAST((rk.rk - 1) * si.nsrc + si.sidx + 1 AS BIGINT) AS pos
+         |FROM rk JOIN si ON rk.source = si.source""".stripMargin,
     // Oracle counts on line STRINGS where Spark counts on xxhash64 of
     // the line — identical unless two distinct lines collide in 64
     // bits (none at any test SF).

@@ -277,6 +277,25 @@ class LakehouseRetrievalOpsSpec extends AnyFunSuite {
     assert(rows.map(r => (r.getAs[Long]("pk"), r.getAs[Long]("sk"))).toSet == want)
   }
 
+  test("text_interleave positions are unique and full cycles round-robin every source") {
+    val rows = SparkEntry.queries("text_interleave")(spark, sf).collect()
+      .map(r => (r.getAs[Long]("pos"), r.getAs[String]("source")))
+    assert(rows.map(_._1).distinct.length == rows.length, "positions must be unique")
+    val counts = rows.groupBy(_._2).view.mapValues(_.size).toMap
+    val nSrc = counts.size
+    val minCnt = counts.values.min
+    // while every source still has docs, positions are DENSE and each
+    // cycle of nSrc serves every source exactly once — the round-robin
+    // property the op exists for (tails of larger sources then
+    // continue with gaps, preserving uniqueness)
+    val dense = rows.filter(_._1 <= nSrc.toLong * minCnt).sortBy(_._1)
+    assert(dense.length == nSrc * minCnt, "full cycles must be gapless")
+    dense.grouped(nSrc).foreach { cycle =>
+      assert(cycle.map(_._2).distinct.length == nSrc,
+        s"cycle at ${cycle.head._1} does not span all sources")
+    }
+  }
+
   test("docs_compaction_bins is the exact cumulative-sum packing and covers every file") {
     val files = Tables.documents(spark, sf)
       .select(col("source"), col("doc_id"), col("n_chars")).collect()
