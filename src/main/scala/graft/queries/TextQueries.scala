@@ -611,6 +611,30 @@ object TextQueries {
         .select(col("doc_id"), col("pos"))
     }),
 
+    // Deletion propagation plan (right-to-be-forgotten / takedown):
+    // a batch of delete requests (fixture: doc_id % 131 = 0 — the
+    // request TABLE shape, not a magic predicate) must purge not just
+    // the source rows but every DERIVED artifact still carrying the
+    // content — here the chunk table and the inverted postings. The
+    // op is the impact assessment a compliance job runs before the
+    // rewrite: per artifact, affected keys and rows to delete. Scale
+    // anatomy: the request list is requests-sized and BROADCAST into
+    // each artifact's scan (one broadcast semi-join per artifact —
+    // never a corpus-sized anti-join, never a driver loop); each
+    // artifact reduces map-side to one row.
+    "docs_purge_plan" -> ((s, dir) => {
+      val reqs = Tables.documents(s, dir)
+        .filter(col("doc_id") % 131 === 0).select(col("doc_id"))
+      def stat(name: String, df: DataFrame) =
+        df.join(broadcast(reqs), Seq("doc_id"), "left_semi")
+          .agg(count_distinct(col("doc_id")).as("n_keys"),
+            count(lit(1)).as("n_rows"))
+          .select(lit(name).as("artifact"), col("n_keys"), col("n_rows"))
+      stat("documents", Tables.documents(s, dir).select(col("doc_id")))
+        .unionAll(stat("chunks", queries("text_chunk")(s, dir)))
+        .unionAll(stat("postings", postings(s, dir)))
+    }),
+
     // Source-balanced ROUND-ROBIN interleave — the write-order
     // complement of text_global_shuffle: training shards should not
     // serve long single-source runs (gradient batches go stale), so
@@ -1432,6 +1456,23 @@ object TextQueries {
          |SELECT bs.doc_id, CAST(offs.off + ROW_NUMBER() OVER (
          |  PARTITION BY bs.b ORDER BY bs.h, bs.doc_id) AS BIGINT) AS pos
          |FROM bs JOIN offs ON bs.b = offs.b""".stripMargin,
+    // chunk rows per doc mirror text_chunk's generator arithmetic;
+    // postings rows are the doc's distinct tokens
+    "docs_purge_plan" ->
+      s"""WITH del AS (
+         |  SELECT doc_id, ${Sql.tokens("text")} AS t
+         |  FROM documents WHERE doc_id % 131 = 0),
+         |ch AS (SELECT doc_id, len(t) AS n FROM del WHERE len(t) >= 1)
+         |SELECT 'documents' AS artifact, COUNT(DISTINCT doc_id) AS n_keys,
+         |  COUNT(*) AS n_rows FROM del
+         |UNION ALL
+         |SELECT 'chunks', COUNT(DISTINCT doc_id),
+         |  CAST(COALESCE(SUM((n - 1) // $ChunkStride + 1), 0) AS BIGINT) FROM ch
+         |UNION ALL
+         |SELECT 'postings', COUNT(DISTINCT doc_id), COUNT(*) FROM (
+         |  SELECT doc_id, token FROM (
+         |    SELECT doc_id, unnest(t) AS token FROM del)
+         |  GROUP BY doc_id, token)""".stripMargin,
     "text_interleave" ->
       s"""WITH d AS (
          |  SELECT doc_id, source,
