@@ -371,6 +371,28 @@ object StreamingQueries {
     }
   }
 
+  /** CHAINED windowed aggregations in ONE streaming query (Spark 3.4+
+    * time-window-on-window): 5-minute tumbling pre-aggregation rolled
+    * up to 15-minute totals — the hierarchical-rollup pattern a
+    * metrics pipeline runs (fine-grain pane for dashboards, coarse
+    * for storage) without a second job or an intermediate topic. Both
+    * stateful operators share the watermark; the outer window emits
+    * on Append finality, and because 5 divides 15 on epoch-aligned
+    * panes the result must equal the DIRECT 15-minute tumbling batch
+    * aggregation — which is exactly the oracle.
+    */
+  def rollupStream(spark: SparkSession, sfDir: String): DataFrame =
+    appendReplay(spark, sfDir, "rollup_") { df =>
+      val cells = TaxiPipelines.cellEvents(df, "60 seconds")
+      val w5 = cells
+        .groupBy(window(col("ts"), "5 minutes"), col("cell"))
+        .agg(sum(col("passengers")).as("cnt5"))
+      w5.groupBy(window(col("window"), "15 minutes"), col("cell"))
+        .agg(sum(col("cnt5")).as("cnt"))
+        .select(col("cell"), unix_millis(col("window.end")).as("w_end_ms"),
+          col("cnt"))
+    }.filter(col("cnt") > 0)
+
   /** O10 streaming: Append mode — rows emitted only when the watermark
     * passes window end (Flink's default event-time trigger).
     */
@@ -1097,6 +1119,7 @@ object StreamingQueries {
     "events_type_counts_stream" -> (typeCountsStream _),
     "events_debounce_stream" -> (debounceStream _),
     "taxi_sliding_stream" -> (slidingStream _),
+    "taxi_rollup_stream" -> (rollupStream _),
     "taxi_sliding_file_stream" -> (slidingFileStream _),
     "taxi_dedup_stream" -> (dedupStream _),
     "taxi_late_drop" -> (lateDropStream _),
@@ -1182,6 +1205,8 @@ object StreamingQueries {
     // the Append emission set must equal the batch throttle exactly
     "events_debounce_stream" -> EventQueries.oracleSql("events_debounce"),
     "taxi_sliding_stream" -> TaxiQueries.oracleSql("taxi_sliding_count"),
+    // chained 5->15 min rollup must equal DIRECT 15-min tumbling
+    "taxi_rollup_stream" -> TaxiQueries.oracleSql("taxi_tumbling_count"),
     "taxi_sliding_file_stream" -> TaxiQueries.slidingSecondsSql,
     "taxi_dedup_stream" -> TaxiQueries.oracleSql("taxi_sliding_count"),
     // the injected late rows must be DROPPED, so the oracle is the

@@ -20,7 +20,7 @@ class PlanShapeSpec extends AnyFunSuite {
     */
   private val streamingEntries = Set(
     "taxi_total_stream", "taxi_total_tws", "taxi_total_bootstrap",
-    "taxi_sliding_stream", "taxi_early_stream",
+    "taxi_sliding_stream", "taxi_rollup_stream", "taxi_early_stream",
     "taxi_early_fires", "taxi_duration_stream", "taxi_running_stream",
     "taxi_dedup_stream", "events_sessionize_stream",
     "taxi_sliding_file_stream", "taxi_late_drop", "docs_ingest_stream",
