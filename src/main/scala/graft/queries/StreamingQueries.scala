@@ -371,6 +371,38 @@ object StreamingQueries {
     }
   }
 
+  /** O9 in COMPLETE output mode — the remaining cell of the output-
+    * mode matrix (Append → sliding/session/rollup, Update → total/
+    * tws, Complete → here): every micro-batch re-emits the FULL
+    * state table, the dashboard-sink contract. No upsert sink and no
+    * sentinel needed — the memory sink's table IS the latest full
+    * snapshot, which after the replay equals the batch totals.
+    * Scale note: Complete re-emits O(keys) per batch, so it fits
+    * bounded key spaces (the 100k-cell grid qualifies; a user-keyed
+    * store would not) — that trade IS the mode's semantics.
+    */
+  def totalCompleteStream(spark: SparkSession, sfDir: String): DataFrame = {
+    val ss = streamSession(spark)
+    val rides = TaxiReplay.ridesFromEvents(ss, sfDir).collect().toSeq
+    val ordered = TaxiReplay.servingOrder(rides, MaxDelayMs)
+    val (ms, df) = TaxiReplay.memoryStream(ss)
+    val name = "complete_" + UUID.randomUUID().toString.replace("-", "")
+    val ckpt = TempDir.create("graft-ckpt-")
+    val q = TaxiPipelines.totalArrivalCount(df)
+      .writeStream.outputMode("complete")
+      .option("checkpointLocation", ckpt.toString)
+      .format("memory").queryName(name)
+      .start()
+    try {
+      TaxiReplay.feedInBatches(ms, ordered, 4, () => q.processAllAvailable())
+      ss.table(name).localCheckpoint()
+    } finally {
+      q.stop()
+      TempDir.deleteRecursively(ckpt.toString)
+      StateStoreBridge.unloadAll()
+    }
+  }
+
   /** CHAINED windowed aggregations in ONE streaming query (Spark 3.4+
     * time-window-on-window): 5-minute tumbling pre-aggregation rolled
     * up to 15-minute totals — the hierarchical-rollup pattern a
@@ -1120,6 +1152,7 @@ object StreamingQueries {
     "events_debounce_stream" -> (debounceStream _),
     "taxi_sliding_stream" -> (slidingStream _),
     "taxi_rollup_stream" -> (rollupStream _),
+    "taxi_total_complete" -> (totalCompleteStream _),
     "taxi_sliding_file_stream" -> (slidingFileStream _),
     "taxi_dedup_stream" -> (dedupStream _),
     "taxi_late_drop" -> (lateDropStream _),
@@ -1207,6 +1240,8 @@ object StreamingQueries {
     "taxi_sliding_stream" -> TaxiQueries.oracleSql("taxi_sliding_count"),
     // chained 5->15 min rollup must equal DIRECT 15-min tumbling
     "taxi_rollup_stream" -> TaxiQueries.oracleSql("taxi_tumbling_count"),
+    // the last Complete snapshot IS the batch state
+    "taxi_total_complete" -> TaxiQueries.oracleSql("taxi_total_count"),
     "taxi_sliding_file_stream" -> TaxiQueries.slidingSecondsSql,
     "taxi_dedup_stream" -> TaxiQueries.oracleSql("taxi_sliding_count"),
     // the injected late rows must be DROPPED, so the oracle is the

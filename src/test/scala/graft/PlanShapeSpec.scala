@@ -20,6 +20,7 @@ class PlanShapeSpec extends AnyFunSuite {
     */
   private val streamingEntries = Set(
     "taxi_total_stream", "taxi_total_tws", "taxi_total_bootstrap",
+    "taxi_total_complete",
     "taxi_sliding_stream", "taxi_rollup_stream", "taxi_early_stream",
     "taxi_early_fires", "taxi_duration_stream", "taxi_running_stream",
     "taxi_dedup_stream", "events_sessionize_stream",
