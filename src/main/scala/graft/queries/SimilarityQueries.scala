@@ -338,6 +338,55 @@ object SimilarityQueries {
           round(col("cos"), 6).as("cos_r"))
     }),
 
+    // IVF RECALL CURVE — the measured retrieval-quality diagnostic
+    // (the dedup_lsh_scurve idea applied to ANN): recall@K of the
+    // learned-cell IVF against the brute-force ground truth, at
+    // nprobe = 1 and 2. This is the number an IVF deployment actually
+    // tunes on — "how much recall does the second probe buy" — and
+    // the answer is MEASURED, not assumed. Anatomy: the probe
+    // relation carries its rank (argmin cell, masked runner-up), each
+    // nprobe level filters probes ≤ rank and re-ranks its own
+    // candidate set; hits semi-join the brute top-K; recall is one
+    // exact rational division (hit count / nq·K). Corpus-side plan
+    // stays one cell equi-join per level; queries broadcast.
+    "knn_ivf_recall" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val emb0 = corpus(s, dir)
+      val cents = learnedCentroids(emb0)
+      val emb = emb0.withColumn("cell", kmAssign(cents, col("embedding")))
+      val nQ = emb0.filter(col("vec_id") % 50 === 0).count()
+      val probes = queriesOf(emb0)
+        .withColumn("sc", kmScores(cents, col("q_emb")))
+        .withColumn("pp1", array_position(col("sc"), array_min(col("sc"))))
+        .withColumn("masked", transform(sequence(lit(1), lit(cents.size)),
+          i => when(i.cast("long") === col("pp1"), lit(KmMask))
+            .otherwise(element_at(col("sc"), i))))
+        .withColumn("pp2", array_position(col("masked"), array_min(col("masked"))))
+        .select(col("query_id"), col("q_emb"), col("q_nrm"),
+          posexplode(array(kmCellAt(cents, col("pp1")),
+            kmCellAt(cents, col("pp2")))))
+        .select(col("query_id"), col("q_emb"), col("q_nrm"),
+          (col("pos") + 1).as("probe_rank"), col("col").as("cell"))
+      val ivf = Seq(1, 2).map { np =>
+        val w = Window.partitionBy(col("query_id"))
+          .orderBy(col("cos").desc, col("vec_id").asc)
+        broadcast(probes.filter(col("probe_rank") <= np)).join(emb, Seq("cell"))
+          .filter(col("query_id") =!= col("vec_id"))
+          .withColumn("cos", cosCol)
+          .withColumn("rnk", row_number().over(w))
+          .filter(col("rnk") <= K)
+          .select(lit(np).as("nprobe"), col("query_id"), col("vec_id"))
+      }.reduce(_ unionAll _)
+      val brute = queries("knn_brute")(s, dir)
+        .select(col("query_id"), col("neighbor_id").as("vec_id"))
+      ivf.join(brute, Seq("query_id", "vec_id"), "left_semi")
+        .groupBy(col("nprobe"))
+        .agg(count(lit(1)).as("n_hits"))
+        .select(col("nprobe"), col("n_hits"),
+          round(col("n_hits").cast("double") / lit((nQ * K).toDouble), 6)
+            .as("recall_r"))
+    }),
+
     // SemDeDup (Abbas et al. 2023): semantic deduplication = cluster
     // the embedding space, then drop within-cluster near-duplicates.
     // Composes the learned k-means quantizer with a WITHIN-CELL
@@ -647,6 +696,42 @@ object SimilarityQueries {
          |        FROM qp JOIN fx f ON qp.vec_id = f.vec_id) q
          |  JOIN a$KmIters e ON q.cell = e.cell AND q.vec_id != e.vec_id
          |) WHERE rnk <= $K""".stripMargin,
+    "knn_ivf_recall" ->
+      s"""WITH $kmeansCtes,
+         |qp AS (
+         |  SELECT vec_id, cell, rn FROM (
+         |    SELECT f.vec_id, c.cell,
+         |      ROW_NUMBER() OVER (PARTITION BY f.vec_id ORDER BY
+         |        c.cc - 2 * ${VectorFunctions.Sql.dot("f.embedding", "c.c", Dim)} ASC,
+         |        c.cell ASC) AS rn
+         |    FROM fx f CROSS JOIN c$KmIters c WHERE f.vec_id % 50 = 0)
+         |  WHERE rn <= 2),
+         |ivf AS (
+         |  SELECT nprobe, query_id, neighbor_id FROM (
+         |    SELECT np.nprobe, q.vec_id AS query_id, e.vec_id AS neighbor_id,
+         |      ROW_NUMBER() OVER (PARTITION BY np.nprobe, q.vec_id
+         |        ORDER BY ${VectorFunctions.Sql.cosine("q.embedding", "e.embedding", Dim)} DESC,
+         |                 e.vec_id ASC) AS rnk
+         |    FROM (SELECT qp.vec_id, qp.cell, qp.rn, f.embedding
+         |          FROM qp JOIN fx f ON qp.vec_id = f.vec_id) q
+         |    JOIN a$KmIters e ON q.cell = e.cell AND q.vec_id != e.vec_id
+         |    CROSS JOIN (SELECT unnest([1, 2]) AS nprobe) np
+         |    WHERE q.rn <= np.nprobe)
+         |  WHERE rnk <= $K),
+         |brute AS (
+         |  SELECT query_id, neighbor_id FROM (
+         |    SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+         |      ROW_NUMBER() OVER (PARTITION BY q.vec_id
+         |        ORDER BY ${VectorFunctions.Sql.cosine("q.embedding", "e.embedding", Dim)} DESC,
+         |                 e.vec_id ASC) AS rnk
+         |    FROM embeddings q JOIN embeddings e ON q.vec_id != e.vec_id
+         |    WHERE q.vec_id % 50 = 0)
+         |  WHERE rnk <= $K),
+         |nq AS (SELECT COUNT(*)::DOUBLE AS n FROM embeddings WHERE vec_id % 50 = 0)
+         |SELECT ivf.nprobe, COUNT(*) AS n_hits,
+         |  ROUND(COUNT(*)::DOUBLE / (nq.n * $K), 6) AS recall_r
+         |FROM ivf JOIN brute USING (query_id, neighbor_id) CROSS JOIN nq
+         |GROUP BY ivf.nprobe, nq.n""".stripMargin,
     "dedup_semantic" ->
       s"""WITH $kmeansCtes,
          |g AS (SELECT vec_id, embedding, cell FROM a$KmIters),
