@@ -66,9 +66,11 @@ class PlanShapeSpec extends AnyFunSuite {
     // a conditionless broadcast join is planned as BNLJ by definition
     // and is O(N·1); the guard is against all-PAIRS fallbacks, not
     // scalar fan-out.
+    // knn_ivf_recall's ground-truth stage IS knn_brute (recall is
+    // measured against the exact all-pairs top-K by definition)
     val allowed = Set("knn_brute", "multimodal_feature_knn", "knn_int8",
-      "knn_int8_rerank", "text_bpe_train", "events_resample_ffill",
-      "events_rfm", "q22_share_of_total")
+      "knn_int8_rerank", "knn_ivf_recall", "text_bpe_train",
+      "events_resample_ffill", "events_rfm", "q22_share_of_total")
     (SparkEntry.queries.keySet -- streamingEntries -- allowed).toSeq.sorted.foreach { name =>
       val bnlj = plan(name).collect { case b: BroadcastNestedLoopJoinExec => b }
       assert(bnlj.isEmpty, s"$name plans BroadcastNestedLoopJoin")
