@@ -98,6 +98,32 @@ object EventQueries {
         .agg(count(lit(1)).as("n"), max(col("k")).as("max_k"))
     }),
 
+    // VARIANT ingestion (Spark 4's semi-structured type): nested JSON
+    // parsed ONCE into the binary variant encoding, then path-
+    // extracted with per-path result types — the schema-on-read shape
+    // that replaces repeated get_json_object string re-parsing (each
+    // of which re-tokenizes the JSON; variant_get walks the decoded
+    // binary). The nested document is built from fixture arithmetic
+    // (the seeded-fixture policy: pii/codec precedent), so the oracle
+    // re-derives every extracted value from the same integer math —
+    // green pins parse_json → variant_get end-to-end, including the
+    // missing-path null (surfaced as −1). No doubles in the JSON:
+    // float round-tripping through text is the one nondeterminism
+    // variant would otherwise smuggle in.
+    "events_variant" -> ((s, dir) => {
+      val js = concat(lit("""{"meta":{"k":"""), col("event_id") % 100,
+        lit(""","tags":["t"""), col("event_id") % 3,
+        lit(""""]},"n":"""), col("user_id"), lit("}"))
+      Tables.events(s, dir)
+        .select(col("event_id"), parse_json(js).as("v"))
+        .select(col("event_id"),
+          variant_get(col("v"), "$.meta.k", "int").as("k"),
+          variant_get(col("v"), "$.meta.tags[0]", "string").as("tag0"),
+          variant_get(col("v"), "$.n", "bigint").as("n"),
+          coalesce(try_variant_get(col("v"), "$.missing", "int"), lit(-1))
+            .as("missing_k"))
+    }),
+
     // AS-OF JOIN via the custom operator (graft.plans.AsOfJoin —
     // logical node + strategy + sort-merge exec): each purchase event
     // attributed to the user's most recent prior click. The right side
@@ -950,6 +976,15 @@ object EventQueries {
         |SELECT user_id, last.t_ms AS last_t_ms, last.event_id AS last_event_id,
         |       last.event_type AS last_type, last.value AS last_value, n_events
         |FROM m""".stripMargin,
+    // expected values re-derived from the same fixture arithmetic the
+    // Spark side builds its JSON from (the codec-oracle policy)
+    "events_variant" ->
+      """SELECT event_id,
+        |  CAST(event_id % 100 AS INT) AS k,
+        |  't' || CAST(event_id % 3 AS VARCHAR) AS tag0,
+        |  user_id AS n,
+        |  CAST(-1 AS INT) AS missing_k
+        |FROM events""".stripMargin,
     "events_scd2" ->
       """WITH e AS (SELECT user_id, event_id, event_type,
         |             epoch_ms(date_trunc('millisecond', ts)) AS t_ms FROM events),

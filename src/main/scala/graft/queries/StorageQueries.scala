@@ -22,6 +22,7 @@ object StorageQueries {
   val PartPath = "/root/repo/target/graft-fixtures/documents_by_source"
   val EvoPath = "/root/repo/target/graft-fixtures/documents_evolution"
   val JsonlPath = "/root/repo/target/graft-fixtures/documents_jsonl"
+  val CodecPath = "/root/repo/target/graft-fixtures/documents_codec"
 
   /** The partition-pruning predicate's source list: a 2-of-20
     * selection so the pruned scan touches 10% of directories.
@@ -132,6 +133,24 @@ object StorageQueries {
         .agg(count(lit(1)).as("n_docs"),
           count(col("lang")).as("n_with_lang"),
           sum(col("n_chars")).as("chars_sum"))
+    }),
+
+    // Compression-codec axis of the format story: the same corpus
+    // written snappy (the read-optimized default) and zstd (the
+    // storage-optimized choice for cold data), each read back under
+    // the cross-engine checksum gate — the validation a codec
+    // MIGRATION (the cheapest 100 TB storage win there is) runs
+    // before switching a table's default. Same narrow scan→write
+    // shape as the ORC roundtrip; the checksums must be identical
+    // across codecs (compression is transparent to content).
+    "docs_codec_roundtrip" -> ((s, dir) => {
+      Seq("snappy", "zstd").map { codec =>
+        val path = s"$CodecPath/$codec"
+        Tables.documents(s, dir).write.mode("overwrite")
+          .option("compression", codec).parquet(path)
+        TextQueries.tableChecksumOf(s.read.parquet(path))
+          .withColumn("codec", lit(codec))
+      }.reduce(_ unionAll _)
     }),
 
     // Time travel — reconstruct the table AS OF a past version from
@@ -251,6 +270,12 @@ object StorageQueries {
         |  COUNT(*) FILTER (doc_id % 2 = 1) AS n_with_lang,
         |  CAST(SUM(n_chars) AS BIGINT) AS chars_sum
         |FROM documents GROUP BY source""".stripMargin,
+    "docs_codec_roundtrip" -> {
+      val one = TextQueries.oracleSql("text_table_checksum")
+      s"""SELECT *, 'snappy' AS codec FROM ($one)
+         |UNION ALL
+         |SELECT *, 'zstd' AS codec FROM ($one)""".stripMargin
+    },
     "docs_time_travel" ->
       s"""WITH log AS (
          |  SELECT doc_id, 1::BIGINT AS version, 'insert' AS op,
