@@ -218,8 +218,57 @@ object StorageQueries {
           sum(col("n_chars")).as("bin_bytes"),
           min(col("doc_id")).as("first_id"),
           max(col("doc_id")).as("last_id"))
+    }),
+
+    // Co-located (bucketed) fact-fact join — the LAYOUT lever for the
+    // one genuinely shuffling join at scale (q4's lineitem ⋈ orders):
+    // both sides written `bucketBy(8, orderkey) sortBy(orderkey)` as
+    // catalog tables, so the sort-merge join needs NO Exchange and NO
+    // Sort on either side — the 100 TB fact shuffle is paid ONCE at
+    // write time and amortized over every later join on that key (the
+    // warehouse norm for fact tables that join daily). Each side is
+    // `repartition(8, key)`'d before the write: repartition's hash IS
+    // the bucket hash, so every task holds exactly one bucket → ONE
+    // file per bucket, which is what lets the per-bucket sortBy
+    // satisfy the SMJ ordering requirement at read time (many files
+    // per bucket would force a re-sort). Zero-exchange + zero-sort in
+    // the join subtree is pinned by BucketedJoinSpec; the aggregate
+    // after the join still shuffles (different key) — bucketing buys
+    // the join, not the agg. `hint("merge")` keeps the plan the
+    // demonstration target at fixture scale, where the orders side
+    // would otherwise auto-broadcast. Revenue uses the dsum policy
+    // (sum in DECIMAL(18,4), compare as double) — order-independent,
+    // hash-stable.
+    "lineitem_bucketed_join" -> ((s, dir) => {
+      Tables.lineitem(s, dir)
+        .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount"))
+        .repartition(NumBuckets, col("l_orderkey"))
+        .write.mode("overwrite").format("parquet")
+        .option("path", s"$BucketPath/lineitem")
+        .bucketBy(NumBuckets, "l_orderkey").sortBy("l_orderkey")
+        .saveAsTable(LiBucketTable)
+      Tables.orders(s, dir)
+        .select(col("o_orderkey"), col("o_orderpriority"))
+        .repartition(NumBuckets, col("o_orderkey"))
+        .write.mode("overwrite").format("parquet")
+        .option("path", s"$BucketPath/orders")
+        .bucketBy(NumBuckets, "o_orderkey").sortBy("o_orderkey")
+        .saveAsTable(OrdBucketTable)
+      s.table(LiBucketTable).hint("merge")
+        .join(s.table(OrdBucketTable),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_lines"),
+          sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+            .cast("decimal(18,4)")).cast("double").as("revenue"))
     })
   )
+
+  /** Bucketed-table fixture: external-table root + catalog names. */
+  val BucketPath = "/root/repo/target/graft-fixtures/bucketed"
+  val LiBucketTable = "graft_lineitem_bkt"
+  val OrdBucketTable = "graft_orders_bkt"
+  val NumBuckets = 8
 
   /** Compaction target bin size in bytes (stand-in scale for the
     * fixture's ~500-char docs: ~8 files per bin; production uses
@@ -306,6 +355,14 @@ object StorageQueries {
          |  COUNT(*) AS n_files,
          |  CAST(SUM(n_chars) AS BIGINT) AS bin_bytes,
          |  MIN(doc_id) AS first_id, MAX(doc_id) AS last_id
-         |FROM c GROUP BY 1, 2""".stripMargin
+         |FROM c GROUP BY 1, 2""".stripMargin,
+    // oracle reads the ORIGINAL parquet — equality proves the bucketed
+    // rewrite content-faithful AND the co-located join correct
+    "lineitem_bucketed_join" ->
+      """SELECT o_orderpriority, COUNT(*) AS n_lines,
+        |  CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount)
+        |    AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_orderpriority""".stripMargin
   )
 }

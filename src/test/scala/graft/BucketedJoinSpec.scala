@@ -37,4 +37,25 @@ class BucketedJoinSpec extends AnyFunSuite {
       spark.sql("DROP TABLE IF EXISTS o_bucketed")
     }
   }
+
+  test("lineitem_bucketed_join entry: zero exchange AND zero sort in the join subtree") {
+    // The oracle entry's stronger contract: one file per bucket (the
+    // repartition-before-write alignment) lets the scan expose the
+    // per-bucket sortBy ordering, so the SMJ subtree needs neither an
+    // Exchange nor a Sort — both shuffles AND both sorts of the
+    // fact-fact join are paid at write time.
+    import org.apache.spark.sql.execution.SortExec
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.execution.joins.SortMergeJoinExec
+    val df = graft.queries.StorageQueries
+      .queries("lineitem_bucketed_join")(spark, "/root/testdata/sf0.001")
+    val smj = df.queryExecution.sparkPlan
+      .collect { case j: SortMergeJoinExec => j }
+    assert(smj.size == 1, s"expected one SortMergeJoin, got ${smj.size}")
+    val subtree = smj.head.collect { case p => p }
+    assert(!subtree.exists(_.isInstanceOf[ShuffleExchangeExec]),
+      s"join subtree still shuffles:\n${smj.head}")
+    assert(!subtree.exists(_.isInstanceOf[SortExec]),
+      s"join subtree still sorts (files-per-bucket > 1?):\n${smj.head}")
+  }
 }
