@@ -114,11 +114,17 @@ object Bench {
     // Two full passes back-to-back and a per-query min converge the
     // official number to the reproducible calm-window figure; both
     // raw passes are reported so the noise itself stays visible.
-    def runPass(): Map[String, Double] = SparkEntry.queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try materialize(fn(spark, sfDir)) catch { case _: Throwable => () }
-      name -> (System.nanoTime() - t0) / 1e9
-    }
+    // Optional comma-separated name filter for single-query profiling
+    // (local iteration only — the driver always runs unfiltered).
+    val only: Option[Set[String]] = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSet)
+    def runPass(): Map[String, Double] = SparkEntry.queries
+      .filter { case (name, _) => only.forall(_.contains(name)) }
+      .map { case (name, fn) =>
+        val t0 = System.nanoTime()
+        try materialize(fn(spark, sfDir)) catch { case _: Throwable => () }
+        name -> (System.nanoTime() - t0) / 1e9
+      }
     val pass1 = runPass()
     val pass2 = runPass()
     val best = pass1.map { case (k, v) => k -> math.min(v, pass2.getOrElse(k, v)) }

@@ -64,8 +64,11 @@ object DedupQueries {
   }
 
   /** doc_id, band index, band hash — the LSH bucketing relation. */
-  private[queries] def minhashBands(docs: DataFrame): DataFrame = {
-    val sigs = minhashSigsOf(docs)
+  private[queries] def minhashBands(docs: DataFrame): DataFrame =
+    bandsOfSigs(minhashSigsOf(docs))
+
+  /** Band relation from an existing (doc_id, sig0..sigN) frame. */
+  private[queries] def bandsOfSigs(sigs: DataFrame): DataFrame = {
     val sigCols = (0 until MinHash.NumHashes).map(i => col(s"sig$i"))
     val bands = (0 until MinHash.NumBands).map(b =>
       struct(lit(b).as("band"), MinHash.bandHash(sigCols, b).as("bhash")))
@@ -134,7 +137,16 @@ object DedupQueries {
     * verify variant (Jaccard, containment).
     */
   private[queries] def lshCandidates(documents: DataFrame): DataFrame =
-    minhashBands(documents)
+    lshCandidatesFromBands(minhashBands(documents))
+
+  /** Candidate pairs from an already-built (doc_id, band, bhash)
+    * relation — split out so callers that ALREADY hold the signature
+    * table ([[dedup_minhash_estimate]]'s checkpointed side table) can
+    * derive bands from the sig columns instead of recomputing
+    * MinHashSignature from text a second time.
+    */
+  private[queries] def lshCandidatesFromBands(bands: DataFrame): DataFrame =
+    bands
       .groupBy(col("band"), col("bhash"))
       .agg(collect_list(col("doc_id")).as("ids"))
       .filter(size(col("ids")) > 1)
@@ -537,7 +549,10 @@ object DedupQueries {
       val agree = (0 until MinHash.NumHashes)
         .map(i => (col(s"a$i") === col(s"b$i")).cast("int"))
         .reduce(_ + _)
-      lshCandidates(docs)
+      // bands derive from the CHECKPOINTED sig columns — the text is
+      // scanned (and MinHashSignature computed) exactly once; the
+      // candidate path and both pair-side joins all ride `side`
+      lshCandidatesFromBands(bandsOfSigs(side))
         .join(renamed("a"), col("doc_a") === col("aid"))
         .join(renamed("b"), col("doc_b") === col("bid"))
         .withColumn("inter",
