@@ -862,8 +862,50 @@ object EventQueries {
             .orderBy(col("day"))
             .rowsBetween(Window.unboundedPreceding, 0)))
         .select(col("event_type"), col("day"), col("n_new"), col("cum_users"))
+    }),
+
+    // RANGE JOIN (value → irregular-tier lookup) the scale-correct
+    // way: a non-equi join `lo <= value < hi` is planned as a
+    // nested-loop by every SQL engine (O(N·R) probes, and in Spark a
+    // BNLJ this suite bans) — the standard fix is to DECOMPOSE the
+    // range predicate into an EQUI-join on a covering integer bucket
+    // plus a residual exact filter: each tier explodes to the
+    // fixed-width buckets it overlaps (`sequence(⌊lo/S⌋, ⌊hi/S⌋)` —
+    // tiers × spanned buckets rows, still dimension-sized), events
+    // bucket by one `floor(value/S)`, and the join is a broadcast
+    // hash equi-join a 100× fact scale-up can't flip to all-pairs.
+    // Tier bounds are literal and disjoint, so each event lands in
+    // exactly one tier; totals through DECIMAL(18,4).
+    "events_range_join" -> ((s, dir) => {
+      val tiers = RangeTiers.zipWithIndex.map { case ((lo, hi), i) =>
+        (lo, hi, s"t$i")
+      }
+      val tierDf = s.createDataFrame(tiers).toDF("lo", "hi", "tier")
+        .withColumn("bucket", explode(sequence(
+          floor(col("lo") / RangeBucketWidth).cast("long"),
+          floor(col("hi") / RangeBucketWidth).cast("long"))))
+      Tables.events(s, dir)
+        .select(col("value"))
+        .withColumn("bucket",
+          floor(col("value") / RangeBucketWidth).cast("long"))
+        .join(broadcast(tierDf), "bucket")
+        .filter(col("value") >= col("lo") && col("value") < col("hi"))
+        .groupBy(col("tier"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(col("value").cast("decimal(18,4)")).cast("double")
+            .as("value_sum"))
     })
   )
+
+  /** Irregular tier bounds for the range join: [lo, hi), disjoint,
+    * covering the fixture's full value range.
+    */
+  val RangeTiers: Seq[(Double, Double)] = Seq(
+    (0.0, 1.0), (1.0, 5.0), (5.0, 20.0), (20.0, 50.0),
+    (50.0, 120.0), (120.0, 200.0), (200.0, 350.0), (350.0, 1000.0))
+
+  /** Covering-bucket width for the range-join decomposition. */
+  val RangeBucketWidth = 50.0
 
   val oracleSql: Map[String, String] = Map(
     "events_pivot" ->
@@ -1285,6 +1327,17 @@ object EventQueries {
          |  CAST(SUM(n_new) OVER (PARTITION BY event_type ORDER BY day
          |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
          |    AS cum_users
-         |FROM nd""".stripMargin
+         |FROM nd""".stripMargin,
+    // oracle keeps the DECLARATIVE non-equi form — equality proves the
+    // bucket decomposition exact
+    "events_range_join" -> {
+      val rows = RangeTiers.zipWithIndex
+        .map { case ((lo, hi), i) => s"($lo, $hi, 't$i')" }.mkString(", ")
+      s"""WITH tiers(lo, hi, tier) AS (VALUES $rows)
+         |SELECT tier, COUNT(*) AS n_events,
+         |  CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS value_sum
+         |FROM events JOIN tiers ON value >= lo AND value < hi
+         |GROUP BY tier""".stripMargin
+    }
   )
 }

@@ -108,6 +108,16 @@ class PlanShapeSpec extends AnyFunSuite {
       "caption block join must be a broadcast hash join")
   }
 
+  test("events_range_join decomposes the non-equi range predicate into a broadcast equi-join") {
+    // the whole point of the covering-bucket rewrite: the naive
+    // `lo <= value < hi` join is a BNLJ (banned by the suite-wide
+    // guard above); the rewritten plan must be a broadcast HASH join
+    // on the bucket key with the exact bounds as a residual filter
+    assert(plan("events_range_join")
+      .collect { case b: BroadcastHashJoinExec => b }.nonEmpty,
+      "range join must plan as a broadcast hash equi-join on the covering bucket")
+  }
+
   test("text_lm_score broadcasts the vocabulary into the scoring join") {
     // The top-K bigram vocabulary is tiny by construction; if the
     // scoring join ever degrades to sort-merge, the full bigram
