@@ -131,12 +131,19 @@ object Bench {
     def fmt(m: Map[String, Double]): String =
       m.map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
     val total = if (best.nonEmpty) best.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":${fmt(best)},"raw_pass1":${fmt(pass1)},"raw_pass2":${fmt(pass2)},"policy":"best-of-2 per query, single JVM","sf":"$sfDir"}""")
+    // A filtered run must be unmistakable in the artifact itself: stamp
+    // the active SPARK_GRAFT_ONLY set into every emitted line so a
+    // partial surface can never masquerade as the full sweep.
+    val filterStamp = only match {
+      case Some(names) => s""","filtered":true,"filter":"${names.toSeq.sorted.mkString(",")}""""
+      case None        => ""
+    }
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":${fmt(best)},"raw_pass1":${fmt(pass1)},"raw_pass2":${fmt(pass2)},"policy":"best-of-2 per query, single JVM"$filterStamp,"sf":"$sfDir"}""")
     // Compact trailing line: the full line above grew past the driver's
     // 2000-char tail capture (r8's artifact lost its own total), so the
     // headline number must also land in a line short enough to always
     // survive the tail window. Printed LAST on purpose.
-    println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${best.size},"policy":"best-of-2 per query, single JVM","sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${best.size},"policy":"best-of-2 per query, single JVM"$filterStamp,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -7,8 +7,12 @@ object Verify {
   def main(args: Array[String]): Unit = {
     val Array(sfDir, outDir) = args.take(2)
     // optional 3rd arg: comma-separated query-name filter for fast
-    // local iteration (the driver always runs the full 2-arg form)
+    // local iteration (the driver always runs the full 2-arg form), or
+    // "--oracle-only" to dump oracle_sql.json without running queries
+    // (feeds tools/check.py --lint-only, the HUGEINT type lint)
+    val oracleOnly = args.drop(2).headOption.contains("--oracle-only")
     val only: Option[Set[String]] = args.drop(2).headOption
+      .filterNot(_ == "--oracle-only")
       .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSet)
     def selected(name: String) = only.forall(_.contains(name))
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -21,7 +25,7 @@ object Verify {
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries.foreach { case (name, fn) =>
-      if (selected(name)) {
+      if (!oracleOnly && selected(name)) {
         try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
           .parquet(s"$outDir/$name")
         catch { case e: Throwable =>

@@ -869,7 +869,7 @@ object DedupQueries {
          |n AS (SELECT COUNT(*) AS ng FROM deg),
          |r0 AS (SELECT v, $PrScale // (SELECT ng FROM n) AS rank FROM deg),
          |$rounds
-         |SELECT r.v AS doc_id, d.deg, r.rank
+         |SELECT r.v AS doc_id, d.deg, CAST(r.rank AS BIGINT) AS rank
          |FROM r$PrIters r JOIN deg d ON r.v = d.v""".stripMargin
     },
     "dedup_incremental" ->

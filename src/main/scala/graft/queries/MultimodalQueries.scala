@@ -539,7 +539,7 @@ object MultimodalQueries {
          |  SELECT media_id, COUNT(*) AS n_cands,
          |    MAX(struct_pack(score := score, negid := -caption_id)) AS best
          |  FROM sc GROUP BY media_id)
-         |SELECT media_id, n_cands, best.score AS score,
+         |SELECT media_id, n_cands, CAST(best.score AS BIGINT) AS score,
          |  -best.negid AS caption_id
          |FROM m""".stripMargin
     }

@@ -339,6 +339,6 @@ object TaxiQueries {
          |deltas AS (SELECT t_start AS t_ms, 1 AS delta FROM iv
          |  UNION ALL SELECT t_end, -1 FROM iv),
          |agg AS (SELECT t_ms, sum(delta) AS d FROM deltas GROUP BY t_ms)
-         |SELECT t_ms, sum(d) OVER (ORDER BY t_ms) AS concurrency FROM agg""".stripMargin
+         |SELECT t_ms, CAST(sum(d) OVER (ORDER BY t_ms) AS BIGINT) AS concurrency FROM agg""".stripMargin
   )
 }

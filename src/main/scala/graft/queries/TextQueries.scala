@@ -1506,7 +1506,7 @@ object TextQueries {
          |         sum(CASE WHEN b.line IS NOT NULL THEN 1 ELSE 0 END) AS n_boiler
          |  FROM lines l LEFT JOIN boiler b ON l.line = b.line GROUP BY l.doc_id)
          |SELECT d.doc_id, coalesce(p.n_lines, 0) AS n_lines,
-         |       coalesce(p.n_boiler, 0) AS n_boiler
+         |       CAST(coalesce(p.n_boiler, 0) AS BIGINT) AS n_boiler
          |FROM documents d LEFT JOIN per_doc p ON d.doc_id = p.doc_id""".stripMargin,
     "text_line_dedup" ->
       s"""WITH toks AS (SELECT doc_id, ${Sql.tokens("text")} AS t FROM documents),
@@ -1532,8 +1532,8 @@ object TextQueries {
          |    COALESCE(SUM(v.cnt), 0) AS familiarity_mass
          |  FROM bg b LEFT JOIN vocab v ON b.g = v.g GROUP BY b.doc_id)
          |SELECT d.doc_id, COALESCE(s.n_bigrams, 0) AS n_bigrams,
-         |  COALESCE(s.known_bigrams, 0) AS known_bigrams,
-         |  COALESCE(s.familiarity_mass, 0) AS familiarity_mass
+         |  CAST(COALESCE(s.known_bigrams, 0) AS BIGINT) AS known_bigrams,
+         |  CAST(COALESCE(s.familiarity_mass, 0) AS BIGINT) AS familiarity_mass
          |FROM documents d LEFT JOIN sc s ON d.doc_id = s.doc_id""".stripMargin,
     "text_inverted_postings" ->
       s"""SELECT token, doc_id, count(*) AS tf

@@ -1,17 +1,41 @@
 #!/usr/bin/env python3
 """Local stand-in for the driver's correctness gate: DuckDB-compare each
 Verify output parquet against its oracle SQL. Driver-side tool only (not
-part of the shipped library)."""
+part of the shipped library).
+
+The comparison is TYPE-SENSITIVE like the driver's hash: raw pandas
+dtypes (straight off DuckDB's arrow conversion, BEFORE any int64/float64
+normalization) must match between the Spark parquet and the oracle
+result. An uncast SUM(BIGINT) in an oracle comes back HUGEINT -> object/
+float dtype and fails here even when every value agrees — the exact bug
+class that cost 5 entries in round 10.
+
+Additionally every oracle is DESCRIBE-bound and any HUGEINT / UHUGEINT /
+INT128 / UINT128 result column is a lint failure on its own (those types
+cannot round-trip the driver's hash against a Spark BIGINT). Run just the
+lint (no Verify outputs needed beyond oracle_sql.json, which
+`graft.Verify <sf> <out> --oracle-only` dumps in seconds) with:
+
+    python3 tools/check.py <sf_dir> <out_dir> --lint-only
+"""
 import sys, os, json, glob
 import duckdb, pandas as pd
 
 sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
 out_dir = sys.argv[2] if len(sys.argv) > 2 else "/tmp/verify_out"
+lint_only = "--lint-only" in sys.argv[3:]
 
 oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
 con = duckdb.connect()
 for t in ["region","nation","customer","supplier","part","orders","lineitem","events","documents","embeddings"]:
     con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
+
+BAD_TYPES = ("HUGEINT", "UHUGEINT", "INT128", "UINT128")
+
+def lint(name, sql):
+    """DESCRIBE-bind the oracle; return list of (col, type) offenders."""
+    desc = con.execute(f"DESCRIBE ({sql})").fetchall()
+    return [(c, ty) for c, ty, *_ in desc if any(b in ty.upper() for b in BAD_TYPES)]
 
 def canon(df):
     df = df.reindex(sorted(df.columns), axis=1)
@@ -29,6 +53,37 @@ def canon(df):
     df = df.sort_values(by=list(df.columns)).reset_index(drop=True)
     return df
 
+def raw_dtypes(df):
+    """Pre-normalization dtype FAMILY map. Width differences (int32 vs
+    int64) hash identically after the driver's normalization; a family
+    change (int -> float64/object, the HUGEINT conversion signature)
+    does not — that's what this catches."""
+    fams = {}
+    for c in df.columns:
+        d = df[c]
+        if pd.api.types.is_bool_dtype(d): fams[c] = "bool"
+        elif pd.api.types.is_integer_dtype(d): fams[c] = "int"
+        elif pd.api.types.is_float_dtype(d): fams[c] = "float"
+        elif str(d.dtype).startswith("datetime"): fams[c] = "datetime"
+        else: fams[c] = str(d.dtype)
+    return fams
+
+# ---- oracle type lint (always runs; the only thing --lint-only runs) ----
+n_lint = 0
+for name in sorted(oracle):
+    try:
+        bad = lint(name, oracle[name])
+    except Exception as e:
+        print(f"LINT-ERR {name}: {e}"); n_lint += 1; continue
+    if bad:
+        print(f"LINT-FAIL {name}: wide-int oracle columns {bad} — wrap in CAST(... AS BIGINT)")
+        n_lint += 1
+if n_lint == 0:
+    print(f"LINT OK: {len(oracle)} oracles, no HUGEINT/UHUGEINT result columns")
+if lint_only:
+    sys.exit(1 if n_lint else 0)
+
+# ---- full value + type comparison ----
 n_pass = n_fail = 0
 for name in sorted(oracle):
     pq_dir = f"{out_dir}/{name}"
@@ -36,10 +91,15 @@ for name in sorted(oracle):
     if not files:
         print(f"FAIL {name}: no spark output"); n_fail += 1; continue
     try:
-        got = canon(con.execute(f"SELECT * FROM read_parquet('{pq_dir}/*.parquet')").df())
-        want = canon(con.execute(oracle[name]).df())
+        got_raw = con.execute(f"SELECT * FROM read_parquet('{pq_dir}/*.parquet')").df()
+        want_raw = con.execute(oracle[name]).df()
     except Exception as e:
         print(f"FAIL {name}: {e}"); n_fail += 1; continue
+    gt, wt = raw_dtypes(got_raw), raw_dtypes(want_raw)
+    if sorted(gt) == sorted(wt) and any(gt[c] != wt[c] for c in gt):
+        diff = {c: (gt[c], wt[c]) for c in gt if gt[c] != wt[c]}
+        print(f"FAIL {name}: dtype mismatch (spark, oracle) = {diff}"); n_fail += 1; continue
+    got, want = canon(got_raw), canon(want_raw)
     if list(got.columns) != list(want.columns):
         print(f"FAIL {name}: columns {list(got.columns)} vs {list(want.columns)}"); n_fail += 1; continue
     if len(got) != len(want):
@@ -58,5 +118,5 @@ for name in sorted(all_out - set(oracle)):
     print(f"{status} {name} (rows-only: {n})")
     if n > 0: n_pass += 1
     else: n_fail += 1
-print(f"\n{n_pass} pass, {n_fail} fail")
-sys.exit(1 if n_fail else 0)
+print(f"\n{n_pass} pass, {n_fail} fail, {n_lint} lint-fail")
+sys.exit(1 if (n_fail or n_lint) else 0)
