@@ -7,12 +7,20 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.graftbridge.StateStoreBridge
 
-/** The reference's streaming pipelines run *as streams* (MemoryStream
-  * replay in serving order with the reference's bounded-Gaussian
-  * out-of-order delay, seed 7452) and verified against the same DuckDB
-  * oracles as their batch twins — proving the event-time/watermark
-  * machinery converges to batch semantics on out-of-order input, which
-  * is the reference's headline guarantee (`README.md:64-65`).
+/** The reference's streaming pipelines run *as streams* and are
+  * verified against the same DuckDB oracles as their batch twins —
+  * proving the event-time/watermark machinery converges to batch
+  * semantics on out-of-order input, which is the reference's headline
+  * guarantee (`README.md:64-65`).
+  *
+  * Ingress forms: the events/docs pipelines feed from FILE streams
+  * (gz JSONL chunk drops, [[EventsReplay]]/[[DocsReplay]] — the
+  * object-store listing path a 100 TB ingest actually runs); the taxi
+  * pipelines replay through MemoryStream in serving order with the
+  * reference's bounded-Gaussian out-of-order delay (seed 7452),
+  * mirroring the reference's own driver-thread source
+  * (`sources/TaxiRideSource.scala:97-168`), with the CSV file-drop
+  * form pinned by `taxi_sliding_file_stream`.
   */
 object StreamingQueries {
 
@@ -136,6 +144,72 @@ object StreamingQueries {
     ss.table(name)
   }
 
+  /** Fixture `events` rows as wire-superset replay records, sorted to
+    * serving order. The collect is replay HARNESS — it exists only to
+    * WRITE the gz JSONL chunk fixtures ([[EventsReplay.writeChunk]]);
+    * the pipelines consume a `readStream` over those files, never a
+    * driver-held collection (the at-scale ingress contract).
+    */
+  private def eventRows(
+      ss: SparkSession, sfDir: String,
+      types: Seq[String] = Nil): Seq[EventsReplay.Ev] = {
+    val base = graft.Tables.events(ss, sfDir)
+    val filtered =
+      if (types.nonEmpty) base.filter(col("event_type").isin(types: _*))
+      else base
+    filtered
+      .select(col("user_id"), col("event_id"), unix_millis(col("ts")).as("t_ms"),
+        col("event_type"), col("value"))
+      .collect()
+      .map(r => EventsReplay.Ev(r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getString(3), r.getDouble(4)))
+      .toSeq.sortBy(e => (e.tMs, e.eventId))
+  }
+
+  /** Far-future zero-weight sentinel for the events file replays: it
+    * advances the watermark past every real pane (userId = −1, value =
+    * 0 — callers filter the id and it can change no sum). `gapMs`
+    * must exceed every finality bound the pipeline carries (session
+    * gap, funnel window, join interval).
+    */
+  private def evSentinel(evs: Seq[EventsReplay.Ev], gapMs: Long,
+      etype: String = "view"): EventsReplay.Ev = {
+    val maxT = evs.map(_.tMs).maxOption.getOrElse(0L)
+    EventsReplay.Ev(-1L, -1L, maxT + gapMs, etype, 0.0)
+  }
+
+  /** Append-mode file-replay scaffold for the events streams — the
+    * [[appendReplay]] anatomy with the ingress swapped to
+    * [[EventsReplay.fileStream]]: serving-ordered gz JSONL chunks, one
+    * per micro-batch, a trailing flush chunk re-feeding the sentinel
+    * (same zero-weight contract), memory sink, chunk/checkpoint
+    * cleanup. No driver-side feed loop: `processAllAvailable` drains
+    * the file listing.
+    */
+  private def eventsFileReplay(
+      ss: SparkSession,
+      evs: Seq[EventsReplay.Ev],
+      prefix: String,
+      nChunks: Int,
+      flush: Seq[EventsReplay.Ev])(build: DataFrame => DataFrame): DataFrame = {
+    val (stream, chunkDir) = EventsReplay.fileStream(ss, evs, nChunks, flush)
+    val name = prefix + UUID.randomUUID().toString.replace("-", "")
+    val ckpt = TempDir.create("graft-ckpt-")
+    val q = build(stream)
+      .writeStream.outputMode("append")
+      .option("checkpointLocation", ckpt.toString)
+      .format("memory").queryName(name)
+      .start()
+    try q.processAllAvailable()
+    finally {
+      q.stop()
+      TempDir.deleteRecursively(ckpt.toString)
+      TempDir.deleteRecursively(chunkDir)
+      StateStoreBridge.unloadAll()
+    }
+    ss.table(name)
+  }
+
   /** Typed cell-event stream shared by the stateful pipelines. */
   private def cellsOf(df: DataFrame) = {
     import df.sparkSession.implicits._
@@ -222,52 +296,32 @@ object StreamingQueries {
     * EVENT-TIME TIMERS ([[graft.streaming.DebounceProcessor]]) — the
     * order-dependent fold buffered against out-of-order arrival,
     * Append emission on watermark finality, converging to the batch
-    * `events_debounce` oracle. Same events replay harness as
-    * `events_sessionize_stream`; RocksDB provider per-session (the
-    * API requires it); the far-future sentinel (user −1, filtered)
-    * advances the watermark and its re-feed batch fires the tail
-    * timers.
+    * `events_debounce` oracle. Same gz JSONL file-stream ingress as
+    * `events_sessionize_stream` ([[eventsFileReplay]]); RocksDB
+    * provider per-session (the API requires it); the far-future
+    * sentinel (user −1, filtered) advances the watermark and its
+    * flush chunk fires the tail timers.
     */
   def debounceStream(spark: SparkSession, sfDir: String): DataFrame = {
     val ss = streamSession(spark)
     ss.conf.set("spark.sql.streaming.stateStore.providerClass",
       "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
     import ss.implicits._
-    val evs = graft.Tables.events(ss, sfDir)
-      .select(col("user_id"), col("event_id"), unix_millis(col("ts")).as("t_ms"))
-      .collect().map(r => DebounceEvent(r.getLong(0), r.getLong(1), r.getLong(2)))
-      .toSeq.sortBy(e => (e.tMs, e.eventId))
-    val maxT = evs.map(_.tMs).maxOption.getOrElse(0L)
-    val fed = evs :+ DebounceEvent(-1L, -1L, maxT + 7200000L)
-    implicit val sqlCtx: org.apache.spark.sql.SQLContext = ss.sqlContext
-    val ms = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[DebounceEvent]
-    val name = "deb_" + UUID.randomUUID().toString.replace("-", "")
-    val ckpt = TempDir.create("graft-ckpt-")
-    val stream = ms.toDF()
-      .withColumn("ts", timestamp_millis(col("tMs")))
-      .withWatermark("ts", "60 seconds")
-      .as[DebounceEvent]
-    val q = stream.groupByKey(_.userId)
-      .transformWithState(new DebounceProcessor(EventQueries.DebounceMs),
-        org.apache.spark.sql.streaming.TimeMode.EventTime(),
-        org.apache.spark.sql.streaming.OutputMode.Append())
-      .toDF()
-      .writeStream.outputMode("append")
-      .option("checkpointLocation", ckpt.toString)
-      .format("memory").queryName(name)
-      .start()
-    try {
-      val size = math.max(1, math.ceil(fed.size.toDouble / 4).toInt)
-      fed.grouped(size).foreach { b => ms.addData(b); q.processAllAvailable() }
-      // flush batch: apply the sentinel-advanced watermark and fire
-      // the tail timers (no-data micro-batches are disabled)
-      ms.addData(Seq(fed.last)); q.processAllAvailable()
-    } finally {
-      q.stop()
-      TempDir.deleteRecursively(ckpt.toString)
-      StateStoreBridge.unloadAll()
-    }
-    ss.table(name).filter(col("user_id") >= 0)
+    val evs = eventRows(ss, sfDir)
+    val sentinel = evSentinel(evs, gapMs = 7200000L)
+    // flush chunk: apply the sentinel-advanced watermark and fire the
+    // tail timers (no-data micro-batches are disabled)
+    eventsFileReplay(ss, evs :+ sentinel, "deb_", nChunks = 4,
+      flush = Seq(sentinel)) { stream =>
+      stream
+        .withWatermark("ts", "60 seconds")
+        .as[DebounceEvent]
+        .groupByKey(_.userId)
+        .transformWithState(new DebounceProcessor(EventQueries.DebounceMs),
+          org.apache.spark.sql.streaming.TimeMode.EventTime(),
+          org.apache.spark.sql.streaming.OutputMode.Append())
+        .toDF()
+    }.filter(col("user_id") >= 0)
   }
 
   /** The batch→stream MIGRATION path on the new API
@@ -339,17 +393,13 @@ object StreamingQueries {
     ss.conf.set("spark.sql.streaming.stateStore.providerClass",
       "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
     import ss.implicits._
-    val fed = graft.Tables.events(ss, sfDir)
-      .select(col("user_id"), col("event_type"),
-        unix_millis(col("ts")).as("t_ms"), col("event_id"))
-      .collect()
-      .sortBy(r => (r.getLong(2), r.getLong(3)))
-      .map(r => TypedEvent(r.getLong(0), r.getString(1))).toSeq
-    implicit val sqlCtx: org.apache.spark.sql.SQLContext = ss.sqlContext
-    val ms = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[TypedEvent]
+    val evs = eventRows(ss, sfDir)
+    val (stream, chunkDir) = EventsReplay.fileStream(ss, evs, nChunks = 3)
     val sink = new KeyedUpsertSink(Seq("user_id", "event_type"))
     val ckpt = TempDir.create("graft-ckpt-")
-    val q = ms.toDS()
+    val q = stream
+      .select(col("userId"), col("etype").as("eventType"))
+      .as[TypedEvent]
       .groupByKey(_.userId)
       .transformWithState(new TypeCountProcessor,
         org.apache.spark.sql.streaming.TimeMode.None(),
@@ -360,12 +410,12 @@ object StreamingQueries {
       .foreachBatch(sink.upsert _)
       .start()
     try {
-      val size = math.max(1, math.ceil(fed.size.toDouble / 3).toInt)
-      fed.grouped(size).foreach { b => ms.addData(b); q.processAllAvailable() }
+      q.processAllAvailable()
       sink.toDF(ss).localCheckpoint()
     } finally {
       q.stop()
       TempDir.deleteRecursively(ckpt.toString)
+      TempDir.deleteRecursively(chunkDir)
       sink.close()
       StateStoreBridge.unloadAll()
     }
@@ -614,50 +664,28 @@ object StreamingQueries {
     * mode: sessions are state-local per user, merged as events arrive
     * (order-insensitive), emitted when the watermark passes
     * session-end + gap — so the flushed results equal the batch
-    * gap-reconstruction oracle exactly. A far-future sentinel
-    * (user −1, filtered from the output) flushes the tail sessions.
+    * gap-reconstruction oracle exactly. Feeds from gz JSONL chunk
+    * files ([[eventsFileReplay]]); a far-future sentinel (user −1,
+    * filtered from the output) flushes the tail sessions.
     */
   def sessionizeStream(spark: SparkSession, sfDir: String): DataFrame = {
-    import java.util.UUID
     val ss = streamSession(spark)
-    import ss.implicits._
-    val evs = graft.Tables.events(ss, sfDir)
-      .select(col("user_id"), unix_millis(col("ts")).as("t_ms"), col("value"))
-      .collect().map(r => UserEvent(r.getLong(0), r.getLong(1), r.getDouble(2)))
-      .toSeq.sortBy(e => (e.tMs, e.userId))
-    val maxT = evs.map(_.tMs).maxOption.getOrElse(0L)
-    val fed = evs :+ UserEvent(-1L, maxT + 7200000L, 0.0)
-    implicit val sqlCtx: org.apache.spark.sql.SQLContext = ss.sqlContext
-    val ms = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[UserEvent]
-    val name = "sess_" + UUID.randomUUID().toString.replace("-", "")
-    val ckpt = TempDir.create("graft-ckpt-")
-    val q = ms.toDF().withColumn("ts", timestamp_millis(col("tMs")))
-      .withWatermark("ts", "60 seconds")
-      .groupBy(col("userId"), session_window(col("ts"), "30 minutes").as("sw"))
-      .agg(
-        count(lit(1)).as("n_events"),
-        max(col("tMs")).as("last_t_ms"),
-        sum(col("value").cast("decimal(18,4)")).cast("double").as("sum_value"))
-      .select(
-        col("userId").as("user_id"),
-        unix_millis(col("sw.start")).as("session_start_ms"),
-        col("last_t_ms"), col("n_events"), col("sum_value"))
-      .writeStream.outputMode("append")
-      .option("checkpointLocation", ckpt.toString)
-      .format("memory").queryName(name)
-      .start()
-    try {
-      val size = math.max(1, math.ceil(fed.size.toDouble / 4).toInt)
-      fed.grouped(size).foreach { b => ms.addData(b); q.processAllAvailable() }
-      // flush batch: apply the sentinel-advanced watermark (see
-      // `appendReplay` — no-data micro-batches are disabled)
-      ms.addData(Seq(fed.last)); q.processAllAvailable()
-    } finally {
-      q.stop()
-      TempDir.deleteRecursively(ckpt.toString)
-      StateStoreBridge.unloadAll()
-    }
-    ss.table(name).filter(col("user_id") >= 0)
+    val evs = eventRows(ss, sfDir)
+    val sentinel = evSentinel(evs, gapMs = 7200000L)
+    eventsFileReplay(ss, evs :+ sentinel, "sess_", nChunks = 4,
+      flush = Seq(sentinel)) { stream =>
+      stream
+        .withWatermark("ts", "60 seconds")
+        .groupBy(col("userId"), session_window(col("ts"), "30 minutes").as("sw"))
+        .agg(
+          count(lit(1)).as("n_events"),
+          max(col("tMs")).as("last_t_ms"),
+          sum(col("value").cast("decimal(18,4)")).cast("double").as("sum_value"))
+        .select(
+          col("userId").as("user_id"),
+          unix_millis(col("sw.start")).as("session_start_ms"),
+          col("last_t_ms"), col("n_events"), col("sum_value"))
+    }.filter(col("user_id") >= 0)
   }
 
   /** The conversion funnel run AS A STREAM ([[graft.streaming.Funnel]]
@@ -665,44 +693,23 @@ object StreamingQueries {
     * single final row per user on the finality bound). Batch twin and
     * oracle: `events_funnel`. The replay feeds only the three funnel
     * event types (the filter the scan would push at scale), sorted,
-    * across 4 micro-batches; a far-future sentinel (user −1, filtered)
-    * advances the watermark past every finality bound so all users
-    * flush.
+    * across 4 gz JSONL chunk files ([[eventsFileReplay]]); a
+    * far-future sentinel (user −1, filtered) advances the watermark
+    * past every finality bound so all users flush.
     */
   def funnelStream(spark: SparkSession, sfDir: String): DataFrame = {
-    import java.util.UUID
     val ss = streamSession(spark)
     import ss.implicits._
-    val evs = graft.Tables.events(ss, sfDir)
-      .filter(col("event_type").isin("view", "click", "purchase"))
-      .select(col("user_id"), unix_millis(col("ts")).as("t_ms"), col("event_type"))
-      .collect().map(r => FunnelEvent(r.getLong(0), r.getLong(1), r.getString(2)))
-      .toSeq.sortBy(e => (e.tMs, e.userId))
-    val maxT = evs.map(_.tMs).maxOption.getOrElse(0L)
-    val fed = evs :+ FunnelEvent(-1L, maxT + 2 * Funnel.WindowMs + 3600000L, "view")
-    implicit val sqlCtx: org.apache.spark.sql.SQLContext = ss.sqlContext
-    val ms = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[FunnelEvent]
-    val name = "funnel_" + UUID.randomUUID().toString.replace("-", "")
-    val ckpt = TempDir.create("graft-ckpt-")
-    val q = Funnel.funnelResults(
-        ms.toDF().withColumn("ts", timestamp_millis(col("tMs")))
+    val evs = eventRows(ss, sfDir, types = Seq("view", "click", "purchase"))
+    val sentinel = evSentinel(evs, gapMs = 2 * Funnel.WindowMs + 3600000L)
+    eventsFileReplay(ss, evs :+ sentinel, "funnel_", nChunks = 4,
+      flush = Seq(sentinel)) { stream =>
+      Funnel.funnelResults(
+        stream
           .withWatermark("ts", "60 seconds")
           .as[FunnelEvent])
-      .toDF()
-      .writeStream.outputMode("append")
-      .option("checkpointLocation", ckpt.toString)
-      .format("memory").queryName(name)
-      .start()
-    try {
-      val size = math.max(1, math.ceil(fed.size.toDouble / 4).toInt)
-      fed.grouped(size).foreach { b => ms.addData(b); q.processAllAvailable() }
-      ms.addData(Seq(fed.last)); q.processAllAvailable()
-    } finally {
-      q.stop()
-      TempDir.deleteRecursively(ckpt.toString)
-      StateStoreBridge.unloadAll()
-    }
-    ss.table(name).filter(col("user_id") >= 0)
+        .toDF()
+    }.filter(col("user_id") >= 0)
   }
 
   /** Stream-stream LEFT OUTER interval join — the emission semantics
@@ -719,47 +726,25 @@ object StreamingQueries {
     */
   def attributionOuterStream(spark: SparkSession, sfDir: String): DataFrame = {
     val ss = streamSession(spark)
-    import ss.implicits._
-    val evs = graft.Tables.events(ss, sfDir)
-      .filter(col("event_type").isin("click", "purchase"))
-      .select(col("user_id"), unix_millis(col("ts")).as("t_ms"), col("event_type"))
-      .collect().map(r => FunnelEvent(r.getLong(0), r.getLong(1), r.getString(2)))
-      .toSeq.sortBy(e => (e.tMs, e.userId))
-    val maxT = evs.map(_.tMs).maxOption.getOrElse(0L)
-    val fed = evs :+ FunnelEvent(-1L, maxT + 3600000L + 7200000L, "click")
-    implicit val sqlCtx: org.apache.spark.sql.SQLContext = ss.sqlContext
-    val ms = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[FunnelEvent]
-    val name = "attr_" + UUID.randomUUID().toString.replace("-", "")
-    val ckpt = TempDir.create("graft-ckpt-")
-    val wm = ms.toDF().withColumn("ts", timestamp_millis(col("tMs")))
-      .withWatermark("ts", "60 seconds")
-    val clicks = wm.filter(col("etype") === "click")
-      .select(col("userId").as("c_user"), col("ts").as("c_ts"))
-    val purchases = wm.filter(col("etype") === "purchase")
-      .select(col("userId").as("p_user"), col("ts").as("p_ts"))
-    val q = clicks.join(purchases,
-        col("c_user") === col("p_user") &&
-          col("p_ts") > col("c_ts") &&
-          col("p_ts") <= col("c_ts") + expr("INTERVAL 1 HOUR"),
-        "left_outer")
-      .select(col("c_user").as("user_id"),
-        unix_millis(col("c_ts")).as("click_ms"),
-        unix_millis(col("p_ts")).as("purchase_ms"))
-      .writeStream.outputMode("append")
-      .option("checkpointLocation", ckpt.toString)
-      .format("memory").queryName(name)
-      .start()
-    try {
-      // 2 batches (same cost rationale as durationStream) + sentinel
-      val size = math.max(1, math.ceil(fed.size.toDouble / 2).toInt)
-      fed.grouped(size).foreach { b => ms.addData(b); q.processAllAvailable() }
-      ms.addData(Seq(fed.last)); q.processAllAvailable()
-    } finally {
-      q.stop()
-      TempDir.deleteRecursively(ckpt.toString)
-      StateStoreBridge.unloadAll()
-    }
-    ss.table(name).filter(col("user_id") >= 0)
+    val evs = eventRows(ss, sfDir, types = Seq("click", "purchase"))
+    val sentinel = evSentinel(evs, gapMs = 3600000L + 7200000L, etype = "click")
+    // 2 data chunks (same cost rationale as durationStream) + flush
+    eventsFileReplay(ss, evs :+ sentinel, "attr_", nChunks = 2,
+      flush = Seq(sentinel)) { stream =>
+      val wm = stream.withWatermark("ts", "60 seconds")
+      val clicks = wm.filter(col("etype") === "click")
+        .select(col("userId").as("c_user"), col("ts").as("c_ts"))
+      val purchases = wm.filter(col("etype") === "purchase")
+        .select(col("userId").as("p_user"), col("ts").as("p_ts"))
+      clicks.join(purchases,
+          col("c_user") === col("p_user") &&
+            col("p_ts") > col("c_ts") &&
+            col("p_ts") <= col("c_ts") + expr("INTERVAL 1 HOUR"),
+          "left_outer")
+        .select(col("c_user").as("user_id"),
+          unix_millis(col("c_ts")).as("click_ms"),
+          unix_millis(col("p_ts")).as("purchase_ms"))
+    }.filter(col("user_id") >= 0)
   }
 
   /** Stream-stream FULL OUTER interval join — completes the outer
@@ -773,46 +758,24 @@ object StreamingQueries {
     */
   def attributionFullStream(spark: SparkSession, sfDir: String): DataFrame = {
     val ss = streamSession(spark)
-    import ss.implicits._
-    val evs = graft.Tables.events(ss, sfDir)
-      .filter(col("event_type").isin("click", "purchase"))
-      .select(col("user_id"), unix_millis(col("ts")).as("t_ms"), col("event_type"))
-      .collect().map(r => FunnelEvent(r.getLong(0), r.getLong(1), r.getString(2)))
-      .toSeq.sortBy(e => (e.tMs, e.userId))
-    val maxT = evs.map(_.tMs).maxOption.getOrElse(0L)
-    val fed = evs :+ FunnelEvent(-1L, maxT + 3600000L + 7200000L, "click")
-    implicit val sqlCtx: org.apache.spark.sql.SQLContext = ss.sqlContext
-    val ms = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[FunnelEvent]
-    val name = "attrf_" + UUID.randomUUID().toString.replace("-", "")
-    val ckpt = TempDir.create("graft-ckpt-")
-    val wm = ms.toDF().withColumn("ts", timestamp_millis(col("tMs")))
-      .withWatermark("ts", "60 seconds")
-    val clicks = wm.filter(col("etype") === "click")
-      .select(col("userId").as("c_user"), col("ts").as("c_ts"))
-    val purchases = wm.filter(col("etype") === "purchase")
-      .select(col("userId").as("p_user"), col("ts").as("p_ts"))
-    val q = clicks.join(purchases,
-        col("c_user") === col("p_user") &&
-          col("p_ts") > col("c_ts") &&
-          col("p_ts") <= col("c_ts") + expr("INTERVAL 1 HOUR"),
-        "full_outer")
-      .select(coalesce(col("c_user"), col("p_user")).as("user_id"),
-        unix_millis(col("c_ts")).as("click_ms"),
-        unix_millis(col("p_ts")).as("purchase_ms"))
-      .writeStream.outputMode("append")
-      .option("checkpointLocation", ckpt.toString)
-      .format("memory").queryName(name)
-      .start()
-    try {
-      val size = math.max(1, math.ceil(fed.size.toDouble / 2).toInt)
-      fed.grouped(size).foreach { b => ms.addData(b); q.processAllAvailable() }
-      ms.addData(Seq(fed.last)); q.processAllAvailable()
-    } finally {
-      q.stop()
-      TempDir.deleteRecursively(ckpt.toString)
-      StateStoreBridge.unloadAll()
-    }
-    ss.table(name).filter(col("user_id") >= 0)
+    val evs = eventRows(ss, sfDir, types = Seq("click", "purchase"))
+    val sentinel = evSentinel(evs, gapMs = 3600000L + 7200000L, etype = "click")
+    eventsFileReplay(ss, evs :+ sentinel, "attrf_", nChunks = 2,
+      flush = Seq(sentinel)) { stream =>
+      val wm = stream.withWatermark("ts", "60 seconds")
+      val clicks = wm.filter(col("etype") === "click")
+        .select(col("userId").as("c_user"), col("ts").as("c_ts"))
+      val purchases = wm.filter(col("etype") === "purchase")
+        .select(col("userId").as("p_user"), col("ts").as("p_ts"))
+      clicks.join(purchases,
+          col("c_user") === col("p_user") &&
+            col("p_ts") > col("c_ts") &&
+            col("p_ts") <= col("c_ts") + expr("INTERVAL 1 HOUR"),
+          "full_outer")
+        .select(coalesce(col("c_user"), col("p_user")).as("user_id"),
+          unix_millis(col("c_ts")).as("click_ms"),
+          unix_millis(col("p_ts")).as("purchase_ms"))
+    }.filter(col("user_id") >= 0)
   }
 
   /** The curation recipe's streaming FRONT DOOR: documents arrive as
@@ -1040,18 +1003,12 @@ object StreamingQueries {
     * arithmetic and the final rank converges to the batch oracle.
     */
   def trendingStream(spark: SparkSession, sfDir: String): DataFrame = {
-    import java.util.UUID
     val ss = streamSession(spark)
-    import ss.implicits._
-    val evs = graft.Tables.events(ss, sfDir)
-      .select(col("user_id"), unix_millis(col("ts")).as("t_ms"), col("event_type"))
-      .collect().map(r => FunnelEvent(r.getLong(0), r.getLong(1), r.getString(2)))
-      .toSeq.sortBy(e => (e.tMs, e.userId))
-    implicit val sqlCtx: org.apache.spark.sql.SQLContext = ss.sqlContext
-    val ms = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[FunnelEvent]
+    val evs = eventRows(ss, sfDir)
+    val (stream, chunkDir) = EventsReplay.fileStream(ss, evs, nChunks = 4)
     val sink = new KeyedUpsertSink(Seq("w_start_ms", "event_type"))
     val ckpt = TempDir.create("graft-ckpt-")
-    val counts = ms.toDF().withColumn("ts", timestamp_millis(col("tMs")))
+    val counts = stream
       .withWatermark("ts", "60 seconds")
       .groupBy(window(col("ts"), "6 hours").as("w"), col("etype"))
       .count()
@@ -1063,12 +1020,12 @@ object StreamingQueries {
       .start()
     val table =
       try {
-        val size = math.max(1, math.ceil(evs.size.toDouble / 4).toInt)
-        evs.grouped(size).foreach { b => ms.addData(b); q.processAllAvailable() }
+        q.processAllAvailable()
         sink.toDF(ss).localCheckpoint()
       } finally {
         q.stop()
         TempDir.deleteRecursively(ckpt.toString)
+        TempDir.deleteRecursively(chunkDir)
         sink.close()
         StateStoreBridge.unloadAll()
       }
@@ -1099,43 +1056,22 @@ object StreamingQueries {
     * oracle's integer `t_ms div day · day`).
     */
   def enrichStream(spark: SparkSession, sfDir: String): DataFrame = {
-    import java.util.UUID
     val ss = streamSession(spark)
-    import ss.implicits._
-    val evs = graft.Tables.events(ss, sfDir)
-      .select(col("user_id"), unix_millis(col("ts")).as("t_ms"), col("value"))
-      .collect().map(r => UserEvent(r.getLong(0), r.getLong(1), r.getDouble(2)))
-      .toSeq.sortBy(e => (e.tMs, e.userId))
-    val maxT = evs.map(_.tMs).maxOption.getOrElse(0L)
-    val fed = evs :+ UserEvent(-1L, maxT + 172800000L, 0.0)
+    val evs = eventRows(ss, sfDir)
+    val sentinel = evSentinel(evs, gapMs = 172800000L)
     val dim = graft.Tables.customer(ss, sfDir)
       .select(col("c_custkey").as("d_user"), col("c_mktsegment").as("segment"))
-    implicit val sqlCtx: org.apache.spark.sql.SQLContext = ss.sqlContext
-    val ms = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[UserEvent]
-    val name = "enrich_" + UUID.randomUUID().toString.replace("-", "")
-    val ckpt = TempDir.create("graft-ckpt-")
-    val q = ms.toDF().withColumn("ts", timestamp_millis(col("tMs")))
-      .withWatermark("ts", "60 seconds")
-      .join(broadcast(dim), col("userId") === col("d_user"))
-      .groupBy(col("segment"), window(col("ts"), "24 hours").as("w"))
-      .agg(count(lit(1)).as("n_events"),
-        sum(col("value").cast("decimal(18,4)")).cast("double").as("sum_value"))
-      .select(col("segment"), unix_millis(col("w.start")).as("day_start_ms"),
-        col("n_events"), col("sum_value"))
-      .writeStream.outputMode("append")
-      .option("checkpointLocation", ckpt.toString)
-      .format("memory").queryName(name)
-      .start()
-    try {
-      val size = math.max(1, math.ceil(fed.size.toDouble / 4).toInt)
-      fed.grouped(size).foreach { b => ms.addData(b); q.processAllAvailable() }
-      ms.addData(Seq(fed.last)); q.processAllAvailable()
-    } finally {
-      q.stop()
-      TempDir.deleteRecursively(ckpt.toString)
-      StateStoreBridge.unloadAll()
+    eventsFileReplay(ss, evs :+ sentinel, "enrich_", nChunks = 4,
+      flush = Seq(sentinel)) { stream =>
+      stream
+        .withWatermark("ts", "60 seconds")
+        .join(broadcast(dim), col("userId") === col("d_user"))
+        .groupBy(col("segment"), window(col("ts"), "24 hours").as("w"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(col("value").cast("decimal(18,4)")).cast("double").as("sum_value"))
+        .select(col("segment"), unix_millis(col("w.start")).as("day_start_ms"),
+          col("n_events"), col("sum_value"))
     }
-    ss.table(name)
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
