@@ -411,6 +411,59 @@ object Multimodal {
       if (n == 0.0) new Array[Float](bins) else h.map(x => (x / n).toFloat)
     }
 
+    /** 4×4 average-pooled luma grid over a w×h pixel plane — the
+      * layout-AWARE image feature (a histogram is permutation-blind;
+      * pooling preserves spatial structure, the property a contrastive
+      * encoder's early layers compute). Cell (gy, gx) of pixel (y, x)
+      * is (y·4 ⌊/⌋ h, x·4 ⌊/⌋ w); the cell value is ⌊Σ/count⌋ —
+      * exact integer arithmetic end-to-end, so the DuckDB oracle
+      * recomputes every cell bit-for-bit. Cells empty under tiny
+      * planes (h < 4 or w < 4) stay 0, mirrored by the oracle's
+      * coalesce/greatest guards. Row-major 16-long output.
+      */
+    def pooledGrid(content: Array[Byte], w: Int, h: Int): Array[Long] = {
+      val sums = new Array[Long](16)
+      val counts = new Array[Long](16)
+      var i = 0
+      while (i < content.length) {
+        val y = i / w
+        val x = i % w
+        val c = (y * 4 / h) * 4 + (x * 4 / w)
+        sums(c) += (content(i) & 0xff)
+        counts(c) += 1L
+        i += 1
+      }
+      Array.tabulate(16)(c => if (counts(c) == 0) 0L else sums(c) / counts(c))
+    }
+
+    /** 16-segment average pooling over a 1-D content sequence — the
+      * pooled-grid form for modalities without a spatial plane (PCM
+      * samples, concatenated luma, raw text): segment of byte i is
+      * i·16 ⌊/⌋ n, value = ⌊Σ/count⌋, empty segments (n < 16) stay 0.
+      * Exact integers, oracle-recomputable.
+      */
+    def pooledSeq(content: Array[Byte], bins: Int = 16): Array[Long] = {
+      val n = content.length
+      val sums = new Array[Long](bins)
+      val counts = new Array[Long](bins)
+      var i = 0
+      while (i < n) {
+        val g = (i.toLong * bins / n).toInt
+        sums(g) += (content(i) & 0xff)
+        counts(g) += 1L
+        i += 1
+      }
+      Array.tabulate(bins)(g => if (counts(g) == 0) 0L else sums(g) / counts(g))
+    }
+
+    /** Unit-norm float form of an exact-integer feature vector (the
+      * ANN consumption shape); all-zero input keeps the zero vector.
+      */
+    def normalized(v: Array[Long]): Array[Float] = {
+      val n = math.sqrt(v.map(x => x.toDouble * x).sum)
+      if (n == 0.0) new Array[Float](v.length) else v.map(x => (x / n).toFloat)
+    }
+
     /** Difference hash (dHash) row bytes: resize to 9×8 through the
       * REAL codec resize, then bit x of row y = 1 iff p(y,x) > p(y,x+1).
       * Robust to rescaling (floor-sampling composes exactly under
@@ -500,17 +553,23 @@ object Multimodal {
       })
   }
 
-  /** `features` is the unit-norm intensity-histogram vector (what the
-    * ANN operators consume); `hist` is the same histogram in *exact
-    * integer* domain — the oracle-checkable shadow, so the driver
-    * hard-verifies the decode→featurize plumbing without comparing
-    * float32 accumulation against DuckDB doubles. Both are computed on
-    * DECODED content bytes (pixels / PCM samples / luma planes), never
-    * on container bytes.
+  /** `features` is the unit-norm POOLED-GRID vector (what the ANN
+    * operators consume): images get a layout-aware 4×4 average pool
+    * over the decoded luma plane ([[ContentFeatures.pooledGrid]]),
+    * other modalities a 16-segment 1-D pool over their decoded
+    * content ([[ContentFeatures.pooledSeq]]). `grid` is the same
+    * vector in *exact integer* domain — the oracle-checkable shadow,
+    * so the driver hard-verifies the decode→pool plumbing without
+    * comparing float32 accumulation against DuckDB doubles — and
+    * `hist` keeps the 16-bin intensity histogram as the
+    * permutation-blind fallback feature. All computed on DECODED
+    * content bytes (pixels / PCM samples / luma planes), never on
+    * container bytes.
     */
   final case class MediaFeatures(
       media_id: Long,
       features: Array[Float],
+      grid: Array[Long],
       hist: Array[Long])
 
   /** Resize stage: payload → fixed-dims payload, still partition-local.
@@ -533,18 +592,29 @@ object Multimodal {
   }
 
   /** Feature-extraction stage: payload → real codec decode → fixed-dim
-    * intensity-histogram embedding, feeding the similarity operators
-    * (VectorFunctions/knn) downstream. Partition-parallel; payloads
-    * never shuffle.
+    * pooled-grid embedding (4×4 spatial pool for images, 16-segment
+    * 1-D pool otherwise; intensity histogram kept as the fallback
+    * column), feeding the similarity operators (VectorFunctions/knn)
+    * downstream. Partition-parallel; payloads never shuffle.
     */
   def extractFeatures(media: DataFrame, dim: Int = 16): Dataset[MediaFeatures] = {
     val spark = media.sparkSession
     import spark.implicits._
     media.as[MediaItem]
       .mapPartitions(_.map { m =>
+        val isPgm = m.payload.length >= 2 &&
+          m.payload(0) == 'P' && m.payload(1) == '5'
+        val grid =
+          if (isPgm) {
+            val (w, h, _) = PgmCodec.decodeImage(m.payload)
+            ContentFeatures.pooledGrid(PgmCodec.pixels(m.payload), w, h)
+          } else {
+            ContentFeatures.pooledSeq(ContentFeatures.contentBytes(m.payload), dim)
+          }
         val content = ContentFeatures.contentBytes(m.payload)
         MediaFeatures(m.media_id,
-          ContentFeatures.normalizedHistogram(content, dim),
+          ContentFeatures.normalized(grid),
+          grid,
           ContentFeatures.intensityHistogram(content, dim))
       })
   }

@@ -51,12 +51,14 @@ object MultimodalQueries {
     "multimodal_audio_resample" -> ((s, dir) =>
       Multimodal.resampleAudio(Multimodal.audioFromDocuments(s, dir)).toDF()),
 
-    // Real resize + feature-extraction stages. Features are intensity
-    // histograms over DECODED content bytes (pixels / PCM / luma —
-    // never container bytes); the float32 unit-norm vector isn't
-    // robustly SQL-comparable, but its exact integer twin (the bucket
-    // counts) is — all 16 projected so the driver hard-checks the
-    // decode→featurize plumbing bucket by bucket.
+    // Real resize + feature-extraction stages. Features are pooled
+    // grids over DECODED content bytes (4×4 spatial average pool on
+    // image luma, 16-segment 1-D pool on PCM/luma/text — never
+    // container bytes), with the intensity histogram kept as the
+    // fallback column; the float32 unit-norm vector isn't robustly
+    // SQL-comparable, but its exact integer twin (the cell values)
+    // is — all 16 cells + 16 buckets projected so the driver
+    // hard-checks the decode→pool plumbing cell by cell.
     "multimodal_resize" -> ((s, dir) =>
       Multimodal.resizeImages(Multimodal.mediaFromDocuments(s, dir)).toDF()),
 
@@ -72,8 +74,9 @@ object MultimodalQueries {
         org.apache.spark.sql.functions.size(col("features")).as("dim"),
         org.apache.spark.sql.functions.round(
           graft.functions.VectorFunctions.norm(col("features")), 3).as("nrm"))
+      val cells = (0 until 16).map(b => element_at(col("grid"), b + 1).as(s"g$b"))
       val buckets = (0 until 16).map(b => element_at(col("hist"), b + 1).as(s"h$b"))
-      f.select(head ++ buckets: _*)
+      f.select(head ++ cells ++ buckets: _*)
     }),
 
     // Perceptual hashes over the real codec resize: dHash (gradient
@@ -126,27 +129,27 @@ object MultimodalQueries {
     // the scan stage), and the ANN stage reuses knn_brute's anatomy
     // (broadcast queries, bounded TopKByScore aggregator: Q×k×
     // partitions rows cross the shuffle, not Q×N). Scoring runs in
-    // the histogram integer domain — the exact shadow of the float
-    // features (same bucket counts, two domains; see MediaFeatures) —
+    // the pooled-grid integer domain — the exact shadow of the float
+    // features (same cell values, two domains; see MediaFeatures) —
     // so every dot product is integer-exact and the DuckDB oracle can
     // hash-match the full ranking, not just a rows-only check.
     "multimodal_feature_knn" -> ((s, dir) => {
       import s.implicits._
       val feats = Multimodal.extractFeatures(Multimodal.mediaFromDocuments(s, dir))
         .toDF()
-        .select(col("media_id"), col("hist"))
-        // products and partial sums stay < 2^53 (bucket counts are a
-        // few thousand), so double accumulation here is EXACT —
+        .select(col("media_id"), col("grid"))
+        // products and partial sums stay < 2^53 (cell values are
+        // byte-scale), so double accumulation here is EXACT —
         // equality with the oracle's BIGINT arithmetic is bit-level,
         // not approximate
         .withColumn("nrm",
-          sqrt(aggregate(col("hist"), lit(0.0), (a, x) => a + x * x)))
+          sqrt(aggregate(col("grid"), lit(0.0), (a, x) => a + x * x)))
       val q = feats.filter(col("media_id") % 50 === 0)
         .select(col("media_id").as("query_id"),
-          col("hist").as("q_h"), col("nrm").as("q_nrm"))
+          col("grid").as("q_g"), col("nrm").as("q_nrm"))
       val scored = broadcast(q).join(feats, col("query_id") =!= col("media_id"))
         .select(col("query_id"), col("media_id"),
-          (aggregate(zip_with(col("q_h"), col("hist"), (a, b) => a * b),
+          (aggregate(zip_with(col("q_g"), col("grid"), (a, b) => a * b),
             lit(0.0), (acc, x) => acc + x) / (col("q_nrm") * col("nrm"))).as("cos"))
         .as[(Long, Long, Double)]
       scored.groupByKey(_._1)
@@ -162,10 +165,11 @@ object MultimodalQueries {
     // Cross-modal pair mining — the image↔text alignment step a
     // contrastive (CLIP-style) training set is built from: each image
     // is matched to its best caption candidate by feature agreement.
-    // Stand-in encoders, REAL plumbing: the image side is the exact
-    // integer intensity histogram over the real codec decode
-    // (MediaFeatures.hist), the caption side a 16-bucket token-hash
-    // histogram — both exact ints, so the score (integer dot product
+    // Small encoders, REAL plumbing: the image side is the exact
+    // integer 4×4 pooled luma grid over the real codec decode
+    // (MediaFeatures.grid — layout-aware, what a contrastive
+    // encoder's early layers compute), the caption side a 16-bucket
+    // token-hash histogram — both exact ints, so the score (integer dot product
     // via zip_with/aggregate, < 2^53 → double accumulation exact) and
     // the argmax are hash-checkable, no float drift. Scale anatomy:
     // candidates pair only WITHIN a source block (the LSH-bucket
@@ -180,7 +184,7 @@ object MultimodalQueries {
       val media = Multimodal.mediaFromDocuments(s, dir)
       val imgs = Multimodal.extractFeatures(media.filter(col("kind") === "image"))
         .toDF()
-        .select(col("media_id"), col("hist"))
+        .select(col("media_id"), col("grid"))
         .join(docs.select(col("doc_id").as("media_id"), col("source")), "media_id")
       val caps = docs.filter(col("doc_id") % 3 === 1)
         .select(col("doc_id").as("caption_id"), col("source"),
@@ -192,7 +196,7 @@ object MultimodalQueries {
           sum(when(col("b") === b, 1L).otherwise(0L))): _*).as("chist"))
       imgs.join(caps, "source")
         .select(col("media_id"), col("caption_id"),
-          aggregate(zip_with(col("hist"), col("chist"), (a, c) => a * c),
+          aggregate(zip_with(col("grid"), col("chist"), (a, c) => a * c),
             lit(0.0), (acc, x) => acc + x).cast("long").as("score"))
         .groupBy(col("media_id"))
         .agg(count(lit(1)).as("n_cands"),
@@ -249,7 +253,7 @@ object MultimodalQueries {
        |          (8 + length(text) % 16) * 2 AS fs FROM documents),
        |cm1 AS (SELECT *, greatest(1, (n + w - 1) // w) AS h,
        |          greatest(1, (n + fs - 1) // fs) AS nf FROM cm0),
-       |cm AS (SELECT doc_id, kind,
+       |cm AS (SELECT doc_id, kind, w, h,
        |         CASE WHEN kind = 'image' THEN text || repeat(' ', w * h - n)
        |              WHEN kind = 'video' THEN text || repeat(' ', fs * nf - n)
        |              ELSE text END AS content
@@ -262,6 +266,45 @@ object MultimodalQueries {
   private def histSql(b: Int, src: String = "content"): String =
     s"CAST(len([i for i in range(1, length($src) + 1) " +
       s"if ascii(substring($src, i, 1)) // 16 = $b]) AS BIGINT)"
+
+  /** Exact cell `b` (row-major gy·4+gx) of the 4×4 average-pooled
+    * luma grid over an image content expression with plane dims
+    * (`w`, `h`) — ContentFeatures.pooledGrid's fixture-math twin:
+    * pixel (y, x) lands in cell (y·4 ⌊/⌋ h, x·4 ⌊/⌋ w), cell value
+    * ⌊Σ/count⌋ with count = ceil-partition width products, empty
+    * cells 0.
+    */
+  private def gridCellSql(b: Int, src: String = "content",
+      w: String = "w", h: String = "h"): String = {
+    val gy = b / 4
+    val gx = b % 4
+    val sum = s"coalesce(list_sum([ascii(substring($src, i + 1, 1)) " +
+      s"for i in range(0, $w * $h) " +
+      s"if ((i // $w) * 4) // $h = $gy and ((i % $w) * 4) // $w = $gx]), 0)"
+    val rows = s"(((${gy + 1}) * $h + 3) // 4 - ($gy * $h + 3) // 4)"
+    val cols = s"(((${gx + 1}) * $w + 3) // 4 - ($gx * $w + 3) // 4)"
+    s"CAST($sum // greatest(1, $rows * $cols) AS BIGINT)"
+  }
+
+  /** Exact segment `b` of the 16-segment 1-D average pool over a
+    * content expression — ContentFeatures.pooledSeq's twin: byte i
+    * lands in segment i·16 ⌊/⌋ n, value ⌊Σ/count⌋, empty segments 0.
+    */
+  private def seqCellSql(b: Int, src: String = "content"): String = {
+    val n = s"length($src)"
+    val sum = s"coalesce(list_sum([ascii(substring($src, i + 1, 1)) " +
+      s"for i in range(0, $n) if (i * 16) // $n = $b]), 0)"
+    val cnt = s"(((${b + 1}) * $n + 15) // 16 - ($b * $n + 15) // 16)"
+    s"CAST($sum // greatest(1, $cnt) AS BIGINT)"
+  }
+
+  /** Kind-routed pooled-grid cell `b`: spatial 4×4 pool for image
+    * rows, 1-D 16-segment pool otherwise.
+    */
+  private def pooledSql(b: Int, src: String = "content",
+      kind: String = "kind"): String =
+    s"CASE WHEN $kind = 'image' THEN ${gridCellSql(b, src)} " +
+      s"ELSE ${seqCellSql(b, src)} END"
 
   /** Pixel (y, x) of the ORIGINAL image resized to tw×th — the exact
     * nearest-neighbor arithmetic of PgmCodec.resize: source index
@@ -312,16 +355,24 @@ object MultimodalQueries {
 
   val oracleSql: Map[String, String] = Map(
     "multimodal_features" ->
-      // nrm: the normalized histogram has unit norm EXCEPT for empty
-      // content, whose zero vector keeps norm 0 (ContentFeatures
-      // .normalizedHistogram's n == 0 branch). Bucket counts run over
-      // the DECODED content bytes rebuilt by contentCte.
-      s"""WITH $contentCte
+      // nrm: the normalized pooled-grid vector has unit norm EXCEPT
+      // when the grid is all-zero (empty content), norm 0
+      // (ContentFeatures.normalized's n == 0 branch). Cells + bucket
+      // counts run over the DECODED content bytes rebuilt by
+      // contentCte; the inner select materializes the cells so the
+      // norm CASE can reference them.
+      s"""WITH $contentCte,
+         |gr AS (
+         |  SELECT doc_id, length(content) AS clen,
+         |  ${(0 until 16).map(b => s"${pooledSql(b)} AS g$b").mkString(",\n  ")},
+         |  ${(0 until 16).map(b => s"${histSql(b)} AS h$b").mkString(",\n  ")}
+         |  FROM cm)
          |SELECT doc_id AS media_id, CAST(16 AS INT) AS dim,
-         |  CAST(CASE WHEN length(content) = 0
+         |  CAST(CASE WHEN ${(0 until 16).map(b => s"g$b = 0").mkString(" AND ")}
          |       THEN 0.0 ELSE 1.0 END AS DOUBLE) AS nrm,
-         |  ${(0 until 16).map(b => s"${histSql(b)} AS h$b").mkString(", ")}
-         |FROM cm""".stripMargin,
+         |  ${(0 until 16).map(b => s"g$b").mkString(", ")},
+         |  ${(0 until 16).map(b => s"h$b").mkString(", ")}
+         |FROM gr""".stripMargin,
 
     // Fixture-math twin of ContentFeatures.dhashBytes/ahashBytes over
     // the real resize arithmetic: green means the bit the codec packed
@@ -492,7 +543,7 @@ object MultimodalQueries {
          |    for i in range(1, fs + 1)]), 0) AS BIGINT) AS frame_sum
          |FROM v2, UNNEST([x for x in range(0, nf) if x % 2 = 0]) AS t(f)""".stripMargin,
     "multimodal_feature_knn" -> {
-      val buckets = (0 until 16).map(b => s"${histSql(b)} AS s$b").mkString(",\n  ")
+      val buckets = (0 until 16).map(b => s"${pooledSql(b)} AS s$b").mkString(",\n  ")
       def dot(a: String, b: String) =
         (0 until 16).map(l => s"$a.s$l * $b.s$l").mkString(" + ")
       def nrm2(a: String) = (0 until 16).map(l => s"$a.s$l * $a.s$l").mkString(" + ")
@@ -511,11 +562,12 @@ object MultimodalQueries {
          |) WHERE rnk <= 5""".stripMargin
     },
 
-    // exact-integer mirror: pixel hist over decoded content, caption
-    // hist over token-hash buckets, argmax via the struct-max idiom
+    // exact-integer mirror: pooled luma grid over decoded content,
+    // caption hist over token-hash buckets, argmax via the struct-max
+    // idiom
     "multimodal_caption_match" -> {
       val hh = graft.functions.TextFunctions.Sql.tokenHash("t")
-      val ih = (0 until 16).map(b => s"${histSql(b)} AS h$b").mkString(",\n  ")
+      val ih = (0 until 16).map(b => s"${gridCellSql(b)} AS h$b").mkString(",\n  ")
       val ch = (0 until 16).map(b =>
         s"SUM(CASE WHEN $hh % 16 = $b THEN 1 ELSE 0 END) AS c$b").mkString(",\n  ")
       val dot = (0 until 16).map(b => s"ih.h$b * ch.c$b").mkString(" + ")

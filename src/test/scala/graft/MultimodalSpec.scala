@@ -136,10 +136,51 @@ class MultimodalSpec extends AnyFunSuite {
     val media = Multimodal.mediaFromDocuments(spark, sf)
     val feats = Multimodal.extractFeatures(media, dim = 16).toDF()
     assert(feats.filter(size(col("features")) =!= 16).count() == 0)
+    assert(feats.filter(size(col("grid")) =!= 16).count() == 0)
     // norms ≈ 1 → usable directly by the cosine/knn operators
     val norms = feats.select(
       graft.functions.VectorFunctions.norm(col("features")).as("n"))
     assert(norms.filter(abs(col("n") - 1.0) > 1e-5).count() == 0)
+  }
+
+  test("pooled grid is layout-aware, partition-exact, and cell-mean correct") {
+    import Multimodal.ContentFeatures
+    // 8×8 plane with 4 distinct quadrant values: each 2×2-cell block of
+    // the 4×4 pool must report its quadrant's exact value
+    val quad = Array.tabulate(8 * 8) { i =>
+      val y = i / 8; val x = i % 8
+      (if (y < 4) (if (x < 4) 10 else 20) else (if (x < 4) 30 else 40)).toByte
+    }
+    val g = ContentFeatures.pooledGrid(quad, 8, 8)
+    for (gy <- 0 until 4; gx <- 0 until 4) {
+      val want = if (gy < 2) (if (gx < 2) 10 else 20) else (if (gx < 2) 30 else 40)
+      assert(g(gy * 4 + gx) == want, s"cell ($gy,$gx)")
+    }
+    // a histogram can't tell the quadrant image from its transpose;
+    // the pooled grid must (layout awareness — the encoder's point)
+    val trans = Array.tabulate(8 * 8)(i => quad((i % 8) * 8 + i / 8))
+    assert(ContentFeatures.intensityHistogram(quad).toSeq ==
+      ContentFeatures.intensityHistogram(trans).toSeq)
+    assert(ContentFeatures.pooledGrid(trans, 8, 8).toSeq != g.toSeq)
+    // uneven dims: every pixel counted exactly once, floor-mean per cell
+    val odd = Array.tabulate(5 * 3)(i => (i * 7 % 256).toByte)
+    val g2 = ContentFeatures.pooledGrid(odd, 5, 3)
+    val expect = {
+      val sums = new Array[Long](16); val cnts = new Array[Long](16)
+      for (i <- 0 until 15) {
+        val c = ((i / 5) * 4 / 3) * 4 + ((i % 5) * 4 / 5)
+        sums(c) += odd(i) & 0xff; cnts(c) += 1
+      }
+      (0 until 16).map(c => if (cnts(c) == 0) 0L else sums(c) / cnts(c))
+    }
+    assert(g2.toSeq == expect)
+    assert(ContentFeatures.pooledGrid(Array.empty[Byte], 4, 4).forall(_ == 0L))
+    // 1-D pool: 16 equal segments of a 32-byte ramp → segment means
+    val ramp = Array.tabulate(32)(i => (i * 8).toByte)
+    val s = ContentFeatures.pooledSeq(ramp)
+    assert(s.toSeq == (0 until 16).map(g => (g * 16 + 4).toLong))
+    // n < bins leaves trailing segments empty (0), no crash
+    assert(ContentFeatures.pooledSeq("ab".getBytes("US-ASCII")).count(_ != 0L) == 2)
   }
 
   test("content bytes are decoded content, never container bytes") {
