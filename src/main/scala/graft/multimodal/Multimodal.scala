@@ -604,14 +604,17 @@ object Multimodal {
       .mapPartitions(_.map { m =>
         val isPgm = m.payload.length >= 2 &&
           m.payload(0) == 'P' && m.payload(1) == '5'
+        // decode ONCE: for P5 the content bytes ARE the pixel plane
+        // the spatial pool runs over (ContentFeatures.contentBytes
+        // routes P5 to PgmCodec.pixels)
+        val content = ContentFeatures.contentBytes(m.payload)
         val grid =
           if (isPgm) {
-            val (w, h, _) = PgmCodec.decodeImage(m.payload)
-            ContentFeatures.pooledGrid(PgmCodec.pixels(m.payload), w, h)
+            val hd = PgmCodec.decodeHeader(m.payload)
+            ContentFeatures.pooledGrid(content, hd.width, hd.height)
           } else {
-            ContentFeatures.pooledSeq(ContentFeatures.contentBytes(m.payload), dim)
+            ContentFeatures.pooledSeq(content, dim)
           }
-        val content = ContentFeatures.contentBytes(m.payload)
         MediaFeatures(m.media_id,
           ContentFeatures.normalized(grid),
           grid,

@@ -1074,7 +1074,69 @@ object StreamingQueries {
     }
   }
 
+  /** A genuinely UNBOUNDED source — no file listing, no driver feed:
+    * Spark's `rate-micro-batch` source (the broker stand-in whose
+    * offsets, like Kafka's, are deterministic per micro-batch: batch b
+    * is exactly values [b·R, (b+1)·R) with a batch-derived event
+    * time), flowing through the standard ingest shape (synthetic
+    * event mapping + quality gate + narrow manifest). The driver
+    * does not pace batches — the source produces them until the
+    * result table reaches the expected row count, then the query
+    * stops (the stop-by-condition pattern of any bounded job over an
+    * unbounded source). First `RateCap` values are kept so the
+    * result is a pure function of the source contract; the DuckDB
+    * oracle re-derives every row from `range()` arithmetic — green
+    * pins the source's offset/timestamp determinism end-to-end.
+    * Swapping in Kafka changes ONE `readStream.format` call; the
+    * pipeline is untouched (the ingress seam SCALE.md documents).
+    */
+  private val RateRowsPerBatch = 1000L
+  private val RateBatches = 10L
+  private val RateCap: Long = RateRowsPerBatch * RateBatches
+  private val RateT0 = 1700000000000L
+  private val RateAdvanceMs = 60000L
+
+  def rateIngestStream(spark: SparkSession, sfDir: String): DataFrame = {
+    val ss = streamSession(spark)
+    val stream = ss.readStream.format("rate-micro-batch")
+      .option("rowsPerBatch", RateRowsPerBatch.toString)
+      .option("numPartitions", "2")
+      .option("startTimestamp", RateT0.toString)
+      .option("advanceMillisPerBatch", RateAdvanceMs.toString)
+      .load()
+    val name = "rate_" + UUID.randomUUID().toString.replace("-", "")
+    val ckpt = TempDir.create("graft-ckpt-")
+    val types = array(lit("view"), lit("click"), lit("purchase"),
+      lit("scroll"), lit("hover"))
+    val q = stream
+      .filter(col("value") < RateCap)
+      .select(
+        col("value").as("seq"),
+        (col("value") % 150).as("user_id"),
+        element_at(types, (col("value") % 5 + 1).cast("int")).as("event_type"),
+        unix_millis(col("timestamp")).as("t_ms"))
+      .filter(col("user_id") % 7 =!= 0) // the ingest quality gate
+      .writeStream.outputMode("append")
+      .option("checkpointLocation", ckpt.toString)
+      .format("memory").queryName(name)
+      .start()
+    try {
+      val expected = (0L until RateCap).count(v => (v % 150) % 7 != 0)
+      val deadline = System.currentTimeMillis() + 120000
+      while (ss.table(name).count() < expected &&
+        System.currentTimeMillis() < deadline) Thread.sleep(50)
+      require(ss.table(name).count() >= expected,
+        s"rate ingest did not reach $expected rows within 120 s")
+      ss.table(name).localCheckpoint()
+    } finally {
+      q.stop()
+      TempDir.deleteRecursively(ckpt.toString)
+      StateStoreBridge.unloadAll()
+    }
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "events_rate_stream" -> (rateIngestStream _),
     "events_enrich_stream" -> (enrichStream _),
     "events_trending_stream" -> (trendingStream _),
     "docs_ingest_stream" -> (docsIngestStream _),
@@ -1108,6 +1170,15 @@ object StreamingQueries {
 
   /** Streaming results must converge to the batch oracles. */
   val oracleSql: Map[String, String] = Map(
+    // pure function of the rate-micro-batch source contract: value v
+    // rides batch v div R with event time T0 + batch · advance
+    "events_rate_stream" ->
+      s"""SELECT v AS seq, v % 150 AS user_id,
+         |  (['view', 'click', 'purchase', 'scroll', 'hover'])[CAST(v % 5 + 1 AS INT)]
+         |    AS event_type,
+         |  $RateT0 + (v // $RateRowsPerBatch) * $RateAdvanceMs AS t_ms
+         |FROM range(0, $RateCap) t(v)
+         |WHERE (v % 150) % 7 != 0""".stripMargin,
     "events_enrich_stream" ->
       """SELECT c_mktsegment AS segment,
         |  ((epoch_ms(date_trunc('millisecond', ts)) // 86400000) * 86400000)
