@@ -136,7 +136,265 @@ object SimilarityQueries {
     cents
   }
 
+  // ---- Product quantization (PQ): the vector-store compression tier
+  // beyond scalar int8. The 64-dim space splits into PqM = 8
+  // subspaces of PqSub = 8 dims; each subspace learns its own
+  // 16-codeword codebook by the SAME exact fixed-point Lloyd
+  // machinery as the IVF coarse quantizer (sign-pattern warm start,
+  // KmIters rounds, integer lane sums → order-independent → oracle-
+  // checkable), trained in ONE dataflow over the exploded (vec_id,
+  // subspace, subvector) relation — 128 codewords learned in one
+  // groupBy per round, not 8 jobs. A vector stores 8 nibble codes
+  // (4 B) instead of 64 floats (256 B): 64× compression. Retrieval
+  // is ADC (asymmetric distance): the query stays float, each corpus
+  // vector scores as Σ_s q_s·codebook[s][code_s] — at scale the
+  // codebook is a driver-held literal (the MLlib pattern, 128×8
+  // floats) and scoring reads 8 codes per row, never the floats.
+
+  private val PqM = 8 // subspaces
+  private val PqSub = 8 // dims per subspace
+
+  /** One learned PQ codeword: subspace, cell id, float coords, and
+    * the precomputed Σc² term of the assignment score.
+    */
+  private case class PqCentroid(s: Int, cell: Int, cf: Array[Float], cc: Double)
+
+  /** The exploded subvector relation: one row per (vector, subspace). */
+  private def pqSubvectors(emb: DataFrame): DataFrame =
+    emb.select(col("vec_id"), posexplode(array(
+      (0 until PqM).map(s => slice(col("embedding"), s * PqSub + 1, PqSub)): _*)))
+      .select(col("vec_id"), col("pos").cast("int").as("s"), col("col").as("sub"))
+
+  /** Deterministic warm start: the 4 sign bits of the subvector's
+    * leading lanes → cell 1..16 (the hyperplane-lattice idea per
+    * subspace; float > 0 is exact on both engines).
+    */
+  private def pqInitCell(sub: Column): Column =
+    (0 until 4).map(j =>
+      when(element_at(sub, j + 1) > lit(0.0f), lit(1 << j)).otherwise(lit(0)))
+      .reduce(_ + _) + lit(1)
+
+  /** One PQ Lloyd UPDATE: per-(subspace, cell) exact integer lane
+    * sums + count — ONE shuffle partial-aggregated to ≤ 128 rows,
+    * collected as the driver-held codebook.
+    */
+  private def pqUpdate(assigned: DataFrame): Seq[PqCentroid] = {
+    val aggs = count(lit(1)).as("n") +:
+      (1 to PqSub).map(i => sum(fxLane(col("sub"), i)).as(s"s$i"))
+    assigned.groupBy(col("s"), col("cell")).agg(aggs.head, aggs.tail: _*)
+      .collect()
+      .map { r =>
+        val n = r.getAs[Long]("n")
+        val cf = Array.tabulate(PqSub) { i =>
+          ((r.getAs[Long](s"s${i + 1}").toDouble / n.toDouble) / FxScale).toFloat
+        }
+        var cc = 0.0
+        var i = 0
+        while (i < PqSub) { cc += cf(i).toDouble * cf(i).toDouble; i += 1 }
+        PqCentroid(r.getAs[Number]("s").intValue, r.getAs[Number]("cell").intValue,
+          cf, cc)
+      }
+      .sortBy(c => (c.s, c.cell)).toSeq
+  }
+
+  /** The surviving codewords of one subspace, cell-sorted. */
+  private def pqCellsOf(cents: Seq[PqCentroid], s: Int): Seq[PqCentroid] =
+    cents.filter(_.s == s)
+
+  /** Serializable codebook for executor-side model application:
+    * cb(s) = the subspace's (cell, coords, Σc²) triples, cell-sorted.
+    * A 128-codeword / 8-float model is driver-held and ships in the
+    * task closure (the MLlib pattern) — 128 literal-array dot
+    * EXPRESSIONS here would exceed janino's generated-method limit
+    * and silently fall back to interpreted eval (observed), so model
+    * application runs as typed `mapPartitions` plain-JVM loops
+    * instead: JIT-compiled, no codegen ceiling, same arithmetic.
+    */
+  private def pqCodebookArrays(
+      cents: Seq[PqCentroid]): Array[Array[(Int, Array[Float], Double)]] =
+    Array.tabulate(PqM)(s => pqCellsOf(cents, s).map(c => (c.cell, c.cf, c.cc)).toArray)
+
+  /** Left-fold double dot of a subvector against codeword lanes —
+    * the exact accumulation order of DotProductFloat / the oracle's
+    * list_reduce (index-ascending, double-widened operands).
+    */
+  private def pqSubDot(e: Array[Float], off: Int, cf: Array[Float]): Double = {
+    var d = 0.0
+    var i = 0
+    while (i < PqSub) { d += e(off + i).toDouble * cf(i).toDouble; i += 1 }
+    d
+  }
+
+  /** ENCODE: per vector the 8 argmin codes — |x−c|² argmin via
+    * cc − 2x·c, strict-less keep-first over cell-sorted codewords
+    * (= the oracle's row_number (score ASC, cell ASC)). Pure
+    * partition-local map; output keeps the embedding so training's
+    * UPDATE can slice subvectors without a join.
+    */
+  private def pqEncode(emb: DataFrame, cents: Seq[PqCentroid]): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val cb = pqCodebookArrays(cents)
+    emb.select(col("vec_id"), col("embedding")).as[(Long, Array[Float])]
+      .mapPartitions(_.map { case (id, e) =>
+        val codes = Array.tabulate(PqM) { s =>
+          val cs = cb(s)
+          var best = 0
+          var bestScore = Double.MaxValue
+          var k = 0
+          while (k < cs.length) {
+            val (cell, cf, cc) = cs(k)
+            val sc = cc - 2.0 * pqSubDot(e, s * PqSub, cf)
+            if (sc < bestScore) { bestScore = sc; best = cell }
+            k += 1
+          }
+          best
+        }
+        (id, e, codes)
+      })
+      .toDF("vec_id", "embedding", "codes")
+  }
+
+  /** Encoded rows re-exploded to the (vec_id, s, sub, cell) shape the
+    * Lloyd UPDATE aggregates — cheap slice/zip expressions, no model
+    * math.
+    */
+  private def pqAssigned(encoded: DataFrame): DataFrame =
+    encoded.select(col("vec_id"), posexplode(arrays_zip(
+        array((0 until PqM).map(s =>
+          slice(col("embedding"), s * PqSub + 1, PqSub)): _*).as("sub"),
+        col("codes").as("cell"))))
+      .select(col("vec_id"), col("pos").cast("int").as("s"),
+        col("col.sub").as("sub"), col("col.cell").as("cell"))
+
+  /** Full PQ training run: warm start + KmIters Lloyd rounds, one
+    * corpus scan (encode) + one ≤128-row update shuffle per round.
+    */
+  private def pqCodebooks(emb: DataFrame): Seq[PqCentroid] = {
+    val sv = pqSubvectors(emb).localCheckpoint()
+    var cents = pqUpdate(sv.withColumn("cell", pqInitCell(col("sub"))))
+    for (_ <- 1 until KmIters)
+      cents = pqUpdate(pqAssigned(pqEncode(emb, cents)))
+    require(cents.size >= PqM, s"PQ training degenerated to ${cents.size} codewords")
+    cents
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // The learned PQ codebook itself, lane-by-lane — pins the full
+    // per-subspace training run (sign warm start + KmIters exact
+    // fixed-point Lloyd rounds over the exploded subvector relation)
+    // against the oracle's CTE-per-round mirror.
+    "pq_codebooks" -> ((s, dir) => {
+      import s.implicits._
+      pqCodebooks(Tables.embeddings(s, dir))
+        .flatMap(c => c.cf.iterator.zipWithIndex.map {
+          case (v, i) => (c.s, c.cell, i + 1, v)
+        })
+        .toDF("s", "cell", "lane", "c")
+    }),
+
+    // ENCODE the corpus: 8 nibble codes per vector (the 64×-smaller
+    // representation a 100 TB vector store actually persists); pure
+    // map over the scan, no shuffle.
+    "embedding_pq_codes" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val cents = pqCodebooks(emb)
+      pqEncode(emb, cents)
+        .select(col("vec_id"), posexplode(col("codes")))
+        .select(col("vec_id"), col("pos").cast("int").as("s"),
+          col("col").as("code"))
+    }),
+
+    // ADC retrieval over the PQ codes — knn_brute's scale anatomy
+    // (broadcast queries, bounded TopKByScore partial agg) over a
+    // corpus that is 8 ints per row instead of 64 floats; the
+    // PQ-reconstruction error vs exact cosine is the trade the 64×
+    // compression buys (re-rank against floats recovers it, the
+    // knn_int8_rerank pattern).
+    "knn_pq_adc" -> ((s, dir) => {
+      import s.implicits._
+      val emb = Tables.embeddings(s, dir)
+      val cents = pqCodebooks(emb)
+      val cb = pqCodebookArrays(cents)
+      val cellIdx: Array[Map[Int, Int]] =
+        cb.map(cs => cs.iterator.zipWithIndex.map { case (c, i) => c._1 -> i }.toMap)
+      val codes = pqEncode(emb, cents).select(col("vec_id"), col("codes"))
+      val q = emb.filter(col("vec_id") % 50 === 0)
+        .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
+      val scored = broadcast(q).join(codes, col("query_id") =!= col("vec_id"))
+        .select(col("query_id"), col("q_emb"), col("vec_id"), col("codes"))
+        .as[(Long, Array[Float], Long, Array[Int])]
+        .mapPartitions(_.map { case (qid, qEmb, vid, cds) =>
+          var est = 0.0
+          var s = 0
+          while (s < PqM) {
+            val cf = cb(s)(cellIdx(s)(cds(s)))._2
+            est += pqSubDot(qEmb, s * PqSub, cf)
+            s += 1
+          }
+          (qid, vid, est)
+        })
+      scored.groupByKey(_._1)
+        .mapValues(t => graft.functions.Scored(t._2, t._3))
+        .agg(new graft.functions.TopKByScore(K).toColumn)
+        .toDF("query_id", "topk")
+        .select(col("query_id"), posexplode(col("topk")))
+        .select(col("query_id"), col("col.vec_id").as("neighbor_id"),
+          (col("pos") + 1).cast("int").as("rnk"),
+          round(col("col.cos"), 6).as("est_r"))
+    }),
+
+    // PQ two-stage retrieval — the production shape 64× compression
+    // actually ships in: the ADC scan produces a k′ = 3K shortlist
+    // per query (bounded TopKByScore partial agg over 8-int rows),
+    // then ONLY shortlist rows re-rank by exact float cosine via a
+    // broadcast point-lookup join into the float corpus (Q×3K float
+    // reads, never a second full scan — the knn_int8_rerank anatomy).
+    // PQ reconstruction error is confined below rank 3K; the emitted
+    // top-K ordering is exact-cosine over the shortlist — the
+    // shortlist-then-rerank pattern is WHY coarse codes are usable
+    // (single-stage ADC recall measured in SCALE.md).
+    "knn_pq_rerank" -> ((s, dir) => {
+      import s.implicits._
+      val emb0 = corpus(s, dir)
+      val cents = pqCodebooks(emb0)
+      val cb = pqCodebookArrays(cents)
+      val cellIdx: Array[Map[Int, Int]] =
+        cb.map(cs => cs.iterator.zipWithIndex.map { case (c, i) => c._1 -> i }.toMap)
+      val codes = pqEncode(emb0, cents).select(col("vec_id"), col("codes"))
+      val q = emb0.filter(col("vec_id") % 50 === 0)
+        .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
+      val scored = broadcast(q).join(codes, col("query_id") =!= col("vec_id"))
+        .select(col("query_id"), col("q_emb"), col("vec_id"), col("codes"))
+        .as[(Long, Array[Float], Long, Array[Int])]
+        .mapPartitions(_.map { case (qid, qEmb, vid, cds) =>
+          var est = 0.0
+          var s = 0
+          while (s < PqM) {
+            est += pqSubDot(qEmb, s * PqSub, cb(s)(cellIdx(s)(cds(s)))._2)
+            s += 1
+          }
+          (qid, vid, est)
+        })
+      val shortlist = scored.groupByKey(_._1)
+        .mapValues(t => graft.functions.Scored(t._2, t._3))
+        .agg(new graft.functions.TopKByScore(3 * K).toColumn)
+        .toDF("query_id", "topk")
+        .select(col("query_id"), explode(col("topk.vec_id")).as("vec_id"))
+      val qf = emb0.filter(col("vec_id") % 50 === 0)
+        .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
+          col("nrm").as("q_nrm"))
+      val w = Window.partitionBy(col("query_id"))
+        .orderBy(col("cos").desc, col("vec_id").asc)
+      broadcast(shortlist).join(emb0, Seq("vec_id"))
+        .join(broadcast(qf), Seq("query_id"))
+        .withColumn("cos", cosCol)
+        .withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") <= K)
+        .select(col("query_id"), col("vec_id").as("neighbor_id"), col("rnk"),
+          round(col("cos"), 6).as("cos_r"))
+    }),
+
     // Exact top-k: broadcast queries × corpus scored partition-local,
     // then a bounded top-k *aggregator* per query — partial aggregation
     // reduces each partition to ≤ k rows per query before the shuffle
@@ -526,7 +784,111 @@ object SimilarityQueries {
        |$rounds""".stripMargin
   }
 
+  // DuckDB fragments of the PQ training mirror — the kmeansCtes
+  // anatomy over the exploded (vec_id, sp, sub) relation: fixed-point
+  // lifts, per-(sp, cell) BIGINT lane sums, float centroid lists, and
+  // row_number argmin assignment partitioned by (vec_id, sp).
+  private val pqFxList =
+    s"[CAST(floor(sub[i]::DOUBLE * $FxScale + 0.5) AS BIGINT) " +
+      s"for i in range(1, ${PqSub + 1})]"
+  private val pqLaneSums = (1 to PqSub).map(i => s"SUM(fx[$i])").mkString("[", ", ", "]")
+  private val pqCentList = s"[CAST((ls[i]::DOUBLE / n::DOUBLE) / $FxScale AS FLOAT) " +
+    s"for i in range(1, ${PqSub + 1})]"
+  private val pqCcExpr = "list_reduce(list_prepend(0.0::DOUBLE, " +
+    s"[c[i]::DOUBLE * c[i]::DOUBLE for i in range(1, ${PqSub + 1})]), (acc, v) -> acc + v)"
+
+  private def pqCtes: String = {
+    def update(prev: String) =
+      s"(SELECT sp, cell, COUNT(*) AS n, $pqLaneSums AS ls FROM $prev GROUP BY sp, cell)"
+    def cents(m: String) =
+      s"(SELECT sp, cell, c, $pqCcExpr AS cc FROM (SELECT sp, cell, n, $pqCentList AS c FROM $m))"
+    def assign(c: String) =
+      s"""(SELECT vec_id, sp, sub, fx, cell FROM (
+         |  SELECT f.vec_id, f.sp, f.sub, f.fx, c.cell,
+         |    ROW_NUMBER() OVER (PARTITION BY f.vec_id, f.sp ORDER BY
+         |      c.cc - 2 * ${VectorFunctions.Sql.dot("f.sub", "c.c", PqSub)} ASC,
+         |      c.cell ASC) AS rn
+         |  FROM pfx f JOIN $c c ON f.sp = c.sp) WHERE rn = 1)""".stripMargin
+    val rounds = (1 to KmIters).map { r =>
+      s"""pm$r AS ${update(s"pa${r - 1}")},
+         |pc$r AS ${cents(s"pm$r")},
+         |pa$r AS ${assign(s"pc$r")}""".stripMargin
+    }.mkString(",\n")
+    val initBits = (0 until 4).map(j =>
+      s"(CASE WHEN sub[${j + 1}] > 0 THEN ${1 << j} ELSE 0 END)").mkString(" + ")
+    s"""psub AS (
+       |  SELECT vec_id, t.sp,
+       |    embedding[(t.sp*$PqSub+1):(t.sp*$PqSub+$PqSub)] AS sub
+       |  FROM embeddings, range(0, $PqM) t(sp)),
+       |pfx AS (SELECT vec_id, sp, sub, $pqFxList AS fx FROM psub),
+       |pa0 AS (SELECT vec_id, sp, sub, fx, $initBits + 1 AS cell FROM pfx),
+       |$rounds""".stripMargin
+  }
+
+  /** ADC score mirror: explicit per-subspace terms added in literal
+    * subspace order (matching the Spark reduce's left fold), each
+    * term the dim-8 dot of the query's slice with the joined
+    * codeword.
+    */
+  private def pqAdcScoreCte: String = {
+    val joins = (0 until PqM).map { s =>
+      s"""JOIN pa$KmIters a$s ON a$s.vec_id = e.vec_id AND a$s.sp = $s
+         |JOIN pc$KmIters b$s ON b$s.sp = $s AND b$s.cell = a$s.cell""".stripMargin
+    }.mkString("\n")
+    val terms = (0 until PqM).map { s =>
+      VectorFunctions.Sql.dot(
+        s"(q.embedding[${s * PqSub + 1}:${s * PqSub + PqSub}])", s"b$s.c", PqSub)
+    }.mkString(" + ")
+    s"""sc AS (
+       |  SELECT q.vec_id AS query_id, e.vec_id AS nid, $terms AS est
+       |  FROM embeddings q JOIN embeddings e
+       |    ON q.vec_id % 50 = 0 AND q.vec_id != e.vec_id
+       |  $joins)""".stripMargin
+  }
+
+  private def pqAdcSelect: String =
+    s"""$pqAdcScoreCte
+       |SELECT query_id, neighbor_id, rnk, est_r FROM (
+       |  SELECT query_id, nid AS neighbor_id,
+       |    ROW_NUMBER() OVER (PARTITION BY query_id
+       |      ORDER BY est DESC, nid ASC) AS rnk,
+       |    ROUND(est, 6) AS est_r
+       |  FROM sc) WHERE rnk <= $K""".stripMargin
+
   val oracleSql: Map[String, String] = Map(
+    "pq_codebooks" ->
+      s"""WITH $pqCtes
+         |SELECT CAST(sp AS INT) AS s, CAST(cell AS INT) AS cell,
+         |  CAST(t.i AS INT) AS lane, c[t.i] AS c
+         |FROM pc$KmIters, range(1, ${PqSub + 1}) t(i)""".stripMargin,
+    "embedding_pq_codes" ->
+      s"""WITH $pqCtes
+         |SELECT vec_id, CAST(sp AS INT) AS s, CAST(cell AS INT) AS code
+         |FROM pa$KmIters""".stripMargin,
+    "knn_pq_adc" ->
+      s"""WITH $pqCtes,
+         |$pqAdcSelect""".stripMargin,
+    "knn_pq_rerank" ->
+      // stage 1 = the ADC score CTE at rnk ≤ 3K; stage 2 = exact-
+      // cosine re-rank over shortlist rows only (the knn_int8_rerank
+      // mirror with PQ codes as the shortlist engine)
+      s"""WITH $pqCtes,
+         |$pqAdcScoreCte,
+         |sl AS (
+         |  SELECT query_id, nid AS neighbor_id FROM (
+         |    SELECT query_id, nid,
+         |      ROW_NUMBER() OVER (PARTITION BY query_id
+         |        ORDER BY est DESC, nid ASC) AS rnk
+         |    FROM sc) WHERE rnk <= ${3 * K})
+         |SELECT query_id, neighbor_id, rnk, cos_r FROM (
+         |  SELECT sl.query_id, sl.neighbor_id,
+         |    ROW_NUMBER() OVER (PARTITION BY sl.query_id
+         |      ORDER BY ${VectorFunctions.Sql.cosine("qe.embedding", "ne.embedding", Dim)} DESC,
+         |               sl.neighbor_id ASC) AS rnk,
+         |    ROUND(${VectorFunctions.Sql.cosine("qe.embedding", "ne.embedding", Dim)}, 6) AS cos_r
+         |  FROM sl JOIN embeddings qe ON sl.query_id = qe.vec_id
+         |          JOIN embeddings ne ON sl.neighbor_id = ne.vec_id
+         |) WHERE rnk <= $K""".stripMargin,
     "knn_brute" ->
       s"""SELECT query_id, neighbor_id, rnk, cos_r FROM (
          |  SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,

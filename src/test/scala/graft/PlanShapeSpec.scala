@@ -68,8 +68,12 @@ class PlanShapeSpec extends AnyFunSuite {
     // scalar fan-out.
     // knn_ivf_recall's ground-truth stage IS knn_brute (recall is
     // measured against the exact all-pairs top-K by definition)
+    // knn_pq_adc scans the PQ-coded corpus per broadcast query — the
+    // same declared brute-force contract as knn_int8, over an 8-int
+    // row instead of 64 floats
     val allowed = Set("knn_brute", "multimodal_feature_knn", "knn_int8",
-      "knn_int8_rerank", "knn_ivf_recall", "text_bpe_train",
+      "knn_int8_rerank", "knn_ivf_recall", "knn_pq_adc", "knn_pq_rerank",
+      "text_bpe_train",
       "events_resample_ffill", "events_rfm", "q22_share_of_total")
     (SparkEntry.queries.keySet -- streamingEntries -- allowed).toSeq.sorted.foreach { name =>
       val bnlj = plan(name).collect { case b: BroadcastNestedLoopJoinExec => b }
