@@ -508,6 +508,44 @@ object DedupQueries {
         .select(col("new_id").as("doc_id"), col("dup_of"), col("n_dups"))
     }),
 
+    // EXACT-dedup delta ingest with a BLOOM PREFILTER — the sketch-
+    // prefilter + exact-verify shape every 100 TB ingest runs before
+    // the near-dup machinery: the index digests compress into a
+    // driver-held Bloom sketch (KBs, built in ONE index pass via
+    // df.stat.bloomFilter, broadcast into the delta scan); only delta
+    // rows the sketch admits (true dups + the configured ~3% false
+    // positives) reach the verify join, so the shuffle carries the
+    // candidate set, never the delta. Bloom false positives are
+    // REMOVED by the exact digest join — the emitted is_dup relation
+    // is exact, which is what makes it oracle-checkable; the sketch's
+    // bite (no false negatives, FP rate near the configured fpp) is
+    // pinned by BloomPrefilterSpec. The corpus has no natural exact
+    // dups, so the delta is seeded with re-identified clones of every
+    // 7th index doc (the seeded-fixture policy — the dup branch
+    // demonstrably fires), mirrored by the oracle.
+    "dedup_bloom_prefilter" -> ((s, dir) => {
+      import s.implicits._
+      val docs = Tables.documents(s, dir).withColumn("h", TextQueries.splitHash)
+      val idxDigests = docs.filter(col("h") < 90)
+        .select(md5(col("text")).as("digest"))
+      val bloom = s.sparkContext.broadcast(
+        idxDigests.stat.bloomFilter("digest", 2000L, 0.03))
+      val delta = docs.filter(col("h") >= 90)
+        .select(col("doc_id"), md5(col("text")).as("digest"))
+        .unionAll(docs.filter(col("h") < 90 && col("doc_id") % 7 === 0)
+          .select((col("doc_id") + 100000L).as("doc_id"),
+            md5(col("text")).as("digest")))
+      val candidates = delta.as[(Long, String)]
+        .filter(t => bloom.value.mightContainString(t._2))
+        .toDF("doc_id", "digest")
+      val confirmed = candidates
+        .join(idxDigests.distinct(), Seq("digest"), "left_semi")
+        .select(col("doc_id")).withColumn("dup", lit(1))
+      delta.join(confirmed, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("dup"), lit(0)).cast("int").as("is_dup"))
+    }),
+
     // Pair graph → duplicate CLUSTERS: connected components over the
     // verified near-dup pairs, the step that turns pairwise matches
     // into a canonical-doc assignment (keep component representative,
@@ -890,6 +928,26 @@ object DedupQueries {
          |        len(list_distinct(list_concat(dn.tg, di.tg))) >= 0.6)
          |SELECT new_id AS doc_id, MIN(idx_id) AS dup_of, COUNT(*) AS n_dups
          |FROM ver GROUP BY new_id""".stripMargin,
+    // the bloom is a prefilter only — false positives die in the
+    // verify join, so the exact relation below IS the result
+    "dedup_bloom_prefilter" ->
+      s"""WITH hh AS (SELECT doc_id,
+         |         ${TextFunctions.Sql.tokenHash("CAST(doc_id AS VARCHAR)")} % 100 AS h
+         |       FROM documents),
+         |idx AS (SELECT md5(d.text) AS digest
+         |        FROM documents d JOIN hh ON d.doc_id = hh.doc_id
+         |        WHERE hh.h < 90),
+         |delta AS (
+         |  SELECT d.doc_id, md5(d.text) AS digest
+         |  FROM documents d JOIN hh ON d.doc_id = hh.doc_id WHERE hh.h >= 90
+         |  UNION ALL
+         |  SELECT d.doc_id + 100000, md5(d.text)
+         |  FROM documents d JOIN hh ON d.doc_id = hh.doc_id
+         |  WHERE hh.h < 90 AND d.doc_id % 7 = 0)
+         |SELECT doc_id,
+         |  CAST(CASE WHEN digest IN (SELECT digest FROM idx)
+         |       THEN 1 ELSE 0 END AS INT) AS is_dup
+         |FROM delta""".stripMargin,
     "dedup_components" ->
       s"""WITH RECURSIVE ${minhashPairsCtes("documents")},
          |pairs AS ($minhashPairsSelect),
