@@ -267,6 +267,86 @@ object SimilarityQueries {
       .select(col("vec_id"), col("pos").cast("int").as("s"),
         col("col.sub").as("sub"), col("col.cell").as("cell"))
 
+  /** IVF residual table: each vector's nearest LEARNED coarse cell
+    * (the same argmin the kmAssign expression computes — score
+    * cc − 2x·c, strict-less keep-first over cell-sorted centroids)
+    * plus the float residual x − c (subtraction in double, rounded to
+    * float — the one spelling both engines share). This is the input
+    * PQ trains on in the FAISS IVF-PQ architecture: residuals are
+    * centered around the coarse cells, exactly the clustered
+    * distribution PQ codes well. One partition-local pass; at scale
+    * residuals are never materialized outside training (the encode
+    * pass recomputes them inline — see [[ivfPqEncode]]).
+    */
+  private def ivfResiduals(emb: DataFrame, cents: Seq[KmCentroid]): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val cc = cents.map(c => (c.cell, c.cf, c.cc)).toArray // cell-sorted
+    emb.select(col("vec_id"), col("embedding")).as[(Long, Array[Float])]
+      .mapPartitions(_.map { case (id, e) =>
+        var bi = 0
+        var bestScore = Double.MaxValue
+        var k = 0
+        while (k < cc.length) {
+          var d = 0.0
+          var i = 0
+          while (i < Dim) { d += e(i).toDouble * cc(k)._2(i).toDouble; i += 1 }
+          val sc = cc(k)._3 - 2.0 * d
+          if (sc < bestScore) { bestScore = sc; bi = k }
+          k += 1
+        }
+        val cf = cc(bi)._2
+        val resid = Array.tabulate(Dim)(i => (e(i).toDouble - cf(i).toDouble).toFloat)
+        (id, cc(bi)._1, resid)
+      })
+      .toDF("vec_id", "cell", "embedding")
+  }
+
+  /** One-pass IVF-PQ corpus ENCODE: coarse cell + the 8 residual
+    * nibble codes, straight from the original vectors (residuals
+    * computed inline, never materialized) — the persisted index of
+    * the FAISS IVF-PQ shape: (cell, 4 B of codes) per vector.
+    */
+  private def ivfPqEncode(
+      emb: DataFrame,
+      ivfCents: Seq[KmCentroid],
+      rcb: Seq[PqCentroid]): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val cc = ivfCents.map(c => (c.cell, c.cf, c.cc)).toArray
+    val cb = pqCodebookArrays(rcb)
+    emb.select(col("vec_id"), col("embedding")).as[(Long, Array[Float])]
+      .mapPartitions(_.map { case (id, e) =>
+        var bi = 0
+        var bestScore = Double.MaxValue
+        var k = 0
+        while (k < cc.length) {
+          var d = 0.0
+          var i = 0
+          while (i < Dim) { d += e(i).toDouble * cc(k)._2(i).toDouble; i += 1 }
+          val sc = cc(k)._3 - 2.0 * d
+          if (sc < bestScore) { bestScore = sc; bi = k }
+          k += 1
+        }
+        val cf = cc(bi)._2
+        val resid = Array.tabulate(Dim)(i => (e(i).toDouble - cf(i).toDouble).toFloat)
+        val codes = Array.tabulate(PqM) { s =>
+          val cs = cb(s)
+          var best = 0
+          var bs = Double.MaxValue
+          var j = 0
+          while (j < cs.length) {
+            val sc = cs(j)._3 - 2.0 * pqSubDot(resid, s * PqSub, cs(j)._2)
+            if (sc < bs) { bs = sc; best = cs(j)._1 }
+            j += 1
+          }
+          best
+        }
+        (id, cc(bi)._1, codes)
+      })
+      .toDF("vec_id", "cell", "codes")
+  }
+
   /** Full PQ training run: warm start + KmIters Lloyd rounds, one
     * corpus scan (encode) + one ≤128-row update shuffle per round.
     */
@@ -393,6 +473,85 @@ object SimilarityQueries {
         .filter(col("rnk") <= K)
         .select(col("query_id"), col("vec_id").as("neighbor_id"), col("rnk"),
           round(col("cos"), 6).as("cos_r"))
+    }),
+
+    // The RESIDUAL codebooks of the IVF-PQ index, lane-by-lane —
+    // pins the full composed training run: learned coarse quantizer
+    // (kmeansCtes) → per-vector residual x − c (double subtract,
+    // float round — the one spelling both engines share) → PQ Lloyd
+    // rounds over the residual subvectors. Residuals center around
+    // the coarse cells, exactly the clustered distribution PQ codes
+    // well — WHY the composition beats PQ-on-raw at equal bits.
+    "ivfpq_codebooks" -> ((s, dir) => {
+      import s.implicits._
+      val emb = Tables.embeddings(s, dir)
+      val res = ivfResiduals(emb, learnedCentroids(emb)).localCheckpoint()
+      pqCodebooks(res)
+        .flatMap(c => c.cf.iterator.zipWithIndex.map {
+          case (v, i) => (c.s, c.cell, i + 1, v)
+        })
+        .toDF("s", "cell", "lane", "c")
+    }),
+
+    // IVF-PQ retrieval — the canonical billion-scale ANN index
+    // (FAISS IVFPQ) assembled from this engine's own parts: queries
+    // probe their nprobe=2 learned coarse cells (the knn_ivf_kmeans
+    // probe anatomy), candidates come from ONE cell equi-join (the
+    // scan is cell-bounded), and each candidate scores by
+    // q·c_cell + Σ_s q_s·rcb[s][code_s] — the ADC form over the
+    // coarse reconstruction + residual codes, reading 4 B of codes
+    // per row, never the floats. Cell-bounded AND 64×-compressed:
+    // both scale levers composed. Scoring runs in mapPartitions over
+    // the driver-held models (coarse term first, then subspace terms
+    // in order — the oracle mirrors the literal addition order).
+    "knn_ivfpq" -> ((s, dir) => {
+      import s.implicits._
+      val emb0 = corpus(s, dir)
+      val ivfCents = learnedCentroids(emb0)
+      val emb = Tables.embeddings(s, dir)
+      val res = ivfResiduals(emb, ivfCents).localCheckpoint()
+      val rcb = pqCodebooks(res)
+      val cb = pqCodebookArrays(rcb)
+      val cellIdx: Array[Map[Int, Int]] =
+        cb.map(cs => cs.iterator.zipWithIndex.map { case (c, i) => c._1 -> i }.toMap)
+      val ivfByCell: Map[Int, Array[Float]] =
+        ivfCents.map(c => c.cell -> c.cf).toMap
+      val index = ivfPqEncode(emb, ivfCents, rcb)
+      val q = queriesOf(emb0)
+        .withColumn("sc", kmScores(ivfCents, col("q_emb")))
+        .withColumn("pp1", array_position(col("sc"), array_min(col("sc"))))
+        .withColumn("masked", transform(sequence(lit(1), lit(ivfCents.size)),
+          i => when(i.cast("long") === col("pp1"), lit(KmMask))
+            .otherwise(element_at(col("sc"), i))))
+        .withColumn("pp2", array_position(col("masked"), array_min(col("masked"))))
+        .withColumn("cell", explode(array(
+          kmCellAt(ivfCents, col("pp1")), kmCellAt(ivfCents, col("pp2")))))
+        .select(col("query_id"), col("q_emb"), col("cell"))
+      val scored = broadcast(q).join(index, Seq("cell"))
+        .filter(col("query_id") =!= col("vec_id"))
+        .select(col("query_id"), col("q_emb"), col("cell"), col("vec_id"),
+          col("codes"))
+        .as[(Long, Array[Float], Int, Long, Array[Int])]
+        .mapPartitions(_.map { case (qid, qEmb, cell, vid, cds) =>
+          val cf = ivfByCell(cell)
+          var est = 0.0
+          var i = 0
+          while (i < Dim) { est += qEmb(i).toDouble * cf(i).toDouble; i += 1 }
+          var s = 0
+          while (s < PqM) {
+            est += pqSubDot(qEmb, s * PqSub, cb(s)(cellIdx(s)(cds(s)))._2)
+            s += 1
+          }
+          (qid, vid, est)
+        })
+      scored.groupByKey(_._1)
+        .mapValues(t => graft.functions.Scored(t._2, t._3))
+        .agg(new graft.functions.TopKByScore(K).toColumn)
+        .toDF("query_id", "topk")
+        .select(col("query_id"), posexplode(col("topk")))
+        .select(col("query_id"), col("col.vec_id").as("neighbor_id"),
+          (col("pos") + 1).cast("int").as("rnk"),
+          round(col("col.cos"), 6).as("est_r"))
     }),
 
     // Exact top-k: broadcast queries × corpus scored partition-local,
@@ -797,7 +956,7 @@ object SimilarityQueries {
   private val pqCcExpr = "list_reduce(list_prepend(0.0::DOUBLE, " +
     s"[c[i]::DOUBLE * c[i]::DOUBLE for i in range(1, ${PqSub + 1})]), (acc, v) -> acc + v)"
 
-  private def pqCtes: String = {
+  private def pqCtes(src: String = "embeddings"): String = {
     def update(prev: String) =
       s"(SELECT sp, cell, COUNT(*) AS n, $pqLaneSums AS ls FROM $prev GROUP BY sp, cell)"
     def cents(m: String) =
@@ -819,7 +978,7 @@ object SimilarityQueries {
     s"""psub AS (
        |  SELECT vec_id, t.sp,
        |    embedding[(t.sp*$PqSub+1):(t.sp*$PqSub+$PqSub)] AS sub
-       |  FROM embeddings, range(0, $PqM) t(sp)),
+       |  FROM $src, range(0, $PqM) t(sp)),
        |pfx AS (SELECT vec_id, sp, sub, $pqFxList AS fx FROM psub),
        |pa0 AS (SELECT vec_id, sp, sub, fx, $initBits + 1 AS cell FROM pfx),
        |$rounds""".stripMargin
@@ -846,6 +1005,17 @@ object SimilarityQueries {
        |  $joins)""".stripMargin
   }
 
+  /** Residual table mirror: each vector's assigned coarse cell (the
+    * kmeansCtes assignment) and x − c in the shared double-subtract
+    * float-round spelling.
+    */
+  private def ivfpqResCte: String =
+    s"""res AS (
+       |  SELECT a.vec_id, a.cell,
+       |    [CAST(a.embedding[i]::DOUBLE - c.c[i]::DOUBLE AS FLOAT)
+       |     for i in range(1, ${Dim + 1})] AS embedding
+       |  FROM a$KmIters a JOIN c$KmIters c ON a.cell = c.cell)""".stripMargin
+
   private def pqAdcSelect: String =
     s"""$pqAdcScoreCte
        |SELECT query_id, neighbor_id, rnk, est_r FROM (
@@ -857,22 +1027,64 @@ object SimilarityQueries {
 
   val oracleSql: Map[String, String] = Map(
     "pq_codebooks" ->
-      s"""WITH $pqCtes
+      s"""WITH ${pqCtes()}
          |SELECT CAST(sp AS INT) AS s, CAST(cell AS INT) AS cell,
          |  CAST(t.i AS INT) AS lane, c[t.i] AS c
          |FROM pc$KmIters, range(1, ${PqSub + 1}) t(i)""".stripMargin,
     "embedding_pq_codes" ->
-      s"""WITH $pqCtes
+      s"""WITH ${pqCtes()}
          |SELECT vec_id, CAST(sp AS INT) AS s, CAST(cell AS INT) AS code
          |FROM pa$KmIters""".stripMargin,
     "knn_pq_adc" ->
-      s"""WITH $pqCtes,
+      s"""WITH ${pqCtes()},
          |$pqAdcSelect""".stripMargin,
+    "ivfpq_codebooks" ->
+      s"""WITH $kmeansCtes,
+         |$ivfpqResCte,
+         |${pqCtes("res")}
+         |SELECT CAST(sp AS INT) AS s, CAST(cell AS INT) AS cell,
+         |  CAST(t.i AS INT) AS lane, c[t.i] AS c
+         |FROM pc$KmIters, range(1, ${PqSub + 1}) t(i)""".stripMargin,
+    "knn_ivfpq" -> {
+      val joins = (0 until PqM).map { s =>
+        s"""JOIN pa$KmIters a$s ON a$s.vec_id = r.vec_id AND a$s.sp = $s
+           |JOIN pc$KmIters b$s ON b$s.sp = $s AND b$s.cell = a$s.cell""".stripMargin
+      }.mkString("\n")
+      val terms = (0 until PqM).map { s =>
+        VectorFunctions.Sql.dot(
+          s"(q.embedding[${s * PqSub + 1}:${s * PqSub + PqSub}])", s"b$s.c", PqSub)
+      }.mkString(" + ")
+      s"""WITH $kmeansCtes,
+         |$ivfpqResCte,
+         |${pqCtes("res")},
+         |qp AS (
+         |  SELECT vec_id, cell FROM (
+         |    SELECT f.vec_id, c.cell,
+         |      ROW_NUMBER() OVER (PARTITION BY f.vec_id ORDER BY
+         |        c.cc - 2 * ${VectorFunctions.Sql.dot("f.embedding", "c.c", Dim)} ASC,
+         |        c.cell ASC) AS rn
+         |    FROM fx f CROSS JOIN c$KmIters c WHERE f.vec_id % 50 = 0)
+         |  WHERE rn <= 2),
+         |sc AS (
+         |  SELECT q.vec_id AS query_id, r.vec_id AS nid,
+         |    ${VectorFunctions.Sql.dot("q.embedding", "civ.c", Dim)} + $terms AS est
+         |  FROM (SELECT qp.vec_id, qp.cell, f.embedding
+         |        FROM qp JOIN fx f ON qp.vec_id = f.vec_id) q
+         |  JOIN res r ON q.cell = r.cell AND q.vec_id != r.vec_id
+         |  JOIN c$KmIters civ ON civ.cell = r.cell
+         |  $joins)
+         |SELECT query_id, neighbor_id, rnk, est_r FROM (
+         |  SELECT query_id, nid AS neighbor_id,
+         |    ROW_NUMBER() OVER (PARTITION BY query_id
+         |      ORDER BY est DESC, nid ASC) AS rnk,
+         |    ROUND(est, 6) AS est_r
+         |  FROM sc) WHERE rnk <= $K""".stripMargin
+    },
     "knn_pq_rerank" ->
       // stage 1 = the ADC score CTE at rnk ≤ 3K; stage 2 = exact-
       // cosine re-rank over shortlist rows only (the knn_int8_rerank
       // mirror with PQ codes as the shortlist engine)
-      s"""WITH $pqCtes,
+      s"""WITH ${pqCtes()},
          |$pqAdcScoreCte,
          |sl AS (
          |  SELECT query_id, nid AS neighbor_id FROM (
