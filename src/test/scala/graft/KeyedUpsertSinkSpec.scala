@@ -36,6 +36,31 @@ class KeyedUpsertSinkSpec extends AnyFunSuite {
     s.toDF(spark).collect()
       .map(r => r.getInt(0) -> ((r.getString(1), r.getLong(2)))).toMap
 
+  test("foreachBatch RETRY (same batchId re-delivered) is idempotent") {
+    // Structured Streaming re-invokes foreachBatch with the SAME
+    // batchId after a failure; the sink must converge as if the batch
+    // ran once. Also pin the cross-batch overwrite ordering around a
+    // retried batch — the retry must not resurrect older state.
+    import spark.implicits._
+    val sink = newSink(Seq("k"))
+    try {
+      sink.upsert(Seq((1, "a", 10L), (2, "b", 20L)).toDF("k", "v", "n"), 0L)
+      val once = state(sink)
+      sink.upsert(Seq((1, "a", 10L), (2, "b", 20L)).toDF("k", "v", "n"), 0L) // retry
+      assert(state(sink) == once, "replayed batch 0 must fold away")
+      sink.upsert(Seq((1, "a2", 11L)).toDF("k", "v", "n"), 1L)
+      val after1 = state(sink)
+      sink.upsert(Seq((1, "a2", 11L)).toDF("k", "v", "n"), 1L) // retry of batch 1
+      assert(state(sink) == after1)
+      assert(state(sink)(1) == ("a2", 11L) && state(sink)(2) == ("b", 20L))
+      // retry interleaved with compaction: same convergence
+      sink.compact(spark)
+      sink.upsert(Seq((2, "b2", 21L)).toDF("k", "v", "n"), 2L)
+      sink.upsert(Seq((2, "b2", 21L)).toDF("k", "v", "n"), 2L)
+      assert(state(sink) == Map(1 -> ("a2", 11L), 2 -> ("b2", 21L)))
+    } finally sink.close()
+  }
+
   test("compact() preserves last-write-wins across interleaved upserts") {
     import spark.implicits._
     val batches = Seq(
