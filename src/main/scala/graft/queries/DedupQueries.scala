@@ -76,6 +76,69 @@ object DedupQueries {
       .select(col("doc_id"), col("bb.band").as("band"), col("bb.bhash").as("bhash"))
   }
 
+  /** The delta-probe relation both incremental entries must equal:
+    * delta bands join index bands, candidates verify by trigram
+    * Jaccard ≥ 0.6 — shared by `dedup_incremental` (recompute form)
+    * and `dedup_incremental_bucketed` (persisted bucketed index).
+    */
+  private def incrementalSql: String =
+    s"""WITH bands AS (SELECT * FROM (${minhashBandsSql("documents")})),
+       |hh AS (SELECT doc_id,
+       |         ${TextFunctions.Sql.tokenHash("CAST(doc_id AS VARCHAR)")} % 100 AS h
+       |       FROM documents),
+       |cand AS (
+       |  SELECT DISTINCT n.doc_id AS new_id, i.doc_id AS idx_id
+       |  FROM bands n JOIN bands i ON n.band = i.band AND n.bhash = i.bhash
+       |  JOIN hh hn ON n.doc_id = hn.doc_id AND hn.h >= 90
+       |  JOIN hh hi ON i.doc_id = hi.doc_id AND hi.h < 90),
+       |tg AS (SELECT doc_id, ${trigramsSql("text")} AS tg FROM documents),
+       |ver AS (
+       |  SELECT new_id, idx_id FROM cand
+       |  JOIN tg dn ON new_id = dn.doc_id JOIN tg di ON idx_id = di.doc_id
+       |  WHERE len(list_intersect(dn.tg, di.tg))::DOUBLE /
+       |        len(list_distinct(list_concat(dn.tg, di.tg))) >= 0.6)
+       |SELECT new_id AS doc_id, MIN(idx_id) AS dup_of, COUNT(*) AS n_dups
+       |FROM ver GROUP BY new_id""".stripMargin
+
+  /** Catalog name + external-table root of the persisted bucketed
+    * band index (the dedup_incremental_bucketed layout fixture).
+    */
+  private[graft] val BandIdxTable = "graft_band_idx_bkt"
+  private[graft] val BandIdxPath =
+    "/root/repo/target/graft-fixtures/bucketed/band_idx"
+  private[graft] val BandIdxBuckets = 8
+
+  /** Write the index half's band relation as a catalog table BUCKETED
+    * + SORTED on the probe key, then probe it with the delta bands:
+    * the sort-merge join's index side reads bucket files in place —
+    * zero Exchange, zero Sort (pinned by BucketedJoinSpec); only the
+    * delta side shuffles. Shared by the registered query and the
+    * plan-shape spec so both pin the same construction. `hint("merge")`
+    * keeps the SMJ the demonstration target at fixture scale (the
+    * delta side would otherwise auto-broadcast).
+    */
+  private[graft] def bucketedBandProbe(s: SparkSession, dir: String): DataFrame = {
+    // Since Spark 3.0 the scan ignores write-side sortBy ordering
+    // unless this flag is on (SPARK-28632) — and WITH it, ordering is
+    // reported only for buckets holding exactly one file, which the
+    // repartition-before-write below guarantees. Without it the probe
+    // pays a redundant read-side sort of already-sorted buckets.
+    s.conf.set("spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
+    val docs = Tables.documents(s, dir).withColumn("h", TextQueries.splitHash)
+    minhashBands(docs.filter(col("h") < 90))
+      .select(col("band"), col("bhash"), col("doc_id").as("idx_id"))
+      .repartition(BandIdxBuckets, col("band"), col("bhash"))
+      .write.mode("overwrite").format("parquet")
+      .option("path", BandIdxPath)
+      .bucketBy(BandIdxBuckets, "band", "bhash").sortBy("band", "bhash")
+      .saveAsTable(BandIdxTable)
+    val bNew = minhashBands(docs.filter(col("h") >= 90))
+      .select(col("band"), col("bhash"), col("doc_id").as("new_id"))
+    s.table(BandIdxTable).hint("merge")
+      .join(bNew, Seq("band", "bhash"))
+      .select(col("new_id"), col("idx_id")).distinct()
+  }
+
   private[queries] def minhashBandsSql(src: String): String = {
     def bandExpr(b: Int): String = {
       val cols = (b * MinHash.BandSize until (b + 1) * MinHash.BandSize).map(i => s"sig$i")
@@ -508,6 +571,36 @@ object DedupQueries {
         .select(col("new_id").as("doc_id"), col("dup_of"), col("n_dups"))
     }),
 
+    // dedup_incremental's claimed 100 TB layout, DEMONSTRATED: the
+    // band index PERSISTS as a catalog table BUCKETED (and sorted) on
+    // the probe key (band, bhash) — the pay-the-shuffle-once layout
+    // written at ingest time — and the delta probe plans as a
+    // sort-merge join where the INDEX side has zero Exchange and zero
+    // Sort: only the (small) delta shuffles, every day-2 batch,
+    // forever. Identical relation and oracle as dedup_incremental
+    // (layout cannot change the answer — that equality IS the check);
+    // the one-exchange plan shape is pinned by BucketedJoinSpec.
+    "dedup_incremental_bucketed" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir).withColumn("h", TextQueries.splitHash)
+      val cand = bucketedBandProbe(s, dir)
+      val tgIdx = docs.filter(col("h") < 90)
+        .select(col("doc_id").as("i_id"), trigrams("text").as("i_tg"))
+        .withColumn("i_sz", size(col("i_tg")))
+      val tgNew = docs.filter(col("h") >= 90)
+        .select(col("doc_id").as("n_id"), trigrams("text").as("n_tg"))
+        .withColumn("n_sz", size(col("n_tg")))
+      cand
+        .join(tgNew, col("new_id") === col("n_id"))
+        .join(tgIdx, col("idx_id") === col("i_id"))
+        .withColumn("inter",
+          graft.functions.expressions.SortedIntersectSize(col("n_tg"), col("i_tg")))
+        .filter(col("inter").cast("double") /
+          (col("n_sz") + col("i_sz") - col("inter")) >= 0.6)
+        .groupBy(col("new_id"))
+        .agg(min(col("idx_id")).as("dup_of"), count(lit(1)).as("n_dups"))
+        .select(col("new_id").as("doc_id"), col("dup_of"), col("n_dups"))
+    }),
+
     // EXACT-dedup delta ingest with a BLOOM PREFILTER — the sketch-
     // prefilter + exact-verify shape every 100 TB ingest runs before
     // the near-dup machinery: the index digests compress into a
@@ -910,24 +1003,10 @@ object DedupQueries {
          |SELECT r.v AS doc_id, d.deg, CAST(r.rank AS BIGINT) AS rank
          |FROM r$PrIters r JOIN deg d ON r.v = d.v""".stripMargin
     },
-    "dedup_incremental" ->
-      s"""WITH bands AS (SELECT * FROM (${minhashBandsSql("documents")})),
-         |hh AS (SELECT doc_id,
-         |         ${TextFunctions.Sql.tokenHash("CAST(doc_id AS VARCHAR)")} % 100 AS h
-         |       FROM documents),
-         |cand AS (
-         |  SELECT DISTINCT n.doc_id AS new_id, i.doc_id AS idx_id
-         |  FROM bands n JOIN bands i ON n.band = i.band AND n.bhash = i.bhash
-         |  JOIN hh hn ON n.doc_id = hn.doc_id AND hn.h >= 90
-         |  JOIN hh hi ON i.doc_id = hi.doc_id AND hi.h < 90),
-         |tg AS (SELECT doc_id, ${trigramsSql("text")} AS tg FROM documents),
-         |ver AS (
-         |  SELECT new_id, idx_id FROM cand
-         |  JOIN tg dn ON new_id = dn.doc_id JOIN tg di ON idx_id = di.doc_id
-         |  WHERE len(list_intersect(dn.tg, di.tg))::DOUBLE /
-         |        len(list_distinct(list_concat(dn.tg, di.tg))) >= 0.6)
-         |SELECT new_id AS doc_id, MIN(idx_id) AS dup_of, COUNT(*) AS n_dups
-         |FROM ver GROUP BY new_id""".stripMargin,
+    "dedup_incremental" -> incrementalSql,
+    // the persisted-bucketed-index layout cannot change the relation —
+    // oracle equality with the recompute-everything form IS the check
+    "dedup_incremental_bucketed" -> incrementalSql,
     // the bloom is a prefilter only — false positives die in the
     // verify join, so the exact relation below IS the result
     "dedup_bloom_prefilter" ->
