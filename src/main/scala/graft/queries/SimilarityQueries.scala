@@ -157,7 +157,7 @@ object SimilarityQueries {
   /** One learned PQ codeword: subspace, cell id, float coords, and
     * the precomputed Σc² term of the assignment score.
     */
-  private case class PqCentroid(s: Int, cell: Int, cf: Array[Float], cc: Double)
+  private[queries] case class PqCentroid(s: Int, cell: Int, cf: Array[Float], cc: Double)
 
   /** The exploded subvector relation: one row per (vector, subspace). */
   private def pqSubvectors(emb: DataFrame): DataFrame =
@@ -231,7 +231,7 @@ object SimilarityQueries {
     * partition-local map; output keeps the embedding so training's
     * UPDATE can slice subvectors without a join.
     */
-  private def pqEncode(emb: DataFrame, cents: Seq[PqCentroid]): DataFrame = {
+  private[queries] def pqEncode(emb: DataFrame, cents: Seq[PqCentroid]): DataFrame = {
     val spark = emb.sparkSession
     import spark.implicits._
     val cb = pqCodebookArrays(cents)
@@ -350,7 +350,7 @@ object SimilarityQueries {
   /** Full PQ training run: warm start + KmIters Lloyd rounds, one
     * corpus scan (encode) + one ≤128-row update shuffle per round.
     */
-  private def pqCodebooks(emb: DataFrame): Seq[PqCentroid] = {
+  private[queries] def pqCodebooks(emb: DataFrame): Seq[PqCentroid] = {
     val sv = pqSubvectors(emb).localCheckpoint()
     var cents = pqUpdate(sv.withColumn("cell", pqInitCell(col("sub"))))
     for (_ <- 1 until KmIters)
@@ -956,7 +956,7 @@ object SimilarityQueries {
   private val pqCcExpr = "list_reduce(list_prepend(0.0::DOUBLE, " +
     s"[c[i]::DOUBLE * c[i]::DOUBLE for i in range(1, ${PqSub + 1})]), (acc, v) -> acc + v)"
 
-  private def pqCtes(src: String = "embeddings"): String = {
+  private[queries] def pqCtes(src: String = "embeddings"): String = {
     def update(prev: String) =
       s"(SELECT sp, cell, COUNT(*) AS n, $pqLaneSums AS ls FROM $prev GROUP BY sp, cell)"
     def cents(m: String) =
@@ -1015,6 +1015,29 @@ object SimilarityQueries {
        |    [CAST(a.embedding[i]::DOUBLE - c.c[i]::DOUBLE AS FLOAT)
        |     for i in range(1, ${Dim + 1})] AS embedding
        |  FROM a$KmIters a JOIN c$KmIters c ON a.cell = c.cell)""".stripMargin
+
+  /** Oracle for the streaming vector-index ingest
+    * (`embedding_ingest_stream`): codebooks train on the index subset
+    * only (vec_id % 10 ≠ 9), then the WHOLE corpus assigns against
+    * the frozen pc-codebooks — the batch equivalent of
+    * freeze-and-append.
+    */
+  private[queries] def frozenEncodeAllSql: String =
+    s"""WITH ${pqCtes("(SELECT vec_id, embedding FROM embeddings WHERE vec_id % 10 != 9) idxsrc")},
+       |allsub AS (
+       |  SELECT vec_id, t.sp,
+       |    embedding[(t.sp*$PqSub+1):(t.sp*$PqSub+$PqSub)] AS sub
+       |  FROM embeddings, range(0, $PqM) t(sp)),
+       |allasg AS (
+       |  SELECT vec_id, sp, cell FROM (
+       |    SELECT f.vec_id, f.sp, c.cell,
+       |      ROW_NUMBER() OVER (PARTITION BY f.vec_id, f.sp ORDER BY
+       |        c.cc - 2 * ${VectorFunctions.Sql.dot("f.sub", "c.c", PqSub)} ASC,
+       |        c.cell ASC) AS rn
+       |    FROM allsub f JOIN pc$KmIters c ON f.sp = c.sp) WHERE rn = 1)
+       |SELECT vec_id, CAST(sp AS INT) AS s, CAST(cell AS INT) AS code,
+       |  CASE WHEN vec_id % 10 = 9 THEN 'delta' ELSE 'index' END AS origin
+       |FROM allasg""".stripMargin
 
   private def pqAdcSelect: String =
     s"""$pqAdcScoreCte

@@ -1135,7 +1135,64 @@ object StreamingQueries {
     }
   }
 
+  /** Streaming VECTOR-INDEX maintenance — the day-2 steady state of a
+    * PQ-compressed vector store, run as a stream: codebooks train
+    * ONCE on the already-ingested index (vec_id % 10 ≠ 9, the 90%)
+    * and then FREEZE — the production contract, since re-training
+    * would invalidate every stored code; the delta (the 10%) arrives
+    * as gz JSONL chunk drops through the file ingress
+    * ([[EmbeddingsReplay]]), and each micro-batch encodes against
+    * the frozen driver-held codebooks ([[SimilarityQueries.pqEncode]]
+    * inside `foreachBatch` — a pure map, no shuffle) and APPENDS the
+    * nibble codes to the real parquet index manifest (the
+    * docs_incremental_stream write shape). Output: index ∪ delta
+    * codes — which must equal a batch encode of the whole corpus
+    * under the index-trained codebooks, proving the freeze/append
+    * seam loses nothing. Float JSON round-trips bit-exactly
+    * (shortest-repr serialization), so the streamed codes are the
+    * batch codes.
+    */
+  def embeddingIngestStream(spark: SparkSession, sfDir: String): DataFrame = {
+    val ss = streamSession(spark)
+    import ss.implicits._
+    val emb = graft.Tables.embeddings(ss, sfDir)
+    val idx = emb.filter(col("vec_id") % 10 =!= 9)
+    val cents = SimilarityQueries.pqCodebooks(idx)
+    val deltaVecs = emb.filter(col("vec_id") % 10 === 9)
+      .select(col("vec_id"), col("embedding"))
+      .as[(Long, Array[Float])].collect().toSeq.sortBy(_._1)
+    val (stream, chunkDir) = EmbeddingsReplay.fileStream(ss, deltaVecs, nChunks = 3)
+    val outDir = TempDir.create("graft-vecidx-")
+    val ckpt = TempDir.create("graft-ckpt-")
+    val q = stream.writeStream.outputMode("append")
+      .option("checkpointLocation", ckpt.toString)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        SimilarityQueries.pqEncode(batch, cents)
+          .select(col("vec_id"), posexplode(col("codes")))
+          .select(col("vec_id"), col("pos").cast("int").as("s"),
+            col("col").as("code"), lit("delta").as("origin"))
+          .write.mode("append").parquet(outDir.toString)
+        ()
+      }
+      .start()
+    try {
+      q.processAllAvailable()
+      val idxCodes = SimilarityQueries.pqEncode(idx, cents)
+        .select(col("vec_id"), posexplode(col("codes")))
+        .select(col("vec_id"), col("pos").cast("int").as("s"),
+          col("col").as("code"), lit("index").as("origin"))
+      idxCodes.union(ss.read.parquet(outDir.toString)).localCheckpoint()
+    } finally {
+      q.stop()
+      TempDir.deleteRecursively(ckpt.toString)
+      TempDir.deleteRecursively(chunkDir)
+      TempDir.deleteRecursively(outDir.toString)
+      StateStoreBridge.unloadAll()
+    }
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "embedding_ingest_stream" -> (embeddingIngestStream _),
     "events_rate_stream" -> (rateIngestStream _),
     "events_enrich_stream" -> (enrichStream _),
     "events_trending_stream" -> (trendingStream _),
@@ -1170,6 +1227,9 @@ object StreamingQueries {
 
   /** Streaming results must converge to the batch oracles. */
   val oracleSql: Map[String, String] = Map(
+    // freeze-and-append must equal the batch whole-corpus encode
+    // under the index-trained codebooks
+    "embedding_ingest_stream" -> SimilarityQueries.frozenEncodeAllSql,
     // pure function of the rate-micro-batch source contract: value v
     // rides batch v div R with event time T0 + batch · advance
     "events_rate_stream" ->
