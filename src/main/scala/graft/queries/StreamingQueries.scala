@@ -1191,7 +1191,101 @@ object StreamingQueries {
     }
   }
 
+  /** Streaming CONNECTED COMPONENTS — incremental near-dup clustering
+    * (the graph × streaming cell): verified pair edges arrive in
+    * micro-batches through the file ingress and the persisted label
+    * table is maintained INCREMENTALLY, never recomputed. Per batch:
+    * (1) edge endpoints look up their current labels (two hash joins
+    * against the label table); (2) the label-level merge graph —
+    * BATCH-BOUNDED: at most one (la, lb) pair per new edge, over
+    * labels, not members — collects to the driver where union-find
+    * resolves each class to its min label (the IVF-centroid
+    * driver-held-model pattern; the merge MAP broadcasts back,
+    * member rows never leave executors); (3) the label table rewrites
+    * by one broadcast map lookup — a narrow, shuffle-free pass,
+    * written as a new table GENERATION (the lakehouse swap, no
+    * in-place mutation). Inductively the table always equals the
+    * min-label CC of the edges seen so far, so after the replay it
+    * equals the BATCH closure — `dedup_components`' own oracle. At
+    * 100 TB the rewrite touches only rows whose label is in the merge
+    * map (a MERGE on the losing components); the full-pass form here
+    * keeps the fixture honest.
+    */
+  def ccStream(spark: SparkSession, sfDir: String): DataFrame = {
+    val ss = streamSession(spark)
+    import ss.implicits._
+    val labelBase = TempDir.create("graft-cclab-")
+    var gen = 0
+    def genDir(g: Int) = s"$labelBase/g$g"
+    graft.Tables.documents(ss, sfDir)
+      .select(col("doc_id"), col("doc_id").as("component"))
+      .write.mode("overwrite").parquet(genDir(0))
+    val pairs = DedupQueries.minhashVerifiedPairs(ss, sfDir)
+      .select(col("doc_a"), col("doc_b"))
+      .as[(Long, Long)].collect().toSeq.sorted
+    // pair edges ride the shared events wire schema (userId = doc_a,
+    // eventId = doc_b) — the one-topic contract EventsReplay documents
+    val fed = pairs.zipWithIndex.map { case ((a, b), i) =>
+      EventsReplay.Ev(a, b, i.toLong, "pair", 0.0)
+    }
+    val (stream, chunkDir) = EventsReplay.fileStream(ss, fed, nChunks = 4)
+    val ckpt = TempDir.create("graft-ckpt-")
+    val q = stream.writeStream.outputMode("append")
+      .option("checkpointLocation", ckpt.toString)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val labels = ss.read.parquet(genDir(gen))
+        val merges = batch
+          .select(col("userId").as("a"), col("eventId").as("b"))
+          .join(labels.select(col("doc_id").as("a"), col("component").as("la")), Seq("a"))
+          .join(labels.select(col("doc_id").as("b"), col("component").as("lb")), Seq("b"))
+          .select(col("la"), col("lb"))
+          .filter(col("la") =!= col("lb")).distinct()
+          .as[(Long, Long)].collect()
+        if (merges.nonEmpty) {
+          // union-find over the TOUCHED labels only — batch-bounded
+          val parent = scala.collection.mutable.Map.empty[Long, Long]
+          def find(x: Long): Long = {
+            val p = parent.getOrElse(x, x)
+            if (p == x) x
+            else { val r = find(p); parent(x) = r; r }
+          }
+          merges.foreach { case (a, b) =>
+            val (ra, rb) = (find(a), find(b))
+            if (ra != rb) {
+              if (ra < rb) parent(rb) = ra else parent(ra) = rb
+            }
+          }
+          val mergeMap = parent.keys.map(l => l -> find(l))
+            .filter { case (l, r) => l != r }.toMap
+          val bc = ss.sparkContext.broadcast(mergeMap)
+          val next = labels.as[(Long, Long)]
+            .mapPartitions(_.map { case (d, l) =>
+              (d, bc.value.getOrElse(l, l))
+            })
+            .toDF("doc_id", "component")
+          next.write.mode("overwrite").parquet(genDir(gen + 1))
+          gen += 1
+        }
+        ()
+      }
+      .start()
+    try {
+      q.processAllAvailable()
+      ss.read.parquet(genDir(gen))
+        .withColumn("is_canonical",
+          (col("doc_id") === col("component")).cast("int"))
+        .localCheckpoint()
+    } finally {
+      q.stop()
+      TempDir.deleteRecursively(ckpt.toString)
+      TempDir.deleteRecursively(chunkDir)
+      TempDir.deleteRecursively(labelBase.toString)
+      StateStoreBridge.unloadAll()
+    }
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_cc_stream" -> (ccStream _),
     "embedding_ingest_stream" -> (embeddingIngestStream _),
     "events_rate_stream" -> (rateIngestStream _),
     "events_enrich_stream" -> (enrichStream _),
@@ -1230,6 +1324,8 @@ object StreamingQueries {
     // freeze-and-append must equal the batch whole-corpus encode
     // under the index-trained codebooks
     "embedding_ingest_stream" -> SimilarityQueries.frozenEncodeAllSql,
+    // incrementally-merged labels must equal the batch closure
+    "dedup_cc_stream" -> DedupQueries.oracleSql("dedup_components"),
     // pure function of the rate-micro-batch source contract: value v
     // rides batch v div R with event time T0 + batch · advance
     "events_rate_stream" ->
