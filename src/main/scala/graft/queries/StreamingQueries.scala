@@ -1284,7 +1284,80 @@ object StreamingQueries {
     }
   }
 
+  /** Streaming MULTIMODAL ingest — binary payloads through a stream
+    * (the streaming × multimodal cell): media rows arrive as gz JSONL
+    * chunk drops with the payload base64-encoded on the wire (the one
+    * way binary rides a text transport; `unbase64` restores the exact
+    * bytes), and each micro-batch runs the REAL decode → pooled-grid
+    * featurize stage ([[Multimodal.extractFeatures]] — a stateless
+    * typed mapPartitions, which Structured Streaming runs unchanged)
+    * emitting the per-media feature manifest. No aggregation → rows
+    * emit on arrival, no watermark, no flush sentinel; payloads never
+    * cross a shuffle (features leave the decode stage as 32 ints).
+    * Oracle: the BATCH `multimodal_features` relation — streamed
+    * decode+featurize must equal the batch stage byte-for-byte.
+    */
+  def multimodalIngestStream(spark: SparkSession, sfDir: String): DataFrame = {
+    val ss = streamSession(spark)
+    import ss.implicits._
+    val media = graft.multimodal.Multimodal.mediaFromDocuments(ss, sfDir)
+      .select(col("media_id"), col("kind"), col("payload"))
+      .as[(Long, String, Array[Byte])].collect().toSeq.sortBy(_._1)
+    val dir = TempDir.create("graft-media-")
+    val enc = java.util.Base64.getEncoder
+    media.grouped(math.max(1, math.ceil(media.size / 3.0).toInt)).zipWithIndex
+      .foreach { case (chunk, i) =>
+        val lines = chunk.map { case (id, kind, payload) =>
+          s"""{"mediaId":$id,"kind":"$kind","payload":"${enc.encodeToString(payload)}"}"""
+        }
+        val bos = new java.io.ByteArrayOutputStream()
+        val gz = new java.util.zip.GZIPOutputStream(bos)
+        gz.write(lines.mkString("\n").getBytes("UTF-8")); gz.close()
+        val p = java.nio.file.Files.write(
+          java.nio.file.Paths.get(dir.toString).resolve(f"media-$i%05d.jsonl.gz"),
+          bos.toByteArray)
+        java.nio.file.Files.setLastModifiedTime(p,
+          java.nio.file.attribute.FileTime.fromMillis(1000000000000L + i * 1000L))
+      }
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("mediaId",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("kind",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("payload",
+        org.apache.spark.sql.types.StringType)))
+    val stream = ss.readStream
+      .option("maxFilesPerTrigger", "1")
+      .text(dir.toString)
+      .select(from_json(col("value"), schema).as("j"))
+      .select(col("j.mediaId").as("media_id"), col("j.kind").as("kind"),
+        unbase64(col("j.payload")).as("payload"))
+    val name = "mmingest_" + UUID.randomUUID().toString.replace("-", "")
+    val ckpt = TempDir.create("graft-ckpt-")
+    val feats = graft.multimodal.Multimodal.extractFeatures(stream).toDF()
+    val head = Seq(col("media_id"),
+      org.apache.spark.sql.functions.size(col("features")).as("dim"),
+      org.apache.spark.sql.functions.round(
+        graft.functions.VectorFunctions.norm(col("features")), 3).as("nrm"))
+    val cells = (0 until 16).map(b => element_at(col("grid"), b + 1).as(s"g$b"))
+    val buckets = (0 until 16).map(b => element_at(col("hist"), b + 1).as(s"h$b"))
+    val q = feats.select(head ++ cells ++ buckets: _*)
+      .writeStream.outputMode("append")
+      .option("checkpointLocation", ckpt.toString)
+      .format("memory").queryName(name)
+      .start()
+    try q.processAllAvailable()
+    finally {
+      q.stop()
+      TempDir.deleteRecursively(ckpt.toString)
+      TempDir.deleteRecursively(dir.toString)
+      StateStoreBridge.unloadAll()
+    }
+    ss.table(name)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "multimodal_ingest_stream" -> (multimodalIngestStream _),
     "dedup_cc_stream" -> (ccStream _),
     "embedding_ingest_stream" -> (embeddingIngestStream _),
     "events_rate_stream" -> (rateIngestStream _),
@@ -1326,6 +1399,8 @@ object StreamingQueries {
     "embedding_ingest_stream" -> SimilarityQueries.frozenEncodeAllSql,
     // incrementally-merged labels must equal the batch closure
     "dedup_cc_stream" -> DedupQueries.oracleSql("dedup_components"),
+    // streamed decode->featurize must equal the batch feature stage
+    "multimodal_ingest_stream" -> MultimodalQueries.oracleSql("multimodal_features"),
     // pure function of the rate-micro-batch source contract: value v
     // rides batch v div R with event time T0 + batch · advance
     "events_rate_stream" ->

@@ -31,7 +31,8 @@ class PlanShapeSpec extends AnyFunSuite {
     "events_attribution_full_stream", "events_trending_stream",
     "events_enrich_stream", "events_debounce_stream",
     "events_type_counts_stream", "events_rate_stream",
-    "embedding_ingest_stream", "dedup_cc_stream")
+    "embedding_ingest_stream", "dedup_cc_stream",
+    "multimodal_ingest_stream")
 
   /** Pre-AQE physical plan: assertable deterministically; AQE only
     * re-plans *away* from shapes asserted here on runtime stats.
