@@ -2,6 +2,8 @@ package graft.queries
 
 import java.util.UUID
 
+import scala.jdk.CollectionConverters._
+
 import graft.streaming._
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -208,6 +210,21 @@ object StreamingQueries {
       StateStoreBridge.unloadAll()
     }
     ss.table(name)
+  }
+
+  /** The per-batch manifest directories under a batchId-overwrite
+    * manifest root (b0, b1, …), listed explicitly — passing the
+    * resolved paths to `read.parquet` instead of a `b*` glob keeps
+    * FileStreamSink's harmless metadata-probe WARN stack out of the
+    * driver log.
+    */
+  private def batchDirs(root: String): Seq[String] = {
+    val d = java.nio.file.Paths.get(root)
+    val s = java.nio.file.Files.list(d)
+    try s.iterator().asScala
+      .filter(p => p.getFileName.toString.matches("^b\\d+$"))
+      .map(_.toString).toVector.sorted
+    finally s.close()
   }
 
   /** Typed cell-event stream shared by the stateful pipelines. */
@@ -954,7 +971,7 @@ object StreamingQueries {
       .dropDuplicatesWithinWatermark("docId")
       .writeStream.outputMode("append")
       .option("checkpointLocation", ckpt.toString)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val b = batch.select(col("docId").as("doc_id"), col("text"))
         val bNew = DedupQueries.minhashBands(b)
           .select(col("band"), col("bhash"), col("doc_id").as("new_id"))
@@ -971,10 +988,14 @@ object StreamingQueries {
           .filter(col("inter").cast("double") /
             (col("n_sz") + col("i_sz") - col("inter")) >= 0.6)
           .select(col("new_id").as("doc_id")).distinct()
+        // batchId-deterministic overwrite target (not a bare append):
+        // a foreachBatch retry re-lands on identical bytes instead of
+        // duplicating manifest rows — the manifest-append idempotence
+        // contract (see embedding_ingest_stream)
         b.join(dupIds, Seq("doc_id"), "left_anti")
           .select(col("doc_id"), lit("delta").as("origin"),
             TextFunctions.tokenCount(col("text")).as("n_tokens"))
-          .write.mode("append").parquet(outDir.toString)
+          .write.mode("overwrite").parquet(s"$outDir/b$batchId")
         ()
       }
       .start()
@@ -983,7 +1004,8 @@ object StreamingQueries {
       val idxManifest = docs.filter(col("h") < 90)
         .select(col("doc_id"), lit("index").as("origin"),
           TextFunctions.tokenCount(col("text")).as("n_tokens"))
-      idxManifest.union(ss.read.parquet(outDir.toString)).localCheckpoint()
+      idxManifest.union(ss.read.parquet(batchDirs(outDir.toString): _*))
+        .localCheckpoint()
     } finally {
       q.stop()
       TempDir.deleteRecursively(ckpt.toString)
@@ -1166,12 +1188,18 @@ object StreamingQueries {
     val ckpt = TempDir.create("graft-ckpt-")
     val q = stream.writeStream.outputMode("append")
       .option("checkpointLocation", ckpt.toString)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        // batchId-deterministic OVERWRITE target, not a bare append:
+        // a foreachBatch RETRY re-delivers the same batchId, and
+        // overwriting its own directory makes the re-run land on the
+        // identical bytes instead of duplicating manifest rows — the
+        // same idempotence contract KeyedUpsertSink carries, applied
+        // to an append-only manifest
         SimilarityQueries.pqEncode(batch, cents)
           .select(col("vec_id"), posexplode(col("codes")))
           .select(col("vec_id"), col("pos").cast("int").as("s"),
             col("col").as("code"), lit("delta").as("origin"))
-          .write.mode("append").parquet(outDir.toString)
+          .write.mode("overwrite").parquet(s"$outDir/b$batchId")
         ()
       }
       .start()
@@ -1181,7 +1209,8 @@ object StreamingQueries {
         .select(col("vec_id"), posexplode(col("codes")))
         .select(col("vec_id"), col("pos").cast("int").as("s"),
           col("col").as("code"), lit("index").as("origin"))
-      idxCodes.union(ss.read.parquet(outDir.toString)).localCheckpoint()
+      idxCodes.union(ss.read.parquet(batchDirs(outDir.toString): _*))
+        .localCheckpoint()
     } finally {
       q.stop()
       TempDir.deleteRecursively(ckpt.toString)
@@ -1215,8 +1244,22 @@ object StreamingQueries {
     val ss = streamSession(spark)
     import ss.implicits._
     val labelBase = TempDir.create("graft-cclab-")
-    var gen = 0
     def genDir(g: Int) = s"$labelBase/g$g"
+    // the CURRENT generation is discovered from the table layout, not
+    // a driver variable — a restarted incarnation (or a foreachBatch
+    // retry) resumes from whatever generation is durably on disk
+    // (retries are additionally idempotent: against an already-merged
+    // table the batch's merge graph is empty and no new generation is
+    // written)
+    def currentGen(): Int = {
+      val d = java.nio.file.Paths.get(labelBase.toString)
+      val s = java.nio.file.Files.list(d)
+      try s.iterator().asScala
+        .flatMap(p => "^g(\\d+)$".r.findFirstMatchIn(p.getFileName.toString)
+          .map(_.group(1).toInt))
+        .foldLeft(0)(math.max)
+      finally s.close()
+    }
     graft.Tables.documents(ss, sfDir)
       .select(col("doc_id"), col("doc_id").as("component"))
       .write.mode("overwrite").parquet(genDir(0))
@@ -1233,6 +1276,7 @@ object StreamingQueries {
     val q = stream.writeStream.outputMode("append")
       .option("checkpointLocation", ckpt.toString)
       .foreachBatch { (batch: DataFrame, _: Long) =>
+        val gen = currentGen()
         val labels = ss.read.parquet(genDir(gen))
         val merges = batch
           .select(col("userId").as("a"), col("eventId").as("b"))
@@ -1264,14 +1308,13 @@ object StreamingQueries {
             })
             .toDF("doc_id", "component")
           next.write.mode("overwrite").parquet(genDir(gen + 1))
-          gen += 1
         }
         ()
       }
       .start()
     try {
       q.processAllAvailable()
-      ss.read.parquet(genDir(gen))
+      ss.read.parquet(genDir(currentGen()))
         .withColumn("is_canonical",
           (col("doc_id") === col("component")).cast("int"))
         .localCheckpoint()
