@@ -554,6 +554,71 @@ object SimilarityQueries {
           round(col("col.cos"), 6).as("est_r"))
     }),
 
+    // IVF-PQ in its PRODUCTION form — the FAISS serving shape end to
+    // end: cell-bounded ADC scan (nprobe=2 probed cells, 4 B codes)
+    // produces a k′ = 3K shortlist per query, then ONLY shortlist
+    // rows re-rank by exact float cosine via the broadcast
+    // point-lookup join. Completes the rerank family (int8 4×, raw
+    // PQ 64×, IVF-PQ cell-bounded 64×): coarse-code error confined
+    // below rank 3K, emitted ordering exact-cosine over what the
+    // probes reached.
+    "knn_ivfpq_rerank" -> ((s, dir) => {
+      import s.implicits._
+      val emb0 = corpus(s, dir)
+      val ivfCents = learnedCentroids(emb0)
+      val emb = Tables.embeddings(s, dir)
+      val res = ivfResiduals(emb, ivfCents).localCheckpoint()
+      val rcb = pqCodebooks(res)
+      val cb = pqCodebookArrays(rcb)
+      val cellIdx: Array[Map[Int, Int]] =
+        cb.map(cs => cs.iterator.zipWithIndex.map { case (c, i) => c._1 -> i }.toMap)
+      val ivfByCell: Map[Int, Array[Float]] =
+        ivfCents.map(c => c.cell -> c.cf).toMap
+      val index = ivfPqEncode(emb, ivfCents, rcb)
+      val q = queriesOf(emb0)
+        .withColumn("sc", kmScores(ivfCents, col("q_emb")))
+        .withColumn("pp1", array_position(col("sc"), array_min(col("sc"))))
+        .withColumn("masked", transform(sequence(lit(1), lit(ivfCents.size)),
+          i => when(i.cast("long") === col("pp1"), lit(KmMask))
+            .otherwise(element_at(col("sc"), i))))
+        .withColumn("pp2", array_position(col("masked"), array_min(col("masked"))))
+        .withColumn("cell", explode(array(
+          kmCellAt(ivfCents, col("pp1")), kmCellAt(ivfCents, col("pp2")))))
+        .select(col("query_id"), col("q_emb"), col("cell"))
+      val scored = broadcast(q).join(index, Seq("cell"))
+        .filter(col("query_id") =!= col("vec_id"))
+        .select(col("query_id"), col("q_emb"), col("cell"), col("vec_id"),
+          col("codes"))
+        .as[(Long, Array[Float], Int, Long, Array[Int])]
+        .mapPartitions(_.map { case (qid, qEmb, cell, vid, cds) =>
+          val cf = ivfByCell(cell)
+          var est = 0.0
+          var i = 0
+          while (i < Dim) { est += qEmb(i).toDouble * cf(i).toDouble; i += 1 }
+          var s = 0
+          while (s < PqM) {
+            est += pqSubDot(qEmb, s * PqSub, cb(s)(cellIdx(s)(cds(s)))._2)
+            s += 1
+          }
+          (qid, vid, est)
+        })
+      val shortlist = scored.groupByKey(_._1)
+        .mapValues(t => graft.functions.Scored(t._2, t._3))
+        .agg(new graft.functions.TopKByScore(3 * K).toColumn)
+        .toDF("query_id", "topk")
+        .select(col("query_id"), explode(col("topk.vec_id")).as("vec_id"))
+      val qf = queriesOf(emb0)
+      val w = Window.partitionBy(col("query_id"))
+        .orderBy(col("cos").desc, col("vec_id").asc)
+      broadcast(shortlist).join(emb0, Seq("vec_id"))
+        .join(broadcast(qf), Seq("query_id"))
+        .withColumn("cos", cosCol)
+        .withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") <= K)
+        .select(col("query_id"), col("vec_id").as("neighbor_id"), col("rnk"),
+          round(col("cos"), 6).as("cos_r"))
+    }),
+
     // Exact top-k: broadcast queries × corpus scored partition-local,
     // then a bounded top-k *aggregator* per query — partial aggregation
     // reduces each partition to ≤ k rows per query before the shuffle
@@ -1039,6 +1104,38 @@ object SimilarityQueries {
        |  CASE WHEN vec_id % 10 = 9 THEN 'delta' ELSE 'index' END AS origin
        |FROM allasg""".stripMargin
 
+  /** The cell-bounded ADC score CTEs of the IVF-PQ index (probe
+    * relation `qp` at nprobe = 2 + scored candidate relation `sc`:
+    * coarse term + 8 residual terms added in literal order) — shared
+    * by the single-stage and re-ranked retrieval oracles.
+    */
+  private def ivfpqScoreCtes: String = {
+    val joins = (0 until PqM).map { s =>
+      s"""JOIN pa$KmIters a$s ON a$s.vec_id = r.vec_id AND a$s.sp = $s
+         |JOIN pc$KmIters b$s ON b$s.sp = $s AND b$s.cell = a$s.cell""".stripMargin
+    }.mkString("\n")
+    val terms = (0 until PqM).map { s =>
+      VectorFunctions.Sql.dot(
+        s"(q.embedding[${s * PqSub + 1}:${s * PqSub + PqSub}])", s"b$s.c", PqSub)
+    }.mkString(" + ")
+    s"""qp AS (
+       |  SELECT vec_id, cell FROM (
+       |    SELECT f.vec_id, c.cell,
+       |      ROW_NUMBER() OVER (PARTITION BY f.vec_id ORDER BY
+       |        c.cc - 2 * ${VectorFunctions.Sql.dot("f.embedding", "c.c", Dim)} ASC,
+       |        c.cell ASC) AS rn
+       |    FROM fx f CROSS JOIN c$KmIters c WHERE f.vec_id % 50 = 0)
+       |  WHERE rn <= 2),
+       |sc AS (
+       |  SELECT q.vec_id AS query_id, r.vec_id AS nid,
+       |    ${VectorFunctions.Sql.dot("q.embedding", "civ.c", Dim)} + $terms AS est
+       |  FROM (SELECT qp.vec_id, qp.cell, f.embedding
+       |        FROM qp JOIN fx f ON qp.vec_id = f.vec_id) q
+       |  JOIN res r ON q.cell = r.cell AND q.vec_id != r.vec_id
+       |  JOIN c$KmIters civ ON civ.cell = r.cell
+       |  $joins)""".stripMargin
+  }
+
   private def pqAdcSelect: String =
     s"""$pqAdcScoreCte
        |SELECT query_id, neighbor_id, rnk, est_r FROM (
@@ -1068,41 +1165,39 @@ object SimilarityQueries {
          |SELECT CAST(sp AS INT) AS s, CAST(cell AS INT) AS cell,
          |  CAST(t.i AS INT) AS lane, c[t.i] AS c
          |FROM pc$KmIters, range(1, ${PqSub + 1}) t(i)""".stripMargin,
-    "knn_ivfpq" -> {
-      val joins = (0 until PqM).map { s =>
-        s"""JOIN pa$KmIters a$s ON a$s.vec_id = r.vec_id AND a$s.sp = $s
-           |JOIN pc$KmIters b$s ON b$s.sp = $s AND b$s.cell = a$s.cell""".stripMargin
-      }.mkString("\n")
-      val terms = (0 until PqM).map { s =>
-        VectorFunctions.Sql.dot(
-          s"(q.embedding[${s * PqSub + 1}:${s * PqSub + PqSub}])", s"b$s.c", PqSub)
-      }.mkString(" + ")
+    "knn_ivfpq" ->
       s"""WITH $kmeansCtes,
          |$ivfpqResCte,
          |${pqCtes("res")},
-         |qp AS (
-         |  SELECT vec_id, cell FROM (
-         |    SELECT f.vec_id, c.cell,
-         |      ROW_NUMBER() OVER (PARTITION BY f.vec_id ORDER BY
-         |        c.cc - 2 * ${VectorFunctions.Sql.dot("f.embedding", "c.c", Dim)} ASC,
-         |        c.cell ASC) AS rn
-         |    FROM fx f CROSS JOIN c$KmIters c WHERE f.vec_id % 50 = 0)
-         |  WHERE rn <= 2),
-         |sc AS (
-         |  SELECT q.vec_id AS query_id, r.vec_id AS nid,
-         |    ${VectorFunctions.Sql.dot("q.embedding", "civ.c", Dim)} + $terms AS est
-         |  FROM (SELECT qp.vec_id, qp.cell, f.embedding
-         |        FROM qp JOIN fx f ON qp.vec_id = f.vec_id) q
-         |  JOIN res r ON q.cell = r.cell AND q.vec_id != r.vec_id
-         |  JOIN c$KmIters civ ON civ.cell = r.cell
-         |  $joins)
+         |$ivfpqScoreCtes
          |SELECT query_id, neighbor_id, rnk, est_r FROM (
          |  SELECT query_id, nid AS neighbor_id,
          |    ROW_NUMBER() OVER (PARTITION BY query_id
          |      ORDER BY est DESC, nid ASC) AS rnk,
          |    ROUND(est, 6) AS est_r
-         |  FROM sc) WHERE rnk <= $K""".stripMargin
-    },
+         |  FROM sc) WHERE rnk <= $K""".stripMargin,
+    "knn_ivfpq_rerank" ->
+      // stage 1 = the cell-bounded ADC score CTE at rnk ≤ 3K;
+      // stage 2 = exact-cosine re-rank over shortlist rows only
+      s"""WITH $kmeansCtes,
+         |$ivfpqResCte,
+         |${pqCtes("res")},
+         |$ivfpqScoreCtes,
+         |sl AS (
+         |  SELECT query_id, nid AS neighbor_id FROM (
+         |    SELECT query_id, nid,
+         |      ROW_NUMBER() OVER (PARTITION BY query_id
+         |        ORDER BY est DESC, nid ASC) AS rnk
+         |    FROM sc) WHERE rnk <= ${3 * K})
+         |SELECT query_id, neighbor_id, rnk, cos_r FROM (
+         |  SELECT sl.query_id, sl.neighbor_id,
+         |    ROW_NUMBER() OVER (PARTITION BY sl.query_id
+         |      ORDER BY ${VectorFunctions.Sql.cosine("qe.embedding", "ne.embedding", Dim)} DESC,
+         |               sl.neighbor_id ASC) AS rnk,
+         |    ROUND(${VectorFunctions.Sql.cosine("qe.embedding", "ne.embedding", Dim)}, 6) AS cos_r
+         |  FROM sl JOIN embeddings qe ON sl.query_id = qe.vec_id
+         |          JOIN embeddings ne ON sl.neighbor_id = ne.vec_id
+         |) WHERE rnk <= $K""".stripMargin,
     "knn_pq_rerank" ->
       // stage 1 = the ADC score CTE at rnk ≤ 3K; stage 2 = exact-
       // cosine re-rank over shortlist rows only (the knn_int8_rerank

@@ -75,6 +75,7 @@ class PlanShapeSpec extends AnyFunSuite {
     // row instead of 64 floats
     val allowed = Set("knn_brute", "multimodal_feature_knn", "knn_int8",
       "knn_int8_rerank", "knn_ivf_recall", "knn_pq_adc", "knn_pq_rerank",
+      "knn_ivfpq_rerank",
       "text_bpe_train",
       "events_resample_ffill", "events_rfm", "q22_share_of_total")
     (SparkEntry.queries.keySet -- streamingEntries -- allowed).toSeq.sorted.foreach { name =>
