@@ -591,13 +591,16 @@ object Multimodal {
       }
   }
 
-  /** Feature-extraction stage: payload → real codec decode → fixed-dim
+  /** Feature-extraction stage: payload → real codec decode → 16-dim
     * pooled-grid embedding (4×4 spatial pool for images, 16-segment
     * 1-D pool otherwise; intensity histogram kept as the fallback
     * column), feeding the similarity operators (VectorFunctions/knn)
-    * downstream. Partition-parallel; payloads never shuffle.
+    * downstream. The dimension is fixed at 16 — the spatial pool is
+    * 4×4 by construction, so a width parameter could only be
+    * half-honored (ragged vectors across kinds). Partition-parallel;
+    * payloads never shuffle.
     */
-  def extractFeatures(media: DataFrame, dim: Int = 16): Dataset[MediaFeatures] = {
+  def extractFeatures(media: DataFrame): Dataset[MediaFeatures] = {
     val spark = media.sparkSession
     import spark.implicits._
     media.as[MediaItem]
@@ -613,12 +616,12 @@ object Multimodal {
             val hd = PgmCodec.decodeHeader(m.payload)
             ContentFeatures.pooledGrid(content, hd.width, hd.height)
           } else {
-            ContentFeatures.pooledSeq(content, dim)
+            ContentFeatures.pooledSeq(content, 16)
           }
         MediaFeatures(m.media_id,
           ContentFeatures.normalized(grid),
           grid,
-          ContentFeatures.intensityHistogram(content, dim))
+          ContentFeatures.intensityHistogram(content, 16))
       })
   }
 

@@ -27,10 +27,13 @@ object CsvQueries {
 
   private val NRides = 500
 
-  /** Repo-local fixture path — absolute so the driver's DuckDB resolves
-    * it regardless of cwd; under target/ so it is never committed.
+  /** Repo-local fixture path — absolutized at runtime (so the driver's
+    * DuckDB resolves the oracle-embedded path regardless of its own
+    * cwd, and the repo works from any checkout location); under
+    * target/ so it is never committed.
     */
-  val FixturePath = "/root/repo/target/graft-fixtures/taxi_rides.csv.gz"
+  val FixturePath =
+    new java.io.File("target/graft-fixtures/taxi_rides.csv.gz").getAbsolutePath
 
   /** Write the fixture deterministically (write-to-temp + atomic move:
     * Verify and Bench may both build this query in one JVM).

@@ -104,8 +104,11 @@ object DedupQueries {
     * band index (the dedup_incremental_bucketed layout fixture).
     */
   private[graft] val BandIdxTable = "graft_band_idx_bkt"
+  // resolved against the working dir, not a hardcoded checkout path —
+  // the fixture table lands under the repo's own target/ wherever the
+  // repo is checked out
   private[graft] val BandIdxPath =
-    "/root/repo/target/graft-fixtures/bucketed/band_idx"
+    new java.io.File("target/graft-fixtures/bucketed/band_idx").getAbsolutePath
   private[graft] val BandIdxBuckets = 8
 
   /** Write the index half's band relation as a catalog table BUCKETED
@@ -631,10 +634,15 @@ object DedupQueries {
       val candidates = delta.as[(Long, String)]
         .filter(t => bloom.value.mightContainString(t._2))
         .toDF("doc_id", "digest")
+      // flag per (doc_id, digest) ROW, not per doc_id: at larger
+      // fixtures a clone id (doc_id + 100000) can collide with a real
+      // delta doc_id, and a doc_id-only join-back would conflate the
+      // two rows' verdicts
       val confirmed = candidates
         .join(idxDigests.distinct(), Seq("digest"), "left_semi")
-        .select(col("doc_id")).withColumn("dup", lit(1))
-      delta.join(confirmed, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("digest")).distinct()
+        .withColumn("dup", lit(1))
+      delta.join(confirmed, Seq("doc_id", "digest"), "left")
         .select(col("doc_id"),
           coalesce(col("dup"), lit(0)).cast("int").as("is_dup"))
     }),

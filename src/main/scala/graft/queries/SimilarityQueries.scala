@@ -347,6 +347,157 @@ object SimilarityQueries {
       .toDF("vec_id", "cell", "codes")
   }
 
+  /** Bounded top-k finisher shared by the approximate retrieval
+    * entries: per-query TopKByScore partial aggregation → ranked
+    * (query_id, neighbor_id, rnk, <scoreCol>) rows.
+    */
+  private def topKSelect(
+      scored: org.apache.spark.sql.Dataset[(Long, Long, Double)],
+      k: Int,
+      scoreCol: String): DataFrame = {
+    val spark = scored.sparkSession
+    import spark.implicits._
+    scored.groupByKey(_._1)
+      .mapValues(t => graft.functions.Scored(t._2, t._3))
+      .agg(new graft.functions.TopKByScore(k).toColumn)
+      .toDF("query_id", "topk")
+      .select(col("query_id"), posexplode(col("topk")))
+      .select(col("query_id"), col("col.vec_id").as("neighbor_id"),
+        (col("pos") + 1).cast("int").as("rnk"),
+        round(col("col.cos"), 6).as(scoreCol))
+  }
+
+  /** Two-stage finisher shared by every re-rank entry: a k′ = 3K
+    * shortlist from the approximate scores (bounded TopKByScore
+    * partial agg), then exact float cosine over ONLY shortlist rows
+    * via the broadcast point-lookup join — Q×3K float reads, never a
+    * second corpus scan. Approximation error is confined below rank
+    * 3K; the emitted top-K ordering is exact-cosine.
+    */
+  private def exactRerank(
+      scored: org.apache.spark.sql.Dataset[(Long, Long, Double)],
+      s: SparkSession,
+      dir: String): DataFrame = {
+    import s.implicits._
+    val shortlist = scored.groupByKey(_._1)
+      .mapValues(t => graft.functions.Scored(t._2, t._3))
+      .agg(new graft.functions.TopKByScore(3 * K).toColumn)
+      .toDF("query_id", "topk")
+      .select(col("query_id"), explode(col("topk.vec_id")).as("vec_id"))
+    val emb = corpus(s, dir)
+    val qf = queriesOf(emb)
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("vec_id").asc)
+    broadcast(shortlist).join(emb, Seq("vec_id"))
+      .join(broadcast(qf), Seq("query_id"))
+      .withColumn("cos", cosCol)
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= K)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"), col("rnk"),
+        round(col("cos"), 6).as("cos_r"))
+  }
+
+  /** The raw-PQ ADC scored relation (train → encode → broadcast-query
+    * scan over 8-int code rows) — shared by the single-stage and
+    * re-ranked retrieval entries; ONE spelling of the score
+    * arithmetic keeps both in lockstep with the shared oracle
+    * fragments.
+    */
+  private def pqAdcScored(
+      s: SparkSession, dir: String): org.apache.spark.sql.Dataset[(Long, Long, Double)] = {
+    import s.implicits._
+    val emb = Tables.embeddings(s, dir)
+    val cents = pqCodebooks(emb)
+    val cb = pqCodebookArrays(cents)
+    val cellIdx: Array[Map[Int, Int]] =
+      cb.map(cs => cs.iterator.zipWithIndex.map { case (c, i) => c._1 -> i }.toMap)
+    val codes = pqEncode(emb, cents).select(col("vec_id"), col("codes"))
+    val q = emb.filter(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
+    broadcast(q).join(codes, col("query_id") =!= col("vec_id"))
+      .select(col("query_id"), col("q_emb"), col("vec_id"), col("codes"))
+      .as[(Long, Array[Float], Long, Array[Int])]
+      .mapPartitions(_.map { case (qid, qEmb, vid, cds) =>
+        var est = 0.0
+        var sp = 0
+        while (sp < PqM) {
+          est += pqSubDot(qEmb, sp * PqSub, cb(sp)(cellIdx(sp)(cds(sp)))._2)
+          sp += 1
+        }
+        (qid, vid, est)
+      })
+  }
+
+  /** The int8 scored relation (quantize → broadcast-query scan →
+    * rescaled integer dot) — shared by the single-stage and re-ranked
+    * entries. The integer dot is exact in a Long, so the ranking
+    * input is deterministic bit-for-bit.
+    */
+  private def int8Scored(
+      s: SparkSession, dir: String): org.apache.spark.sql.Dataset[(Long, Long, Double)] = {
+    import s.implicits._
+    val base = Tables.embeddings(s, dir)
+      .select(col("vec_id"), col("embedding"),
+        VectorFunctions.quantScale(col("embedding")).as("scale"))
+      .select(col("vec_id"), col("scale"),
+        VectorFunctions.quantize(col("embedding"), col("scale")).as("codes"))
+    val q = base.filter(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("query_id"), col("scale").as("q_scale"),
+        col("codes").as("q_codes"))
+    broadcast(q).join(base, col("query_id") =!= col("vec_id"))
+      .select(col("query_id"), col("vec_id"),
+        (VectorFunctions.dotInt(col("q_codes"), col("codes")).cast("double") /
+          (col("q_scale") * col("scale"))).as("est"))
+      .as[(Long, Long, Double)]
+  }
+
+  /** The IVF-PQ scored relation (train both models → one-pass encode
+    * → nprobe=2 probes → cell equi-join → coarse + residual ADC
+    * terms) — shared by the single-stage and re-ranked entries.
+    */
+  private def ivfPqScored(
+      s: SparkSession, dir: String): org.apache.spark.sql.Dataset[(Long, Long, Double)] = {
+    import s.implicits._
+    val emb0 = corpus(s, dir)
+    val ivfCents = learnedCentroids(emb0)
+    val emb = Tables.embeddings(s, dir)
+    val res = ivfResiduals(emb, ivfCents).localCheckpoint()
+    val rcb = pqCodebooks(res)
+    val cb = pqCodebookArrays(rcb)
+    val cellIdx: Array[Map[Int, Int]] =
+      cb.map(cs => cs.iterator.zipWithIndex.map { case (c, i) => c._1 -> i }.toMap)
+    val ivfByCell: Map[Int, Array[Float]] =
+      ivfCents.map(c => c.cell -> c.cf).toMap
+    val index = ivfPqEncode(emb, ivfCents, rcb)
+    val q = queriesOf(emb0)
+      .withColumn("sc", kmScores(ivfCents, col("q_emb")))
+      .withColumn("pp1", array_position(col("sc"), array_min(col("sc"))))
+      .withColumn("masked", transform(sequence(lit(1), lit(ivfCents.size)),
+        i => when(i.cast("long") === col("pp1"), lit(KmMask))
+          .otherwise(element_at(col("sc"), i))))
+      .withColumn("pp2", array_position(col("masked"), array_min(col("masked"))))
+      .withColumn("cell", explode(array(
+        kmCellAt(ivfCents, col("pp1")), kmCellAt(ivfCents, col("pp2")))))
+      .select(col("query_id"), col("q_emb"), col("cell"))
+    broadcast(q).join(index, Seq("cell"))
+      .filter(col("query_id") =!= col("vec_id"))
+      .select(col("query_id"), col("q_emb"), col("cell"), col("vec_id"),
+        col("codes"))
+      .as[(Long, Array[Float], Int, Long, Array[Int])]
+      .mapPartitions(_.map { case (qid, qEmb, cell, vid, cds) =>
+        val cf = ivfByCell(cell)
+        var est = 0.0
+        var i = 0
+        while (i < Dim) { est += qEmb(i).toDouble * cf(i).toDouble; i += 1 }
+        var sp = 0
+        while (sp < PqM) {
+          est += pqSubDot(qEmb, sp * PqSub, cb(sp)(cellIdx(sp)(cds(sp)))._2)
+          sp += 1
+        }
+        (qid, vid, est)
+      })
+  }
+
   /** Full PQ training run: warm start + KmIters Lloyd rounds, one
     * corpus scan (encode) + one ≤128-row update shuffle per round.
     */
@@ -391,38 +542,7 @@ object SimilarityQueries {
     // PQ-reconstruction error vs exact cosine is the trade the 64×
     // compression buys (re-rank against floats recovers it, the
     // knn_int8_rerank pattern).
-    "knn_pq_adc" -> ((s, dir) => {
-      import s.implicits._
-      val emb = Tables.embeddings(s, dir)
-      val cents = pqCodebooks(emb)
-      val cb = pqCodebookArrays(cents)
-      val cellIdx: Array[Map[Int, Int]] =
-        cb.map(cs => cs.iterator.zipWithIndex.map { case (c, i) => c._1 -> i }.toMap)
-      val codes = pqEncode(emb, cents).select(col("vec_id"), col("codes"))
-      val q = emb.filter(col("vec_id") % 50 === 0)
-        .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
-      val scored = broadcast(q).join(codes, col("query_id") =!= col("vec_id"))
-        .select(col("query_id"), col("q_emb"), col("vec_id"), col("codes"))
-        .as[(Long, Array[Float], Long, Array[Int])]
-        .mapPartitions(_.map { case (qid, qEmb, vid, cds) =>
-          var est = 0.0
-          var s = 0
-          while (s < PqM) {
-            val cf = cb(s)(cellIdx(s)(cds(s)))._2
-            est += pqSubDot(qEmb, s * PqSub, cf)
-            s += 1
-          }
-          (qid, vid, est)
-        })
-      scored.groupByKey(_._1)
-        .mapValues(t => graft.functions.Scored(t._2, t._3))
-        .agg(new graft.functions.TopKByScore(K).toColumn)
-        .toDF("query_id", "topk")
-        .select(col("query_id"), posexplode(col("topk")))
-        .select(col("query_id"), col("col.vec_id").as("neighbor_id"),
-          (col("pos") + 1).cast("int").as("rnk"),
-          round(col("col.cos"), 6).as("est_r"))
-    }),
+    "knn_pq_adc" -> ((s, dir) => topKSelect(pqAdcScored(s, dir), K, "est_r")),
 
     // PQ two-stage retrieval — the production shape 64× compression
     // actually ships in: the ADC scan produces a k′ = 3K shortlist
@@ -434,46 +554,7 @@ object SimilarityQueries {
     // top-K ordering is exact-cosine over the shortlist — the
     // shortlist-then-rerank pattern is WHY coarse codes are usable
     // (single-stage ADC recall measured in SCALE.md).
-    "knn_pq_rerank" -> ((s, dir) => {
-      import s.implicits._
-      val emb0 = corpus(s, dir)
-      val cents = pqCodebooks(emb0)
-      val cb = pqCodebookArrays(cents)
-      val cellIdx: Array[Map[Int, Int]] =
-        cb.map(cs => cs.iterator.zipWithIndex.map { case (c, i) => c._1 -> i }.toMap)
-      val codes = pqEncode(emb0, cents).select(col("vec_id"), col("codes"))
-      val q = emb0.filter(col("vec_id") % 50 === 0)
-        .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
-      val scored = broadcast(q).join(codes, col("query_id") =!= col("vec_id"))
-        .select(col("query_id"), col("q_emb"), col("vec_id"), col("codes"))
-        .as[(Long, Array[Float], Long, Array[Int])]
-        .mapPartitions(_.map { case (qid, qEmb, vid, cds) =>
-          var est = 0.0
-          var s = 0
-          while (s < PqM) {
-            est += pqSubDot(qEmb, s * PqSub, cb(s)(cellIdx(s)(cds(s)))._2)
-            s += 1
-          }
-          (qid, vid, est)
-        })
-      val shortlist = scored.groupByKey(_._1)
-        .mapValues(t => graft.functions.Scored(t._2, t._3))
-        .agg(new graft.functions.TopKByScore(3 * K).toColumn)
-        .toDF("query_id", "topk")
-        .select(col("query_id"), explode(col("topk.vec_id")).as("vec_id"))
-      val qf = emb0.filter(col("vec_id") % 50 === 0)
-        .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
-          col("nrm").as("q_nrm"))
-      val w = Window.partitionBy(col("query_id"))
-        .orderBy(col("cos").desc, col("vec_id").asc)
-      broadcast(shortlist).join(emb0, Seq("vec_id"))
-        .join(broadcast(qf), Seq("query_id"))
-        .withColumn("cos", cosCol)
-        .withColumn("rnk", row_number().over(w))
-        .filter(col("rnk") <= K)
-        .select(col("query_id"), col("vec_id").as("neighbor_id"), col("rnk"),
-          round(col("cos"), 6).as("cos_r"))
-    }),
+    "knn_pq_rerank" -> ((s, dir) => exactRerank(pqAdcScored(s, dir), s, dir)),
 
     // The RESIDUAL codebooks of the IVF-PQ index, lane-by-lane —
     // pins the full composed training run: learned coarse quantizer
@@ -504,55 +585,7 @@ object SimilarityQueries {
     // both scale levers composed. Scoring runs in mapPartitions over
     // the driver-held models (coarse term first, then subspace terms
     // in order — the oracle mirrors the literal addition order).
-    "knn_ivfpq" -> ((s, dir) => {
-      import s.implicits._
-      val emb0 = corpus(s, dir)
-      val ivfCents = learnedCentroids(emb0)
-      val emb = Tables.embeddings(s, dir)
-      val res = ivfResiduals(emb, ivfCents).localCheckpoint()
-      val rcb = pqCodebooks(res)
-      val cb = pqCodebookArrays(rcb)
-      val cellIdx: Array[Map[Int, Int]] =
-        cb.map(cs => cs.iterator.zipWithIndex.map { case (c, i) => c._1 -> i }.toMap)
-      val ivfByCell: Map[Int, Array[Float]] =
-        ivfCents.map(c => c.cell -> c.cf).toMap
-      val index = ivfPqEncode(emb, ivfCents, rcb)
-      val q = queriesOf(emb0)
-        .withColumn("sc", kmScores(ivfCents, col("q_emb")))
-        .withColumn("pp1", array_position(col("sc"), array_min(col("sc"))))
-        .withColumn("masked", transform(sequence(lit(1), lit(ivfCents.size)),
-          i => when(i.cast("long") === col("pp1"), lit(KmMask))
-            .otherwise(element_at(col("sc"), i))))
-        .withColumn("pp2", array_position(col("masked"), array_min(col("masked"))))
-        .withColumn("cell", explode(array(
-          kmCellAt(ivfCents, col("pp1")), kmCellAt(ivfCents, col("pp2")))))
-        .select(col("query_id"), col("q_emb"), col("cell"))
-      val scored = broadcast(q).join(index, Seq("cell"))
-        .filter(col("query_id") =!= col("vec_id"))
-        .select(col("query_id"), col("q_emb"), col("cell"), col("vec_id"),
-          col("codes"))
-        .as[(Long, Array[Float], Int, Long, Array[Int])]
-        .mapPartitions(_.map { case (qid, qEmb, cell, vid, cds) =>
-          val cf = ivfByCell(cell)
-          var est = 0.0
-          var i = 0
-          while (i < Dim) { est += qEmb(i).toDouble * cf(i).toDouble; i += 1 }
-          var s = 0
-          while (s < PqM) {
-            est += pqSubDot(qEmb, s * PqSub, cb(s)(cellIdx(s)(cds(s)))._2)
-            s += 1
-          }
-          (qid, vid, est)
-        })
-      scored.groupByKey(_._1)
-        .mapValues(t => graft.functions.Scored(t._2, t._3))
-        .agg(new graft.functions.TopKByScore(K).toColumn)
-        .toDF("query_id", "topk")
-        .select(col("query_id"), posexplode(col("topk")))
-        .select(col("query_id"), col("col.vec_id").as("neighbor_id"),
-          (col("pos") + 1).cast("int").as("rnk"),
-          round(col("col.cos"), 6).as("est_r"))
-    }),
+    "knn_ivfpq" -> ((s, dir) => topKSelect(ivfPqScored(s, dir), K, "est_r")),
 
     // IVF-PQ in its PRODUCTION form — the FAISS serving shape end to
     // end: cell-bounded ADC scan (nprobe=2 probed cells, 4 B codes)
@@ -562,62 +595,7 @@ object SimilarityQueries {
     // PQ 64×, IVF-PQ cell-bounded 64×): coarse-code error confined
     // below rank 3K, emitted ordering exact-cosine over what the
     // probes reached.
-    "knn_ivfpq_rerank" -> ((s, dir) => {
-      import s.implicits._
-      val emb0 = corpus(s, dir)
-      val ivfCents = learnedCentroids(emb0)
-      val emb = Tables.embeddings(s, dir)
-      val res = ivfResiduals(emb, ivfCents).localCheckpoint()
-      val rcb = pqCodebooks(res)
-      val cb = pqCodebookArrays(rcb)
-      val cellIdx: Array[Map[Int, Int]] =
-        cb.map(cs => cs.iterator.zipWithIndex.map { case (c, i) => c._1 -> i }.toMap)
-      val ivfByCell: Map[Int, Array[Float]] =
-        ivfCents.map(c => c.cell -> c.cf).toMap
-      val index = ivfPqEncode(emb, ivfCents, rcb)
-      val q = queriesOf(emb0)
-        .withColumn("sc", kmScores(ivfCents, col("q_emb")))
-        .withColumn("pp1", array_position(col("sc"), array_min(col("sc"))))
-        .withColumn("masked", transform(sequence(lit(1), lit(ivfCents.size)),
-          i => when(i.cast("long") === col("pp1"), lit(KmMask))
-            .otherwise(element_at(col("sc"), i))))
-        .withColumn("pp2", array_position(col("masked"), array_min(col("masked"))))
-        .withColumn("cell", explode(array(
-          kmCellAt(ivfCents, col("pp1")), kmCellAt(ivfCents, col("pp2")))))
-        .select(col("query_id"), col("q_emb"), col("cell"))
-      val scored = broadcast(q).join(index, Seq("cell"))
-        .filter(col("query_id") =!= col("vec_id"))
-        .select(col("query_id"), col("q_emb"), col("cell"), col("vec_id"),
-          col("codes"))
-        .as[(Long, Array[Float], Int, Long, Array[Int])]
-        .mapPartitions(_.map { case (qid, qEmb, cell, vid, cds) =>
-          val cf = ivfByCell(cell)
-          var est = 0.0
-          var i = 0
-          while (i < Dim) { est += qEmb(i).toDouble * cf(i).toDouble; i += 1 }
-          var s = 0
-          while (s < PqM) {
-            est += pqSubDot(qEmb, s * PqSub, cb(s)(cellIdx(s)(cds(s)))._2)
-            s += 1
-          }
-          (qid, vid, est)
-        })
-      val shortlist = scored.groupByKey(_._1)
-        .mapValues(t => graft.functions.Scored(t._2, t._3))
-        .agg(new graft.functions.TopKByScore(3 * K).toColumn)
-        .toDF("query_id", "topk")
-        .select(col("query_id"), explode(col("topk.vec_id")).as("vec_id"))
-      val qf = queriesOf(emb0)
-      val w = Window.partitionBy(col("query_id"))
-        .orderBy(col("cos").desc, col("vec_id").asc)
-      broadcast(shortlist).join(emb0, Seq("vec_id"))
-        .join(broadcast(qf), Seq("query_id"))
-        .withColumn("cos", cosCol)
-        .withColumn("rnk", row_number().over(w))
-        .filter(col("rnk") <= K)
-        .select(col("query_id"), col("vec_id").as("neighbor_id"), col("rnk"),
-          round(col("cos"), 6).as("cos_r"))
-    }),
+    "knn_ivfpq_rerank" -> ((s, dir) => exactRerank(ivfPqScored(s, dir), s, dir)),
 
     // Exact top-k: broadcast queries × corpus scored partition-local,
     // then a bounded top-k *aggregator* per query — partial aggregation
@@ -630,14 +608,7 @@ object SimilarityQueries {
       val scored = broadcast(q).join(emb, col("query_id") =!= col("vec_id"))
         .select(col("query_id"), col("vec_id"), cosCol.as("cos"))
         .as[(Long, Long, Double)]
-      scored.groupByKey(_._1)
-        .mapValues(t => graft.functions.Scored(t._2, t._3))
-        .agg(new graft.functions.TopKByScore(K).toColumn)
-        .toDF("query_id", "topk")
-        .select(col("query_id"), posexplode(col("topk")))
-        .select(col("query_id"), col("col.vec_id").as("neighbor_id"),
-          (col("pos") + 1).cast("int").as("rnk"),
-          round(col("col.cos"), 6).as("cos_r"))
+      topKSelect(scored, K, "cos_r")
     }),
 
     // LSH ANN with multi-probe: score within the query's hyperplane
@@ -714,30 +685,7 @@ object SimilarityQueries {
         .select(col("e.i").as("i"), col("e.j").as("j"), col("e.g").as("g"))
     }),
 
-    "knn_int8" -> ((s, dir) => {
-      import s.implicits._
-      val base = Tables.embeddings(s, dir)
-        .select(col("vec_id"), col("embedding"),
-          VectorFunctions.quantScale(col("embedding")).as("scale"))
-        .select(col("vec_id"), col("scale"),
-          VectorFunctions.quantize(col("embedding"), col("scale")).as("codes"))
-      val q = base.filter(col("vec_id") % 50 === 0)
-        .select(col("vec_id").as("query_id"), col("scale").as("q_scale"),
-          col("codes").as("q_codes"))
-      val scored = broadcast(q).join(base, col("query_id") =!= col("vec_id"))
-        .select(col("query_id"), col("vec_id"),
-          (VectorFunctions.dotInt(col("q_codes"), col("codes")).cast("double") /
-            (col("q_scale") * col("scale"))).as("est"))
-        .as[(Long, Long, Double)]
-      scored.groupByKey(_._1)
-        .mapValues(t => graft.functions.Scored(t._2, t._3))
-        .agg(new graft.functions.TopKByScore(K).toColumn)
-        .toDF("query_id", "topk")
-        .select(col("query_id"), posexplode(col("topk")))
-        .select(col("query_id"), col("col.vec_id").as("neighbor_id"),
-          (col("pos") + 1).cast("int").as("rnk"),
-          round(col("col.cos"), 6).as("est_r"))
-    }),
+    "knn_int8" -> ((s, dir) => topKSelect(int8Scored(s, dir), K, "est_r")),
 
     // IVF ANN: coarse-quantizer cells instead of hyperplane buckets —
     // the inverted-file shape (corpus partitioned by nearest centroid,
@@ -785,40 +733,7 @@ object SimilarityQueries {
     // at 100 TB the expensive float reads are a point-lookup join, not
     // a second full scan. Quantization error now only matters below
     // rank 3K; the emitted top-K ordering is exact-cosine.
-    "knn_int8_rerank" -> ((s, dir) => {
-      import s.implicits._
-      val base = Tables.embeddings(s, dir)
-        .select(col("vec_id"), col("embedding"),
-          VectorFunctions.quantScale(col("embedding")).as("scale"))
-        .select(col("vec_id"), col("scale"),
-          VectorFunctions.quantize(col("embedding"), col("scale")).as("codes"))
-      val q = base.filter(col("vec_id") % 50 === 0)
-        .select(col("vec_id").as("query_id"), col("scale").as("q_scale"),
-          col("codes").as("q_codes"))
-      val scored = broadcast(q).join(base, col("query_id") =!= col("vec_id"))
-        .select(col("query_id"), col("vec_id"),
-          (VectorFunctions.dotInt(col("q_codes"), col("codes")).cast("double") /
-            (col("q_scale") * col("scale"))).as("est"))
-        .as[(Long, Long, Double)]
-      val shortlist = scored.groupByKey(_._1)
-        .mapValues(t => graft.functions.Scored(t._2, t._3))
-        .agg(new graft.functions.TopKByScore(3 * K).toColumn)
-        .toDF("query_id", "topk")
-        .select(col("query_id"), explode(col("topk.vec_id")).as("vec_id"))
-      val emb = corpus(s, dir)
-      val qf = emb.filter(col("vec_id") % 50 === 0)
-        .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
-          col("nrm").as("q_nrm"))
-      val w = Window.partitionBy(col("query_id"))
-        .orderBy(col("cos").desc, col("vec_id").asc)
-      broadcast(shortlist).join(emb, Seq("vec_id"))
-        .join(broadcast(qf), Seq("query_id"))
-        .withColumn("cos", cosCol)
-        .withColumn("rnk", row_number().over(w))
-        .filter(col("rnk") <= K)
-        .select(col("query_id"), col("vec_id").as("neighbor_id"), col("rnk"),
-          round(col("cos"), 6).as("cos_r"))
-    }),
+    "knn_int8_rerank" -> ((s, dir) => exactRerank(int8Scored(s, dir), s, dir)),
 
     // IVF RECALL CURVE — the measured retrieval-quality diagnostic
     // (the dedup_lsh_scurve idea applied to ANN): recall@K of the

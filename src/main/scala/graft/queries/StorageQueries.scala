@@ -17,12 +17,16 @@ import org.apache.spark.sql.functions._
   */
 object StorageQueries {
 
-  /** Repo-local fixture roots — absolute, under target/. */
-  val OrcPath = "/root/repo/target/graft-fixtures/documents_orc"
-  val PartPath = "/root/repo/target/graft-fixtures/documents_by_source"
-  val EvoPath = "/root/repo/target/graft-fixtures/documents_evolution"
-  val JsonlPath = "/root/repo/target/graft-fixtures/documents_jsonl"
-  val CodecPath = "/root/repo/target/graft-fixtures/documents_codec"
+  /** Repo-local fixture roots — absolute, under the working dir's
+    * target/ (resolved at runtime, not a hardcoded checkout path).
+    */
+  private def fixture(name: String): String =
+    new java.io.File(s"target/graft-fixtures/$name").getAbsolutePath
+  val OrcPath = fixture("documents_orc")
+  val PartPath = fixture("documents_by_source")
+  val EvoPath = fixture("documents_evolution")
+  val JsonlPath = fixture("documents_jsonl")
+  val CodecPath = fixture("documents_codec")
 
   /** The partition-pruning predicate's source list: a 2-of-20
     * selection so the pruned scan touches 10% of directories.
@@ -272,7 +276,7 @@ object StorageQueries {
   )
 
   /** Bucketed-table fixture: external-table root + catalog names. */
-  val BucketPath = "/root/repo/target/graft-fixtures/bucketed"
+  val BucketPath = fixture("bucketed")
   val LiBucketTable = "graft_lineitem_bkt"
   val OrdBucketTable = "graft_orders_bkt"
   val NumBuckets = 8

@@ -1350,17 +1350,10 @@ object StreamingQueries {
     val enc = java.util.Base64.getEncoder
     media.grouped(math.max(1, math.ceil(media.size / 3.0).toInt)).zipWithIndex
       .foreach { case (chunk, i) =>
-        val lines = chunk.map { case (id, kind, payload) =>
-          s"""{"mediaId":$id,"kind":"$kind","payload":"${enc.encodeToString(payload)}"}"""
-        }
-        val bos = new java.io.ByteArrayOutputStream()
-        val gz = new java.util.zip.GZIPOutputStream(bos)
-        gz.write(lines.mkString("\n").getBytes("UTF-8")); gz.close()
-        val p = java.nio.file.Files.write(
-          java.nio.file.Paths.get(dir.toString).resolve(f"media-$i%05d.jsonl.gz"),
-          bos.toByteArray)
-        java.nio.file.Files.setLastModifiedTime(p,
-          java.nio.file.attribute.FileTime.fromMillis(1000000000000L + i * 1000L))
+        ReplayChunks.writeJsonlGz(dir.toString, f"media-$i%05d.jsonl.gz", i,
+          chunk.map { case (id, kind, payload) =>
+            s"""{"mediaId":$id,"kind":"$kind","payload":"${enc.encodeToString(payload)}"}"""
+          })
       }
     val schema = org.apache.spark.sql.types.StructType(Seq(
       org.apache.spark.sql.types.StructField("mediaId",

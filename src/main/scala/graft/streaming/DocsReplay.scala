@@ -46,18 +46,11 @@ object DocsReplay {
     * (or after a restart) is picked up by the next file listing — the
     * arrival path `StreamRecoverySpec` drives.
     */
-  def writeChunk(dir: String, i: Int, chunk: Seq[DocEvent]): Unit = {
-    val lines = chunk.map { d =>
-      s"""{"docId":${d.docId},"tMs":${d.tMs},"text":${jsonStr(d.text)},"source":${jsonStr(d.source)}}"""
-    }
-    val bos = new java.io.ByteArrayOutputStream()
-    val gz = new java.util.zip.GZIPOutputStream(bos)
-    gz.write(lines.mkString("\n").getBytes("UTF-8")); gz.close()
-    val p = java.nio.file.Files.write(
-      java.nio.file.Paths.get(dir).resolve(f"docs-$i%05d.jsonl.gz"), bos.toByteArray)
-    java.nio.file.Files.setLastModifiedTime(p,
-      java.nio.file.attribute.FileTime.fromMillis(1000000000000L + i * 1000L))
-  }
+  def writeChunk(dir: String, i: Int, chunk: Seq[DocEvent]): Unit =
+    ReplayChunks.writeJsonlGz(dir, f"docs-$i%05d.jsonl.gz", i,
+      chunk.map { d =>
+        s"""{"docId":${d.docId},"tMs":${d.tMs},"text":${jsonStr(d.text)},"source":${jsonStr(d.source)}}"""
+      })
 
   /** Parsed streaming DataFrame over the chunk files in `dir`, one
     * chunk per micro-batch.

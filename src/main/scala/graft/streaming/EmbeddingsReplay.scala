@@ -18,18 +18,11 @@ object EmbeddingsReplay {
     StructField("vecId", LongType),
     StructField("embedding", ArrayType(FloatType))))
 
-  def writeChunk(dir: String, i: Int, chunk: Seq[(Long, Array[Float])]): Unit = {
-    val lines = chunk.map { case (id, e) =>
-      s"""{"vecId":$id,"embedding":[${e.mkString(",")}]}"""
-    }
-    val bos = new java.io.ByteArrayOutputStream()
-    val gz = new java.util.zip.GZIPOutputStream(bos)
-    gz.write(lines.mkString("\n").getBytes("UTF-8")); gz.close()
-    val p = java.nio.file.Files.write(
-      java.nio.file.Paths.get(dir).resolve(f"vecs-$i%05d.jsonl.gz"), bos.toByteArray)
-    java.nio.file.Files.setLastModifiedTime(p,
-      java.nio.file.attribute.FileTime.fromMillis(1000000000000L + i * 1000L))
-  }
+  def writeChunk(dir: String, i: Int, chunk: Seq[(Long, Array[Float])]): Unit =
+    ReplayChunks.writeJsonlGz(dir, f"vecs-$i%05d.jsonl.gz", i,
+      chunk.map { case (id, e) =>
+        s"""{"vecId":$id,"embedding":[${e.mkString(",")}]}"""
+      })
 
   /** Write `vecs` as `nChunks` gz JSONL chunks and return the parsed
     * streaming DataFrame (vec_id, embedding) + the chunk dir the

@@ -47,24 +47,16 @@ object EventsReplay {
       case c => c.toString
     } + "\""
 
-  /** Write one gzipped JSONL chunk into `dir`, mod-time-stamped
-    * strictly increasing by chunk index so FileStreamSource replays
-    * chunks in feed order (same trap as [[TaxiReplay.fileStream]]).
-    * Doubles are serialized via `Double.toString` (shortest
-    * round-tripping form), so `from_json`'s parse is bit-exact.
+  /** Write one gzipped JSONL chunk into `dir` (ordering contract:
+    * [[ReplayChunks]]). Doubles are serialized via `Double.toString`
+    * (shortest round-tripping form), so `from_json`'s parse is
+    * bit-exact.
     */
-  def writeChunk(dir: String, i: Int, chunk: Seq[Ev]): Unit = {
-    val lines = chunk.map { e =>
-      s"""{"userId":${e.userId},"eventId":${e.eventId},"tMs":${e.tMs},"etype":${jsonStr(e.etype)},"value":${e.value}}"""
-    }
-    val bos = new java.io.ByteArrayOutputStream()
-    val gz = new java.util.zip.GZIPOutputStream(bos)
-    gz.write(lines.mkString("\n").getBytes("UTF-8")); gz.close()
-    val p = java.nio.file.Files.write(
-      java.nio.file.Paths.get(dir).resolve(f"events-$i%05d.jsonl.gz"), bos.toByteArray)
-    java.nio.file.Files.setLastModifiedTime(p,
-      java.nio.file.attribute.FileTime.fromMillis(1000000000000L + i * 1000L))
-  }
+  def writeChunk(dir: String, i: Int, chunk: Seq[Ev]): Unit =
+    ReplayChunks.writeJsonlGz(dir, f"events-$i%05d.jsonl.gz", i,
+      chunk.map { e =>
+        s"""{"userId":${e.userId},"eventId":${e.eventId},"tMs":${e.tMs},"etype":${jsonStr(e.etype)},"value":${e.value}}"""
+      })
 
   /** Parsed streaming DataFrame over the chunk files in `dir`: columns
     * (userId, eventId, tMs, etype, value, ts), one chunk per

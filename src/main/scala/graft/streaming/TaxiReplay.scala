@@ -144,20 +144,9 @@ object TaxiReplay {
       // `sources/TaxiRideSource.scala:97-104`); Hadoop's text reader
       // decompresses by extension, so the parse path is unchanged.
       // One gz chunk = one micro-batch — non-splittability is moot.
-      val (name, data) =
-        if (gzip) {
-          val bos = new java.io.ByteArrayOutputStream()
-          val gz = new java.util.zip.GZIPOutputStream(bos)
-          gz.write(bytes); gz.close()
-          (f"chunk-$i%05d.csv.gz", bos.toByteArray)
-        } else (f"chunk-$i%05d.csv", bytes)
-      val p = java.nio.file.Files.write(dir.resolve(name), data)
-      // FileStreamSource orders files by modification time; two chunks
-      // written in the same clock tick would tie and could replay out
-      // of serving order (dropping a whole chunk as late). Stamp
-      // strictly increasing mod times so chunk order IS serving order.
-      java.nio.file.Files.setLastModifiedTime(p,
-        java.nio.file.attribute.FileTime.fromMillis(1000000000000L + i * 1000L))
+      // Mod-time ordering contract: [[ReplayChunks]].
+      val name = if (gzip) f"chunk-$i%05d.csv.gz" else f"chunk-$i%05d.csv"
+      ReplayChunks.write(dir.toString, name, i, bytes, gzip)
     }
     val dataChunks = events.grouped(chunkSize).toVector
     dataChunks.zipWithIndex.foreach { case (chunk, i) => writeChunk(chunk, i) }

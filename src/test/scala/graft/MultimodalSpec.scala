@@ -134,7 +134,7 @@ class MultimodalSpec extends AnyFunSuite {
   test("feature extraction yields fixed-dim unit vectors feeding knn") {
     import org.apache.spark.sql.functions._
     val media = Multimodal.mediaFromDocuments(spark, sf)
-    val feats = Multimodal.extractFeatures(media, dim = 16).toDF()
+    val feats = Multimodal.extractFeatures(media).toDF()
     assert(feats.filter(size(col("features")) =!= 16).count() == 0)
     assert(feats.filter(size(col("grid")) =!= 16).count() == 0)
     // norms ≈ 1 → usable directly by the cosine/knn operators

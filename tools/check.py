@@ -21,9 +21,11 @@ lint (no Verify outputs needed beyond oracle_sql.json, which
 import sys, os, json, glob
 import duckdb, pandas as pd
 
-sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-out_dir = sys.argv[2] if len(sys.argv) > 2 else "/tmp/verify_out"
-lint_only = "--lint-only" in sys.argv[3:]
+# flags may appear anywhere; strip them before reading positionals
+args = [a for a in sys.argv[1:] if not a.startswith("--")]
+lint_only = "--lint-only" in sys.argv[1:]
+sf_dir = args[0] if len(args) > 0 else "/root/testdata/sf0.01"
+out_dir = args[1] if len(args) > 1 else "/tmp/verify_out"
 
 oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
 con = duckdb.connect()
