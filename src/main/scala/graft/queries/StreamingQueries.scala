@@ -15,14 +15,16 @@ import org.apache.spark.sql.graftbridge.StateStoreBridge
   * semantics on out-of-order input, which is the reference's headline
   * guarantee (`README.md:64-65`).
   *
-  * Ingress forms: the events/docs pipelines feed from FILE streams
-  * (gz JSONL chunk drops, [[EventsReplay]]/[[DocsReplay]] — the
-  * object-store listing path a 100 TB ingest actually runs); the taxi
-  * pipelines replay through MemoryStream in serving order with the
-  * reference's bounded-Gaussian out-of-order delay (seed 7452),
+  * Ingress: every oracle-checked pipeline feeds from a FILE stream —
+  * gz JSONL chunk drops in serving order ([[EventsReplay]]/
+  * [[DocsReplay]]/[[TaxiReplay.jsonlFileStream]], the object-store
+  * listing path a 100 TB ingest actually runs), with the reference's
+  * bounded-Gaussian out-of-order delay (seed 7452) pre-applied,
   * mirroring the reference's own driver-thread source
-  * (`sources/TaxiRideSource.scala:97-168`), with the CSV file-drop
-  * form pinned by `taxi_sliding_file_stream`.
+  * (`sources/TaxiRideSource.scala:97-168`). The reference's
+  * seconds-resolution CSV wire form is pinned by
+  * `taxi_sliding_file_stream`; MemoryStream remains only as the
+  * low-latency unit-test harness and the documented docs-ingest dual.
   */
 object StreamingQueries {
 
@@ -85,14 +87,19 @@ object StreamingQueries {
   }
 
   /** Shared Append-mode replay scaffold: rides → serving order
-    * (± sentinel) → MemoryStream → `build` pipeline → memory sink →
-    * batch-wise feed → final watermark flush. Sentinel/checkpoint/
-    * flush behavior lives here once for every Append-mode query.
-    * The checkpoint is an ephemeral tmpfs dir (TempDir) deleted in the
-    * `finally` — the memory-sink table survives it; leaked tmpfs
-    * checkpoints otherwise accumulate RAM across replay runs.
+    * (± sentinel) → gz JSONL chunk files → `readStream` → `build`
+    * pipeline → memory sink → final watermark flush chunk. The
+    * ingress is [[TaxiReplay.jsonlFileStream]] — one chunk per
+    * micro-batch, the at-scale file-drop contract (the `collect`
+    * below exists only to WRITE the chunk fixtures; the pipelines
+    * consume a `readStream`, never a driver-held collection).
+    * Sentinel/checkpoint/flush behavior lives here once for every
+    * Append-mode query. The checkpoint is an ephemeral tmpfs dir
+    * (TempDir) deleted in the `finally` — the memory-sink table
+    * survives it; leaked tmpfs checkpoints otherwise accumulate RAM
+    * across replay runs.
     *
-    * CONTRACT for `build` pipelines (asserted below): the flush step
+    * CONTRACT for `build` pipelines (asserted below): the flush chunk
     * re-feeds the sentinel as a REAL input row, so the pipeline sees it
     * twice. That is only safe because the sentinel is zero-weight —
     * passengers = 0 (it can change no passenger sum) and rideId = −1
@@ -115,7 +122,20 @@ object StreamingQueries {
     val rides = TaxiReplay.ridesFromEvents(ss, sfDir).collect().toSeq
     val ordered0 = mutate(TaxiReplay.servingOrder(rides, maxDelayMs))
     val ordered = if (sentinel) withSentinel(ordered0) else ordered0
-    val (ms, df) = TaxiReplay.memoryStream(ss)
+    if (sentinel) {
+      // zero-weight-sentinel contract (see scaladoc): the re-fed row
+      // must not be able to change any aggregate
+      val last = ordered.last
+      require(last.passengers == 0 && last.rideId < 0,
+        s"flush row must be the zero-weight sentinel, got $last")
+    }
+    // Watermark-driven emission: the watermark advanced by the last
+    // data chunk (which ends with the far-future sentinel) is applied
+    // by the *next* micro-batch. With no-data micro-batches disabled
+    // that batch must carry data — the trailing flush chunk re-feeds
+    // the sentinel (passengers = 0, so it can change no aggregate).
+    val (df, chunkDir) = TaxiReplay.jsonlFileStream(ss, ordered, nBatches,
+      flushChunk = if (sentinel) Seq(ordered.last) else Nil)
     val name = prefix + UUID.randomUUID().toString.replace("-", "")
     val ckpt = TempDir.create("graft-ckpt-")
     val q = build(df)
@@ -123,24 +143,11 @@ object StreamingQueries {
       .option("checkpointLocation", ckpt.toString)
       .format("memory").queryName(name)
       .start()
-    try {
-      TaxiReplay.feedInBatches(ms, ordered, nBatches, () => q.processAllAvailable())
-      // Watermark-driven emission: the watermark advanced by the last
-      // feed batch (which ends with the far-future sentinel) is applied
-      // by the *next* batch. With no-data micro-batches disabled that
-      // next batch must carry data — re-feed the sentinel (passengers
-      // = 0, so it can change no aggregate) as a 1-row flush batch.
-      if (sentinel) {
-        val last = ordered.last
-        // zero-weight-sentinel contract (see scaladoc): the re-fed row
-        // must not be able to change any aggregate
-        require(last.passengers == 0 && last.rideId < 0,
-          s"flush row must be the zero-weight sentinel, got $last")
-        ms.addData(Seq(last)); q.processAllAvailable()
-      }
-    } finally {
+    try q.processAllAvailable()
+    finally {
       q.stop()
       TempDir.deleteRecursively(ckpt.toString)
+      TempDir.deleteRecursively(chunkDir)
       StateStoreBridge.unloadAll()
     }
     ss.table(name)
@@ -244,31 +251,30 @@ object StreamingQueries {
     val ss = streamSession(spark)
     val rides = TaxiReplay.ridesFromEvents(ss, sfDir).collect().toSeq
     val ordered = TaxiReplay.servingOrder(rides, MaxDelayMs)
-    val (ms, df) = TaxiReplay.memoryStream(ss)
+    val (df, chunkDir) = TaxiReplay.jsonlFileStream(ss, ordered, nChunks = 4)
     val sink = new KeyedUpsertSink(Seq("cell"))
     val ckpt = TempDir.create("graft-ckpt-")
     val q = TaxiPipelines.totalArrivalCount(df)
       .writeStream.outputMode("update")
       .option("checkpointLocation", ckpt.toString)
-      .foreachBatch(sink.upsert _)
+      // Compact mid-replay (after the 2nd micro-batch, batchId 1): the
+      // oracle then checks upsert → compact → upsert converges to the
+      // same state as the never-compacted log — the periodic MERGE
+      // running where it would run in production, not only in a unit
+      // spec. foreachBatch is synchronous per micro-batch, so no
+      // append races this call.
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        sink.upsert(batch, id)
+        if (id == 1L) sink.compact(ss)
+      }
       .start()
     try {
-      var fed = 0
-      TaxiReplay.feedInBatches(ms, ordered, 4, () => {
-        q.processAllAvailable()
-        fed += 1
-        // Compact mid-replay (after the 2nd micro-batch): the oracle
-        // then checks upsert → compact → upsert converges to the same
-        // state as the never-compacted log — the periodic MERGE
-        // running where it would run in production, not only in a
-        // unit spec. foreachBatch is synchronous inside
-        // processAllAvailable, so no append races this call.
-        if (fed == 2) sink.compact(ss)
-      })
+      q.processAllAvailable()
       sink.toDF(ss).localCheckpoint()
     } finally {
       q.stop()
       TempDir.deleteRecursively(ckpt.toString)
+      TempDir.deleteRecursively(chunkDir)
       sink.close()
       StateStoreBridge.unloadAll()
     }
@@ -286,7 +292,7 @@ object StreamingQueries {
       "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
     val rides = TaxiReplay.ridesFromEvents(ss, sfDir).collect().toSeq
     val ordered = TaxiReplay.servingOrder(rides, MaxDelayMs)
-    val (ms, df) = TaxiReplay.memoryStream(ss)
+    val (df, chunkDir) = TaxiReplay.jsonlFileStream(ss, ordered, nChunks = 4)
     val sink = new KeyedUpsertSink(Seq("cell"))
     val ckpt = TempDir.create("graft-ckpt-")
     val q = TwsTotalCount.totalCountTws(cellsOf(df)).toDF()
@@ -295,7 +301,7 @@ object StreamingQueries {
       .foreachBatch(sink.upsert _)
       .start()
     try {
-      TaxiReplay.feedInBatches(ms, ordered, 4, () => q.processAllAvailable())
+      q.processAllAvailable()
       sink.toDF(ss)
         .select(col("cell"), col("lastTMs").as("last_t_ms"), col("cnt"),
           graft.geo.NycGeo.cellCenterLon(col("cell")).as("center_lon"),
@@ -304,6 +310,7 @@ object StreamingQueries {
     } finally {
       q.stop()
       TempDir.deleteRecursively(ckpt.toString)
+      TempDir.deleteRecursively(chunkDir)
       sink.close()
       StateStoreBridge.unloadAll()
     }
@@ -375,7 +382,7 @@ object StreamingQueries {
     // the backfill writes its own snapshot before the stream takes over
     sink.upsert(init.map { case (c, st) => TotalCount(c, st.lastT, st.sum) }
       .toDF(), -1L)
-    val (ms, df) = TaxiReplay.memoryStream(ss)
+    val (df, chunkDir) = TaxiReplay.jsonlFileStream(ss, live, nChunks = 3)
     val ckpt = TempDir.create("graft-ckpt-")
     val q = TwsTotalCount.totalCountBootstrap(cellsOf(df), init).toDF()
       .writeStream.outputMode("update")
@@ -383,7 +390,7 @@ object StreamingQueries {
       .foreachBatch(sink.upsert _)
       .start()
     try {
-      TaxiReplay.feedInBatches(ms, live, 3, () => q.processAllAvailable())
+      q.processAllAvailable()
       sink.toDF(ss)
         .select(col("cell"), col("lastTMs").as("last_t_ms"), col("cnt"),
           graft.geo.NycGeo.cellCenterLon(col("cell")).as("center_lon"),
@@ -392,6 +399,7 @@ object StreamingQueries {
     } finally {
       q.stop()
       TempDir.deleteRecursively(ckpt.toString)
+      TempDir.deleteRecursively(chunkDir)
       sink.close()
       StateStoreBridge.unloadAll()
     }
@@ -452,7 +460,7 @@ object StreamingQueries {
     val ss = streamSession(spark)
     val rides = TaxiReplay.ridesFromEvents(ss, sfDir).collect().toSeq
     val ordered = TaxiReplay.servingOrder(rides, MaxDelayMs)
-    val (ms, df) = TaxiReplay.memoryStream(ss)
+    val (df, chunkDir) = TaxiReplay.jsonlFileStream(ss, ordered, nChunks = 4)
     val name = "complete_" + UUID.randomUUID().toString.replace("-", "")
     val ckpt = TempDir.create("graft-ckpt-")
     val q = TaxiPipelines.totalArrivalCount(df)
@@ -461,11 +469,12 @@ object StreamingQueries {
       .format("memory").queryName(name)
       .start()
     try {
-      TaxiReplay.feedInBatches(ms, ordered, 4, () => q.processAllAvailable())
+      q.processAllAvailable()
       ss.table(name).localCheckpoint()
     } finally {
       q.stop()
       TempDir.deleteRecursively(ckpt.toString)
+      TempDir.deleteRecursively(chunkDir)
       StateStoreBridge.unloadAll()
     }
   }

@@ -170,6 +170,50 @@ object TaxiReplay {
     (parsed, dir.toString)
   }
 
+  /** ms-exact gz JSONL replay ingress for the ride streams — the
+    * file-drop twin of [[memoryStream]] (same columns, same
+    * millisecond event-time semantics), where [[fileStream]] above is
+    * the reference's seconds-resolution CSV wire. The stateful
+    * pipelines whose oracles pin ms event times replay through this:
+    * longs/booleans serialize exactly, doubles via `Double.toString`
+    * (shortest round-tripping form), so `from_json`'s parse is
+    * bit-exact. One gz chunk per micro-batch (mod-time ordering
+    * contract: [[ReplayChunks]]); the optional trailing flush chunk is
+    * processed as one more data micro-batch after the last event
+    * chunk, applying the watermark that chunk advanced (no-data
+    * micro-batches are disabled in the replay sessions). Caller must
+    * delete the returned chunk dir after the query stops.
+    */
+  def jsonlFileStream(
+      spark: SparkSession,
+      events: Seq[RideEvent],
+      nChunks: Int,
+      flushChunk: Seq[RideEvent] = Nil): (DataFrame, String) = {
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("rideId", LongType), StructField("tMs", LongType),
+      StructField("isStart", BooleanType), StructField("lon", DoubleType),
+      StructField("lat", DoubleType), StructField("passengers", IntegerType)))
+    val dir = TempDir.create("graft-rides-")
+    def writeChunk(chunk: Seq[RideEvent], i: Int): Unit =
+      ReplayChunks.writeJsonlGz(dir.toString, f"rides-$i%05d.jsonl.gz", i,
+        chunk.map(e => s"""{"rideId":${e.rideId},"tMs":${e.tMs},"isStart":${e.isStart},""" +
+          s""""lon":${e.lon},"lat":${e.lat},"passengers":${e.passengers}}"""))
+    val chunkSize = math.max(1, math.ceil(events.size.toDouble / nChunks).toInt)
+    val dataChunks = events.grouped(chunkSize).toVector
+    dataChunks.zipWithIndex.foreach { case (chunk, i) => writeChunk(chunk, i) }
+    if (flushChunk.nonEmpty) writeChunk(flushChunk, dataChunks.size)
+    val parsed = spark.readStream
+      .option("maxFilesPerTrigger", "1")
+      .text(dir.toString)
+      .select(from_json(col("value"), schema).as("j"))
+      .select(col("j.rideId").as("rideId"), col("j.tMs").as("tMs"),
+        col("j.isStart").as("isStart"), col("j.lon").as("lon"),
+        col("j.lat").as("lat"), col("j.passengers").as("passengers"))
+      .withColumn("ts", timestamp_millis(col("tMs")))
+    (parsed, dir.toString)
+  }
+
   /** Pacing for live demo replay (reference `toServingTime`,
     * `sources/TaxiRideSource.scala:265-268`): wall-clock sleep between
     * batches compressed by `speedFactor` (600× in the demos,
