@@ -21,6 +21,8 @@ import org.apache.spark.sql.functions._
 object SimilarityQueries {
 
   private val Dim = 64
+  private val MatDim = 16 // matryoshka prefix dimension (Dim/4)
+  private val MatRecallDims = Seq(8, 16, 32) // recall-curve head widths
   private val K = 10
   private val LshBits = 8
   private val IvfCentroids = 8
@@ -451,6 +453,38 @@ object SimilarityQueries {
       .as[(Long, Long, Double)]
   }
 
+  /** The matryoshka (prefix-dim) scored relation: cosine over ONLY
+    * the first [[MatDim]] of [[Dim]] lanes — the dimension-truncation
+    * serving lever of MRL-trained embeddings (Kusupati et al. 2022),
+    * where the head prefix of the vector is itself a usable
+    * lower-fidelity embedding. At 100 TB the head lives as its OWN
+    * column (a 4×-narrower columnar scan — pruning does the
+    * compression, no codec needed); here the slice stands in for that
+    * projection and the scoring anatomy is knn_brute's (broadcast
+    * queries, codegen float kernel over the sliced arrays, bounded
+    * TopKByScore partial agg downstream).
+    */
+  private def matryoshkaScored(
+      s: SparkSession, dir: String): org.apache.spark.sql.Dataset[(Long, Long, Double)] =
+    matryoshkaScoredAt(s, dir, MatDim)
+
+  private def matryoshkaScoredAt(
+      s: SparkSession, dir: String,
+      matDim: Int): org.apache.spark.sql.Dataset[(Long, Long, Double)] = {
+    import s.implicits._
+    val emb = Tables.embeddings(s, dir)
+      .select(col("vec_id"), slice(col("embedding"), 1, matDim).as("head"))
+      .withColumn("hnrm", VectorFunctions.norm(col("head")))
+    val q = emb.filter(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("query_id"), col("head").as("q_head"),
+        col("hnrm").as("q_hnrm"))
+    broadcast(q).join(emb, col("query_id") =!= col("vec_id"))
+      .select(col("query_id"), col("vec_id"),
+        (VectorFunctions.dot(col("q_head"), col("head")) /
+          (col("q_hnrm") * col("hnrm"))).as("est"))
+      .as[(Long, Long, Double)]
+  }
+
   /** The IVF-PQ scored relation (train both models → one-pass encode
     * → nprobe=2 probes → cell equi-join → coarse + residual ADC
     * terms) — shared by the single-stage and re-ranked entries.
@@ -596,6 +630,45 @@ object SimilarityQueries {
     // below rank 3K, emitted ordering exact-cosine over what the
     // probes reached.
     "knn_ivfpq_rerank" -> ((s, dir) => exactRerank(ivfPqScored(s, dir), s, dir)),
+
+    // Matryoshka (prefix-dim) retrieval — the dimension-truncation
+    // serving lever: score by cosine over the first 16 of 64 lanes
+    // (a 4×-narrower scan when the head is stored as its own column;
+    // see [[matryoshkaScored]]). Completes the compression-lever
+    // matrix: int8 quantizes lanes, PQ codes subspaces, matryoshka
+    // DROPS lanes — the only one needing zero auxiliary model.
+    "knn_matryoshka" -> ((s, dir) => topKSelect(matryoshkaScored(s, dir), K, "est_r")),
+
+    // Matryoshka two-stage retrieval — the MRL serving shape: the
+    // 16-lane scan produces the 3K shortlist, then ONLY shortlist
+    // rows re-rank by full-64-lane exact cosine via the broadcast
+    // point-lookup join (the knn_int8_rerank anatomy). Truncation
+    // error is confined below rank 3K; emitted top-K ordering is
+    // full-fidelity.
+    "knn_matryoshka_rerank" -> ((s, dir) => exactRerank(matryoshkaScored(s, dir), s, dir)),
+
+    // MATRYOSHKA RECALL CURVE — the truncation analogue of
+    // knn_ivf_recall: recall@K of the prefix-dim scan against the
+    // full-dim brute ground truth, at head widths 8/16/32. This is
+    // the number an MRL deployment tunes on ("how many lanes does the
+    // coarse stage need") — MEASURED, not assumed; on the untrained
+    // fixture it quantifies the lever's worst case. One bounded top-K
+    // scan per level; ground truth is knn_brute by definition.
+    "knn_matryoshka_recall" -> ((s, dir) => {
+      val nQ = Tables.embeddings(s, dir).filter(col("vec_id") % 50 === 0).count()
+      val levels = MatRecallDims.map { md =>
+        topKSelect(matryoshkaScoredAt(s, dir, md), K, "est_r")
+          .select(lit(md).as("mat_dim"), col("query_id"), col("neighbor_id"))
+      }.reduce(_ unionAll _)
+      val brute = queries("knn_brute")(s, dir)
+        .select(col("query_id"), col("neighbor_id"))
+      levels.join(brute, Seq("query_id", "neighbor_id"), "left_semi")
+        .groupBy(col("mat_dim"))
+        .agg(count(lit(1)).as("n_hits"))
+        .select(col("mat_dim"), col("n_hits"),
+          round(col("n_hits").cast("double") / lit((nQ * K).toDouble), 6)
+            .as("recall_r"))
+    }),
 
     // Exact top-k: broadcast queries × corpus scored partition-local,
     // then a bounded top-k *aggregator* per query — partial aggregation
@@ -1144,6 +1217,69 @@ object SimilarityQueries {
          |  FROM embeddings q JOIN embeddings e ON q.vec_id != e.vec_id
          |  WHERE q.vec_id % 50 = 0
          |) WHERE rnk <= $K""".stripMargin,
+    "knn_matryoshka" ->
+      // prefix-dim cosine: the same brute anatomy with the lane range
+      // cut at MatDim (Sql.cosine's range end IS the truncation)
+      s"""SELECT query_id, neighbor_id, rnk, est_r FROM (
+         |  SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+         |    ROW_NUMBER() OVER (PARTITION BY q.vec_id
+         |      ORDER BY ${VectorFunctions.Sql.cosine("q.embedding", "e.embedding", MatDim)} DESC,
+         |               e.vec_id ASC) AS rnk,
+         |    ROUND(${VectorFunctions.Sql.cosine("q.embedding", "e.embedding", MatDim)}, 6) AS est_r
+         |  FROM embeddings q JOIN embeddings e ON q.vec_id != e.vec_id
+         |  WHERE q.vec_id % 50 = 0
+         |) WHERE rnk <= $K""".stripMargin,
+    "knn_matryoshka_rerank" ->
+      // stage 1 = the prefix-dim shortlist at rnk ≤ 3K; stage 2 =
+      // full-dim exact-cosine re-rank over shortlist rows only
+      s"""WITH sl AS (
+         |  SELECT query_id, neighbor_id FROM (
+         |    SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+         |      ROW_NUMBER() OVER (PARTITION BY q.vec_id
+         |        ORDER BY ${VectorFunctions.Sql.cosine("q.embedding", "e.embedding", MatDim)} DESC,
+         |                 e.vec_id ASC) AS rnk
+         |    FROM embeddings q JOIN embeddings e
+         |      ON q.vec_id % 50 = 0 AND q.vec_id != e.vec_id
+         |  ) WHERE rnk <= ${3 * K})
+         |SELECT query_id, neighbor_id, rnk, cos_r FROM (
+         |  SELECT sl.query_id, sl.neighbor_id,
+         |    ROW_NUMBER() OVER (PARTITION BY sl.query_id
+         |      ORDER BY ${VectorFunctions.Sql.cosine("qe.embedding", "ne.embedding", Dim)} DESC,
+         |               sl.neighbor_id ASC) AS rnk,
+         |    ROUND(${VectorFunctions.Sql.cosine("qe.embedding", "ne.embedding", Dim)}, 6) AS cos_r
+         |  FROM sl JOIN embeddings qe ON sl.query_id = qe.vec_id
+         |          JOIN embeddings ne ON sl.neighbor_id = ne.vec_id
+         |) WHERE rnk <= $K""".stripMargin,
+    "knn_matryoshka_recall" -> {
+      // one UNION ALL branch per head width (the lane range is a
+      // literal in Sql.cosine, as in the Spark plan's slice)
+      val branches = MatRecallDims.map { md =>
+        s"""  SELECT $md AS mat_dim, query_id, neighbor_id FROM (
+           |    SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+           |      ROW_NUMBER() OVER (PARTITION BY q.vec_id
+           |        ORDER BY ${VectorFunctions.Sql.cosine("q.embedding", "e.embedding", md)} DESC,
+           |                 e.vec_id ASC) AS rnk
+           |    FROM embeddings q JOIN embeddings e
+           |      ON q.vec_id % 50 = 0 AND q.vec_id != e.vec_id
+           |  ) WHERE rnk <= $K""".stripMargin
+      }.mkString("\nUNION ALL\n")
+      s"""WITH mat AS (
+         |$branches),
+         |brute AS (
+         |  SELECT query_id, neighbor_id FROM (
+         |    SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+         |      ROW_NUMBER() OVER (PARTITION BY q.vec_id
+         |        ORDER BY ${VectorFunctions.Sql.cosine("q.embedding", "e.embedding", Dim)} DESC,
+         |                 e.vec_id ASC) AS rnk
+         |    FROM embeddings q JOIN embeddings e
+         |      ON q.vec_id % 50 = 0 AND q.vec_id != e.vec_id
+         |  ) WHERE rnk <= $K),
+         |nq AS (SELECT COUNT(*)::DOUBLE AS n FROM embeddings WHERE vec_id % 50 = 0)
+         |SELECT mat.mat_dim, COUNT(*) AS n_hits,
+         |  ROUND(COUNT(*)::DOUBLE / (nq.n * $K), 6) AS recall_r
+         |FROM mat JOIN brute USING (query_id, neighbor_id) CROSS JOIN nq
+         |GROUP BY mat.mat_dim, nq.n""".stripMargin
+    },
     "embedding_quantize" ->
       s"""SELECT e.vec_id, ROUND(scale, 6) AS scale_r, CAST(t.i AS INT) AS lane,
          |  CAST(floor(e.embedding[t.i] * scale + 0.5) AS INT) AS code

@@ -73,9 +73,12 @@ class PlanShapeSpec extends AnyFunSuite {
     // knn_pq_adc scans the PQ-coded corpus per broadcast query — the
     // same declared brute-force contract as knn_int8, over an 8-int
     // row instead of 64 floats
+    // knn_matryoshka/_rerank scan per broadcast query over the 16-lane
+    // prefix — the declared brute contract in the truncated domain
     val allowed = Set("knn_brute", "multimodal_feature_knn", "knn_int8",
       "knn_int8_rerank", "knn_ivf_recall", "knn_pq_adc", "knn_pq_rerank",
-      "knn_ivfpq_rerank",
+      "knn_ivfpq_rerank", "knn_matryoshka", "knn_matryoshka_rerank",
+      "knn_matryoshka_recall",
       "text_bpe_train",
       "events_resample_ffill", "events_rfm", "q22_share_of_total")
     (SparkEntry.queries.keySet -- streamingEntries -- allowed).toSeq.sorted.foreach { name =>
