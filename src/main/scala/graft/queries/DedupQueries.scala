@@ -3,6 +3,7 @@ package graft.queries
 import graft.Tables
 import graft.functions.{MinHash, TextFunctions, VectorFunctions}
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Deduplication operators over `documents` / `embeddings`
@@ -417,6 +418,67 @@ object DedupQueries {
     (labels, iters)
   }
 
+  /** Synchronous label-propagation rounds for community detection
+    * (Raghavan et al. 2007) — the graph primitive BESIDE
+    * [[connectedComponents]]'s transitive closure: each round every
+    * node adopts the PLURALITY label over its neighbors AND itself
+    * (count desc, label asc tie-break — deterministic where classic
+    * LPA's random sweep order is not). The INCLUSIVE rule matters:
+    * without the self-vote, a duplicate PAIR oscillates (the two
+    * labels swap every synchronous round — the textbook 2-cycle), so
+    * any even round count would split genuine pairs; with it, the
+    * pair settles to min-id in round 1 and isolated nodes need no
+    * special case (they always win their own vote). The round count
+    * is FIXED ([[LpRounds]]): LPA has no order-independent fixpoint,
+    * so the round count IS the operator's contract — what makes it
+    * oracle-checkable cross-engine. Curation difference vs CC: labels
+    * move ≤ [[LpRounds]] hops, so 2 rounds agree with CC on in-bucket
+    * duplicate cliques but refuse to bridge long chains of borderline
+    * pairs — the policy that matters exactly where CC over-merges.
+    * Superstep dataflow: per round ONE edges⋈labels shuffle + a
+    * per-node plurality (map-side partial counts, then a per-v
+    * row_number — no global window); label generations are
+    * localCheckpointed and freed like CC's, so lineage never grows
+    * with rounds.
+    */
+  val LpRounds = 2
+  def labelPropagation(
+      s: SparkSession, pairs: DataFrame, nodes: DataFrame): DataFrame = {
+    val p = pairs.localCheckpoint()
+    val a = p.columns(0)
+    val b = p.columns(1)
+    val edges = p.select(col(a).as("v"), col(b).as("nbr"))
+      .unionAll(p.select(col(b).as("v"), col(a).as("nbr")))
+      .repartition(col("nbr"))
+      .localCheckpoint()
+    unpersistCheckpoint(p)
+    var labels = nodes
+      .select(col(nodes.columns(0)).as("v"))
+      .withColumn("lbl", col("v"))
+      .localCheckpoint()
+    for (_ <- 1 to LpRounds) {
+      // explicit renames (not qualifiers): the join's right side is a
+      // projection of the same checkpointed relation family — same
+      // dedup-self-join pitfall CC documents
+      val votes = edges
+        .join(labels.select(col("v").as("nbr"), col("lbl").as("nlbl")), Seq("nbr"))
+        .select(col("v"), col("nlbl"))
+        .unionAll(labels.select(col("v"), col("lbl").as("nlbl")))
+      val w = Window.partitionBy(col("v"))
+        .orderBy(col("c").desc, col("nlbl").asc)
+      val next = votes
+        .groupBy(col("v"), col("nlbl"))
+        .agg(count(lit(1)).as("c"))
+        .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+        .select(col("v"), col("nlbl").as("lbl"))
+        .localCheckpoint()
+      unpersistCheckpoint(labels)
+      labels = next
+    }
+    unpersistCheckpoint(edges)
+    labels.select(col("v").as("doc_id"), col("lbl").as("community"))
+  }
+
   /** Free the executor blocks behind a superseded localCheckpoint.
     * `Dataset.unpersist` can't reach them — the blocks hang off the
     * materialized RDD inside the plan's LogicalRDD leaf, not off a
@@ -658,6 +720,17 @@ object DedupQueries {
       connectedComponents(s, pairs.select(col("doc_a"), col("doc_b")), nodes)
         .withColumn("is_canonical",
           (col("doc_id") === col("component")).cast("int"))
+    }),
+
+    // Plurality-label communities over the same pair graph — the
+    // alternative clustering POLICY to dedup_components' transitive
+    // closure (see [[labelPropagation]] for semantics + scale
+    // anatomy): agrees with CC on duplicate cliques, refuses to
+    // bridge long chains of borderline matches.
+    "dedup_label_prop" -> ((s, dir) => {
+      val pairs = minhashVerifiedPairs(s, dir)
+      val nodes = Tables.documents(s, dir).select(col("doc_id"))
+      labelPropagation(s, pairs.select(col("doc_a"), col("doc_b")), nodes)
     }),
 
     // MinHash ESTIMATOR error, measured — the companion diagnostic to
@@ -1049,6 +1122,30 @@ object DedupQueries {
          |SELECT v AS doc_id, MIN(r) AS component,
          |  CAST(v = MIN(r) AS INT) AS is_canonical
          |FROM reach GROUP BY v""".stripMargin,
+    "dedup_label_prop" ->
+      // two synchronous INCLUSIVE-plurality rounds, mirrored
+      // CTE-per-round (count desc, label asc = the Spark row_number;
+      // the self-vote UNION ALL branch is the inclusive rule)
+      s"""WITH RECURSIVE ${minhashPairsCtes("documents")},
+         |pairs AS ($minhashPairsSelect),
+         |edges AS (
+         |  SELECT doc_a AS v, doc_b AS nbr FROM pairs
+         |  UNION ALL
+         |  SELECT doc_b, doc_a FROM pairs),
+         |l0 AS (SELECT doc_id AS v, doc_id AS lbl FROM documents),
+         |c1 AS (SELECT v, nlbl, COUNT(*) AS c FROM (
+         |  SELECT e.v, l.lbl AS nlbl FROM edges e JOIN l0 l ON e.nbr = l.v
+         |  UNION ALL SELECT v, lbl FROM l0) GROUP BY 1, 2),
+         |l1 AS (SELECT v, nlbl AS lbl FROM (
+         |  SELECT v, nlbl, ROW_NUMBER() OVER (PARTITION BY v
+         |    ORDER BY c DESC, nlbl ASC) AS rn FROM c1) WHERE rn = 1),
+         |c2 AS (SELECT v, nlbl, COUNT(*) AS c FROM (
+         |  SELECT e.v, l.lbl AS nlbl FROM edges e JOIN l1 l ON e.nbr = l.v
+         |  UNION ALL SELECT v, lbl FROM l1) GROUP BY 1, 2),
+         |l2 AS (SELECT v, nlbl AS lbl FROM (
+         |  SELECT v, nlbl, ROW_NUMBER() OVER (PARTITION BY v
+         |    ORDER BY c DESC, nlbl ASC) AS rn FROM c2) WHERE rn = 1)
+         |SELECT v AS doc_id, lbl AS community FROM l2""".stripMargin,
     "dedup_representatives" ->
       s"""WITH RECURSIVE ${minhashPairsCtes("documents")},
          |pairs AS ($minhashPairsSelect),
