@@ -109,6 +109,53 @@ object StreamingQueries {
     * silently corrupted by the doubled sentinel and must not use this
     * scaffold's sentinel mode.
     */
+  /** Serving-ordered ride feed (± sentinel), with the zero-weight
+    * flush contract asserted: the watermark advanced by the last data
+    * chunk (which ends with the far-future sentinel) is applied by
+    * the *next* micro-batch; with no-data micro-batches disabled that
+    * batch must carry data, so the trailing flush chunk re-feeds the
+    * sentinel (passengers = 0 — it can change no aggregate).
+    */
+  private def orderedRides(
+      ss: SparkSession, sfDir: String, maxDelayMs: Long, sentinel: Boolean,
+      mutate: Seq[RideEvent] => Seq[RideEvent] = identity): Seq[RideEvent] = {
+    val rides = TaxiReplay.ridesFromEvents(ss, sfDir).collect().toSeq
+    val ordered0 = mutate(TaxiReplay.servingOrder(rides, maxDelayMs))
+    if (sentinel) {
+      val ordered = withSentinel(ordered0)
+      // zero-weight-sentinel contract (see scaladoc): the re-fed row
+      // must not be able to change any aggregate
+      val last = ordered.last
+      require(last.passengers == 0 && last.rideId < 0,
+        s"flush row must be the zero-weight sentinel, got $last")
+      ordered
+    } else ordered0
+  }
+
+  /** Ride chunk-fixture cache: the fixture WRITE (collect → serving
+    * order → gz chunks) is pure in (sfDir, maxDelayMs, sentinel,
+    * nChunks), and Verify/Bench drive MANY entries over identical
+    * feeds in one JVM — re-collecting and re-writing per entry (and
+    * per bench pass) is pure harness overhead, so identical feeds
+    * share one on-disk fixture. Each query opens its own reader
+    * (independent offset log) — read-only sharing. Cached dirs are
+    * cleaned by a JVM shutdown hook instead of per-entry `finally`
+    * (TempDir's tmpfs-hygiene contract, transferred to JVM scope).
+    */
+  private val rideChunkCache =
+    scala.collection.concurrent.TrieMap.empty[(String, Long, Boolean, Int), String]
+  private def ridesChunkDir(
+      ss: SparkSession, sfDir: String,
+      maxDelayMs: Long, sentinel: Boolean, nChunks: Int): String =
+    rideChunkCache.getOrElseUpdate((sfDir, maxDelayMs, sentinel, nChunks), {
+      val ordered = orderedRides(ss, sfDir, maxDelayMs, sentinel)
+      val dir = TaxiReplay.writeJsonlChunks(ordered, nChunks,
+        flushChunk = if (sentinel) Seq(ordered.last) else Nil)
+      Runtime.getRuntime.addShutdownHook(
+        new Thread(() => TempDir.deleteRecursively(dir)))
+      dir
+    })
+
   private def appendReplay(
       spark: SparkSession,
       sfDir: String,
@@ -116,26 +163,21 @@ object StreamingQueries {
       nBatches: Int = 4,
       sentinel: Boolean = true,
       maxDelayMs: Long = MaxDelayMs,
-      mutate: Seq[RideEvent] => Seq[RideEvent] = identity)(
+      mutate: Option[Seq[RideEvent] => Seq[RideEvent]] = None)(
       build: DataFrame => DataFrame): DataFrame = {
     val ss = streamSession(spark)
-    val rides = TaxiReplay.ridesFromEvents(ss, sfDir).collect().toSeq
-    val ordered0 = mutate(TaxiReplay.servingOrder(rides, maxDelayMs))
-    val ordered = if (sentinel) withSentinel(ordered0) else ordered0
-    if (sentinel) {
-      // zero-weight-sentinel contract (see scaladoc): the re-fed row
-      // must not be able to change any aggregate
-      val last = ordered.last
-      require(last.passengers == 0 && last.rideId < 0,
-        s"flush row must be the zero-weight sentinel, got $last")
+    // mutated feeds are entry-specific (not cacheable); default feeds
+    // share the JVM-wide fixture
+    val (df, ownedDir) = mutate match {
+      case None =>
+        (TaxiReplay.openJsonlStream(ss,
+          ridesChunkDir(ss, sfDir, maxDelayMs, sentinel, nBatches)), None)
+      case Some(f) =>
+        val ordered = orderedRides(ss, sfDir, maxDelayMs, sentinel, f)
+        val dir = TaxiReplay.writeJsonlChunks(ordered, nBatches,
+          flushChunk = if (sentinel) Seq(ordered.last) else Nil)
+        (TaxiReplay.openJsonlStream(ss, dir), Some(dir))
     }
-    // Watermark-driven emission: the watermark advanced by the last
-    // data chunk (which ends with the far-future sentinel) is applied
-    // by the *next* micro-batch. With no-data micro-batches disabled
-    // that batch must carry data — the trailing flush chunk re-feeds
-    // the sentinel (passengers = 0, so it can change no aggregate).
-    val (df, chunkDir) = TaxiReplay.jsonlFileStream(ss, ordered, nBatches,
-      flushChunk = if (sentinel) Seq(ordered.last) else Nil)
     val name = prefix + UUID.randomUUID().toString.replace("-", "")
     val ckpt = TempDir.create("graft-ckpt-")
     val q = build(df)
@@ -147,7 +189,7 @@ object StreamingQueries {
     finally {
       q.stop()
       TempDir.deleteRecursively(ckpt.toString)
-      TempDir.deleteRecursively(chunkDir)
+      ownedDir.foreach(TempDir.deleteRecursively)
       StateStoreBridge.unloadAll()
     }
     ss.table(name)
@@ -249,9 +291,8 @@ object StreamingQueries {
     */
   def totalStream(spark: SparkSession, sfDir: String): DataFrame = {
     val ss = streamSession(spark)
-    val rides = TaxiReplay.ridesFromEvents(ss, sfDir).collect().toSeq
-    val ordered = TaxiReplay.servingOrder(rides, MaxDelayMs)
-    val (df, chunkDir) = TaxiReplay.jsonlFileStream(ss, ordered, nChunks = 4)
+    val df = TaxiReplay.openJsonlStream(ss,
+      ridesChunkDir(ss, sfDir, MaxDelayMs, sentinel = false, nChunks = 4))
     val sink = new KeyedUpsertSink(Seq("cell"))
     val ckpt = TempDir.create("graft-ckpt-")
     val q = TaxiPipelines.totalArrivalCount(df)
@@ -274,7 +315,6 @@ object StreamingQueries {
     } finally {
       q.stop()
       TempDir.deleteRecursively(ckpt.toString)
-      TempDir.deleteRecursively(chunkDir)
       sink.close()
       StateStoreBridge.unloadAll()
     }
@@ -290,9 +330,8 @@ object StreamingQueries {
     val ss = streamSession(spark)
     ss.conf.set("spark.sql.streaming.stateStore.providerClass",
       "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
-    val rides = TaxiReplay.ridesFromEvents(ss, sfDir).collect().toSeq
-    val ordered = TaxiReplay.servingOrder(rides, MaxDelayMs)
-    val (df, chunkDir) = TaxiReplay.jsonlFileStream(ss, ordered, nChunks = 4)
+    val df = TaxiReplay.openJsonlStream(ss,
+      ridesChunkDir(ss, sfDir, MaxDelayMs, sentinel = false, nChunks = 4))
     val sink = new KeyedUpsertSink(Seq("cell"))
     val ckpt = TempDir.create("graft-ckpt-")
     val q = TwsTotalCount.totalCountTws(cellsOf(df)).toDF()
@@ -310,7 +349,6 @@ object StreamingQueries {
     } finally {
       q.stop()
       TempDir.deleteRecursively(ckpt.toString)
-      TempDir.deleteRecursively(chunkDir)
       sink.close()
       StateStoreBridge.unloadAll()
     }
@@ -458,9 +496,8 @@ object StreamingQueries {
     */
   def totalCompleteStream(spark: SparkSession, sfDir: String): DataFrame = {
     val ss = streamSession(spark)
-    val rides = TaxiReplay.ridesFromEvents(ss, sfDir).collect().toSeq
-    val ordered = TaxiReplay.servingOrder(rides, MaxDelayMs)
-    val (df, chunkDir) = TaxiReplay.jsonlFileStream(ss, ordered, nChunks = 4)
+    val df = TaxiReplay.openJsonlStream(ss,
+      ridesChunkDir(ss, sfDir, MaxDelayMs, sentinel = false, nChunks = 4))
     val name = "complete_" + UUID.randomUUID().toString.replace("-", "")
     val ckpt = TempDir.create("graft-ckpt-")
     val q = TaxiPipelines.totalArrivalCount(df)
@@ -474,7 +511,6 @@ object StreamingQueries {
     } finally {
       q.stop()
       TempDir.deleteRecursively(ckpt.toString)
-      TempDir.deleteRecursively(chunkDir)
       StateStoreBridge.unloadAll()
     }
   }
@@ -587,7 +623,7 @@ object StreamingQueries {
     */
   def lateDropStream(spark: SparkSession, sfDir: String): DataFrame =
     appendReplay(spark, sfDir, "latedrop_",
-      mutate = ordered => ordered ++ lateArrivals(ordered))(
+      mutate = Some(ordered => ordered ++ lateArrivals(ordered)))(
       TaxiPipelines.slidingArrivalCount(_))
       .filter(col("cnt") > 0)
 
@@ -603,7 +639,7 @@ object StreamingQueries {
     */
   def dedupStream(spark: SparkSession, sfDir: String): DataFrame =
     appendReplay(spark, sfDir, "dedupstrm_", maxDelayMs = 0L,
-      mutate = _.flatMap(e => Seq(e, e))) { df =>
+      mutate = Some(_.flatMap(e => Seq(e, e)))) { df =>
       val deduped = df
         .withWatermark("ts", "60 seconds")
         .dropDuplicatesWithinWatermark("rideId")

@@ -189,11 +189,19 @@ object TaxiReplay {
       events: Seq[RideEvent],
       nChunks: Int,
       flushChunk: Seq[RideEvent] = Nil): (DataFrame, String) = {
-    import org.apache.spark.sql.types._
-    val schema = StructType(Seq(
-      StructField("rideId", LongType), StructField("tMs", LongType),
-      StructField("isStart", BooleanType), StructField("lon", DoubleType),
-      StructField("lat", DoubleType), StructField("passengers", IntegerType)))
+    val dir = writeJsonlChunks(events, nChunks, flushChunk)
+    (openJsonlStream(spark, dir), dir)
+  }
+
+  /** Fixture half of [[jsonlFileStream]]: write the chunk files and
+    * return the dir. Split out so callers that CACHE the fixture
+    * (the write is pure in its inputs) can share one dir across many
+    * independent readers.
+    */
+  def writeJsonlChunks(
+      events: Seq[RideEvent],
+      nChunks: Int,
+      flushChunk: Seq[RideEvent] = Nil): String = {
     val dir = TempDir.create("graft-rides-")
     def writeChunk(chunk: Seq[RideEvent], i: Int): Unit =
       ReplayChunks.writeJsonlGz(dir.toString, f"rides-$i%05d.jsonl.gz", i,
@@ -203,15 +211,28 @@ object TaxiReplay {
     val dataChunks = events.grouped(chunkSize).toVector
     dataChunks.zipWithIndex.foreach { case (chunk, i) => writeChunk(chunk, i) }
     if (flushChunk.nonEmpty) writeChunk(flushChunk, dataChunks.size)
-    val parsed = spark.readStream
+    dir.toString
+  }
+
+  /** Reader half of [[jsonlFileStream]]: a parsed streaming DataFrame
+    * over an existing chunk dir — one chunk per micro-batch; each
+    * caller gets an independent reader (its own offset log), so a
+    * shared fixture dir is read-only sharing.
+    */
+  def openJsonlStream(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("rideId", LongType), StructField("tMs", LongType),
+      StructField("isStart", BooleanType), StructField("lon", DoubleType),
+      StructField("lat", DoubleType), StructField("passengers", IntegerType)))
+    spark.readStream
       .option("maxFilesPerTrigger", "1")
-      .text(dir.toString)
+      .text(dir)
       .select(from_json(col("value"), schema).as("j"))
       .select(col("j.rideId").as("rideId"), col("j.tMs").as("tMs"),
         col("j.isStart").as("isStart"), col("j.lon").as("lon"),
         col("j.lat").as("lat"), col("j.passengers").as("passengers"))
       .withColumn("ts", timestamp_millis(col("tMs")))
-    (parsed, dir.toString)
   }
 
   /** Pacing for live demo replay (reference `toServingTime`,
