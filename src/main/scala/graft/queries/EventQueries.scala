@@ -70,6 +70,31 @@ object EventQueries {
           col("last_t_ms"), col("n_events"), col("sum_value"))
     }),
 
+    // Session windows with a DYNAMIC per-event gap — Spark's
+    // expression-valued session_window (a purchase holds the session
+    // open 60 min, anything else 30): the per-user-journey semantics
+    // a fixed gap can't express. Fixed-gap islands-by-lag is WRONG
+    // here — an event can extend the session past its successor's
+    // lag distance — so the session is the interval-merge closure
+    // [ts, ts+gap(event)) (end = max over merged events), which the
+    // oracle mirrors with a running MAX(t+gap) over preceding rows
+    // (ties ordered by event_id carry the same merge verdict either
+    // way — starts equal ⇒ always merged). Same single user-keyed
+    // shuffle as the fixed-gap entry; the gap expression is
+    // row-local.
+    "events_sessionize_dynamic" -> ((s, dir) => {
+      Tables.events(s, dir)
+        .groupBy(col("user_id"), session_window(col("ts"),
+          when(col("event_type") === "purchase", "60 minutes")
+            .otherwise("30 minutes")).as("sw"))
+        .agg(count(lit(1)).as("n_events"))
+        .select(
+          col("user_id"),
+          unix_millis(col("sw.start")).as("session_start_ms"),
+          unix_millis(col("sw.end")).as("session_end_ms"),
+          col("n_events"))
+    }),
+
     // Pivot (long→wide reshape): per-user event counts, one column
     // per event type — the DataFrame API surface no other entry
     // exercises. The pivot VALUES are passed explicitly
@@ -932,6 +957,31 @@ object EventQueries {
          |  COUNT(*) AS n_events,
          |  CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
          |FROM sess GROUP BY user_id, sid""".stripMargin,
+    "events_sessionize_dynamic" ->
+      // interval-merge closure: a session breaks where the event's
+      // start clears the running max end (half-open [t, t+gap))
+      s"""WITH e AS (
+         |  SELECT user_id, event_id,
+         |    epoch_ms(date_trunc('millisecond', ts)) AS t_ms,
+         |    CASE WHEN event_type = 'purchase' THEN 3600000
+         |         ELSE 1800000 END AS gap
+         |  FROM events),
+         |o AS (
+         |  SELECT *, MAX(t_ms + gap) OVER (PARTITION BY user_id
+         |    ORDER BY t_ms, event_id
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_end
+         |  FROM e),
+         |b AS (
+         |  SELECT *, CASE WHEN prev_end IS NULL OR t_ms >= prev_end
+         |                 THEN 1 ELSE 0 END AS brk
+         |  FROM o),
+         |s AS (
+         |  SELECT *, SUM(brk) OVER (PARTITION BY user_id
+         |    ORDER BY t_ms, event_id ROWS UNBOUNDED PRECEDING) AS sid
+         |  FROM b)
+         |SELECT user_id, MIN(t_ms) AS session_start_ms,
+         |  MAX(t_ms + gap) AS session_end_ms, COUNT(*) AS n_events
+         |FROM s GROUP BY user_id, sid""".stripMargin,
     "events_json_extract" ->
       """SELECT CAST(json_extract_string(props, '$.k') AS INT) % 10 AS k_bucket,
         |  COUNT(*) AS n,

@@ -23,6 +23,7 @@ object StorageQueries {
   private def fixture(name: String): String =
     new java.io.File(s"target/graft-fixtures/$name").getAbsolutePath
   val OrcPath = fixture("documents_orc")
+  val DynPath = fixture("documents_dyn_overwrite")
   val PartPath = fixture("documents_by_source")
   val EvoPath = fixture("documents_evolution")
   val JsonlPath = fixture("documents_jsonl")
@@ -106,6 +107,36 @@ object StorageQueries {
         .partitionBy("source").parquet(PartPath)
       s.read.parquet(PartPath)
         .filter(col("source").isin(PrunedSources: _*))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("chars_sum"),
+          min(col("doc_id")).as("id_min"),
+          max(col("doc_id")).as("id_max"))
+    }),
+
+    // DYNAMIC partition overwrite — the lakehouse partial-rewrite
+    // primitive: a batch job recomputes SOME partitions and the
+    // overwrite must replace exactly the partitions it writes,
+    // leaving every other partition's files untouched (static
+    // overwrite mode truncates the whole table first — the classic
+    // footgun; `partitionOverwriteMode=dynamic` scopes the delete to
+    // written partitions, which at 100 TB is rewriting 2 directories
+    // instead of 2000). Fixture: full corpus partitioned by source,
+    // then a "re-scoring" job doubles n_chars for ONLY the
+    // PrunedSources partitions and dynamic-overwrites them in place.
+    // The read-back rollup pins both halves: overwritten partitions
+    // carry the new values and lost no rows; untouched partitions are
+    // bit-identical originals.
+    "docs_dynamic_overwrite" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+        .select(col("doc_id"), col("source"), col("n_chars"))
+      docs.write.mode("overwrite").partitionBy("source").parquet(DynPath)
+      docs.filter(col("source").isin(PrunedSources: _*))
+        .withColumn("n_chars", col("n_chars") * 2)
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("source").parquet(DynPath)
+      s.read.parquet(DynPath)
         .groupBy(col("source"))
         .agg(count(lit(1)).as("n_docs"),
           sum(col("n_chars")).as("chars_sum"),
@@ -322,6 +353,16 @@ object StorageQueries {
          |  MIN(doc_id) AS id_min, MAX(doc_id) AS id_max
          |FROM documents WHERE source IN ($srcs)
          |GROUP BY source""".stripMargin
+    },
+    "docs_dynamic_overwrite" -> {
+      val srcs = PrunedSources.map(s => s"'$s'").mkString(", ")
+      // overwritten partitions = doubled n_chars, same rows;
+      // untouched partitions = originals
+      s"""SELECT source, COUNT(*) AS n_docs,
+         |  CAST(SUM(CASE WHEN source IN ($srcs) THEN n_chars * 2
+         |           ELSE n_chars END) AS BIGINT) AS chars_sum,
+         |  MIN(doc_id) AS id_min, MAX(doc_id) AS id_max
+         |FROM documents GROUP BY source""".stripMargin
     },
     // gen-1 (even ids) rows carry no lang column → NULL after the
     // schema merge, so lang coverage = the odd half exactly

@@ -199,23 +199,29 @@ object StreamingQueries {
     * serving order. The collect is replay HARNESS — it exists only to
     * WRITE the gz JSONL chunk fixtures ([[EventsReplay.writeChunk]]);
     * the pipelines consume a `readStream` over those files, never a
-    * driver-held collection (the at-scale ingress contract).
+    * driver-held collection (the at-scale ingress contract). Cached
+    * per (sfDir, types): the collect is pure in those inputs, and
+    * ~10 streaming entries (× 2 bench passes) would otherwise each
+    * re-launch the collect job for an identical row set.
     */
+  private val eventRowsCache = scala.collection.concurrent.TrieMap
+    .empty[(String, Seq[String]), Seq[EventsReplay.Ev]]
   private def eventRows(
       ss: SparkSession, sfDir: String,
-      types: Seq[String] = Nil): Seq[EventsReplay.Ev] = {
-    val base = graft.Tables.events(ss, sfDir)
-    val filtered =
-      if (types.nonEmpty) base.filter(col("event_type").isin(types: _*))
-      else base
-    filtered
-      .select(col("user_id"), col("event_id"), unix_millis(col("ts")).as("t_ms"),
-        col("event_type"), col("value"))
-      .collect()
-      .map(r => EventsReplay.Ev(r.getLong(0), r.getLong(1), r.getLong(2),
-        r.getString(3), r.getDouble(4)))
-      .toSeq.sortBy(e => (e.tMs, e.eventId))
-  }
+      types: Seq[String] = Nil): Seq[EventsReplay.Ev] =
+    eventRowsCache.getOrElseUpdate((sfDir, types), {
+      val base = graft.Tables.events(ss, sfDir)
+      val filtered =
+        if (types.nonEmpty) base.filter(col("event_type").isin(types: _*))
+        else base
+      filtered
+        .select(col("user_id"), col("event_id"), unix_millis(col("ts")).as("t_ms"),
+          col("event_type"), col("value"))
+        .collect()
+        .map(r => EventsReplay.Ev(r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getString(3), r.getDouble(4)))
+        .toSeq.sortBy(e => (e.tMs, e.eventId))
+    })
 
   /** Far-future zero-weight sentinel for the events file replays: it
     * advances the watermark past every real pane (userId = −1, value =

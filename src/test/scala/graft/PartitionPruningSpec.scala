@@ -93,4 +93,37 @@ class PartitionPruningSpec extends AnyFunSuite {
       TempDir.deleteRecursively(dir.toString)
     }
   }
+
+  test("dynamic partition overwrite leaves untouched partitions' files in place") {
+    // the physical half of docs_dynamic_overwrite's contract (the
+    // oracle pins values; this pins that untouched directories are
+    // not rewritten — at 100 TB the entire point of dynamic mode)
+    val dir = TempDir.create("graft-dynov-")
+    try {
+      val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+        .select(col("doc_id"), col("source"), col("n_chars"))
+      docs.write.mode("overwrite").partitionBy("source").parquet(dir.toString)
+      def files(sub: String): Set[String] = {
+        val d = new java.io.File(s"$dir/$sub")
+        d.listFiles().filter(_.getName.endsWith(".parquet"))
+          .map(f => f.getName + ":" + f.lastModified).toSet
+      }
+      val untouchedBefore = files("source=src1")
+      val touchedBefore = files("source=src3")
+      docs.filter(col("source") === "src3")
+        .withColumn("n_chars", col("n_chars") * 2)
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("source").parquet(dir.toString)
+      assert(files("source=src1") == untouchedBefore,
+        "dynamic overwrite rewrote an untouched partition")
+      assert(files("source=src3") != touchedBefore,
+        "dynamic overwrite did not replace the written partition")
+      // and a STATIC overwrite of the same frame would have dropped
+      // every other partition — prove the mode is load-bearing
+      val total = spark.read.parquet(dir.toString)
+        .select("source").distinct().count()
+      assert(total == 20, s"expected all 20 sources after dynamic overwrite, got $total")
+    } finally TempDir.deleteRecursively(dir.toString)
+  }
 }
