@@ -756,6 +756,33 @@ object StreamingQueries {
     }.filter(col("user_id") >= 0)
   }
 
+  /** The DYNAMIC-gap sessionization as a stream — expression-valued
+    * `session_window` (purchase holds the session open 60 min, else
+    * 30) under a watermark in Append mode; the state-local interval
+    * merge is order-insensitive, so the flushed sessions equal the
+    * batch interval-merge-closure oracle (`events_sessionize_dynamic`)
+    * exactly. Sentinel gap 2 h clears the largest per-event gap.
+    */
+  def sessionizeDynamicStream(spark: SparkSession, sfDir: String): DataFrame = {
+    val ss = streamSession(spark)
+    val evs = eventRows(ss, sfDir)
+    val sentinel = evSentinel(evs, gapMs = 7200000L)
+    eventsFileReplay(ss, evs :+ sentinel, "sessd_", nChunks = 4,
+      flush = Seq(sentinel)) { stream =>
+      stream
+        .withWatermark("ts", "60 seconds")
+        .groupBy(col("userId"), session_window(col("ts"),
+          when(col("etype") === "purchase", "60 minutes")
+            .otherwise("30 minutes")).as("sw"))
+        .agg(count(lit(1)).as("n_events"))
+        .select(
+          col("userId").as("user_id"),
+          unix_millis(col("sw.start")).as("session_start_ms"),
+          unix_millis(col("sw.end")).as("session_end_ms"),
+          col("n_events"))
+    }.filter(col("user_id") >= 0)
+  }
+
   /** The conversion funnel run AS A STREAM ([[graft.streaming.Funnel]]
     * — CEP-style per-user state machine, watermark-ordered fold,
     * single final row per user on the finality bound). Batch twin and
@@ -1466,6 +1493,7 @@ object StreamingQueries {
     "taxi_dedup_stream" -> (dedupStream _),
     "taxi_late_drop" -> (lateDropStream _),
     "events_sessionize_stream" -> (sessionizeStream _),
+    "events_sessionize_dynamic_stream" -> (sessionizeDynamicStream _),
     "events_funnel_stream" -> (funnelStream _),
     "events_attribution_stream" -> (attributionOuterStream _),
     "events_attribution_full_stream" -> (attributionFullStream _),
@@ -1573,6 +1601,8 @@ object StreamingQueries {
     // sliding count over the fixture exactly as if nothing was injected
     "taxi_late_drop" -> TaxiQueries.oracleSql("taxi_sliding_count"),
     "events_sessionize_stream" -> EventQueries.oracleSql("events_sessionize"),
+    "events_sessionize_dynamic_stream" ->
+      EventQueries.oracleSql("events_sessionize_dynamic"),
     // the streamed funnel must converge to the batch chained-min funnel
     "events_funnel_stream" -> EventQueries.oracleSql("events_funnel"),
     // outer-join emission (matches on arrival + null-padding on state
