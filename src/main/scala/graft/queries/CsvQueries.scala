@@ -27,13 +27,12 @@ object CsvQueries {
 
   private val NRides = 500
 
-  /** Repo-local fixture path — absolutized at runtime (so the driver's
-    * DuckDB resolves the oracle-embedded path regardless of its own
-    * cwd, and the repo works from any checkout location); under
-    * target/ so it is never committed.
+  /** Repo-local fixture path — build-root-anchored at runtime
+    * ([[graft.Fixtures]]: DuckDB-resolvable absolute path, any
+    * checkout location, no launch-dir litter); under target/ so it is
+    * never committed.
     */
-  val FixturePath =
-    new java.io.File("target/graft-fixtures/taxi_rides.csv.gz").getAbsolutePath
+  val FixturePath = graft.Fixtures.path("taxi_rides.csv.gz")
 
   /** Write the fixture deterministically (write-to-temp + atomic move:
     * Verify and Bench may both build this query in one JVM).

@@ -105,11 +105,10 @@ object DedupQueries {
     * band index (the dedup_incremental_bucketed layout fixture).
     */
   private[graft] val BandIdxTable = "graft_band_idx_bkt"
-  // resolved against the working dir, not a hardcoded checkout path —
-  // the fixture table lands under the repo's own target/ wherever the
-  // repo is checked out
-  private[graft] val BandIdxPath =
-    new java.io.File("target/graft-fixtures/bucketed/band_idx").getAbsolutePath
+  // build-root-anchored ([[graft.Fixtures]]) — the fixture table lands
+  // under the repo's own target/ wherever the repo is checked out and
+  // whatever the launch dir was
+  private[graft] val BandIdxPath = graft.Fixtures.path("bucketed/band_idx")
   private[graft] val BandIdxBuckets = 8
 
   /** Write the index half's band relation as a catalog table BUCKETED

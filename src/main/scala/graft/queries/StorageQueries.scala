@@ -17,11 +17,10 @@ import org.apache.spark.sql.functions._
   */
 object StorageQueries {
 
-  /** Repo-local fixture roots — absolute, under the working dir's
-    * target/ (resolved at runtime, not a hardcoded checkout path).
+  /** Repo-local fixture roots — build-root-anchored absolute paths
+    * ([[graft.Fixtures]]), under target/.
     */
-  private def fixture(name: String): String =
-    new java.io.File(s"target/graft-fixtures/$name").getAbsolutePath
+  private def fixture(name: String): String = graft.Fixtures.path(name)
   val OrcPath = fixture("documents_orc")
   val DynPath = fixture("documents_dyn_overwrite")
   val PartPath = fixture("documents_by_source")

@@ -86,29 +86,6 @@ object StreamingQueries {
     ss
   }
 
-  /** Shared Append-mode replay scaffold: rides → serving order
-    * (± sentinel) → gz JSONL chunk files → `readStream` → `build`
-    * pipeline → memory sink → final watermark flush chunk. The
-    * ingress is [[TaxiReplay.jsonlFileStream]] — one chunk per
-    * micro-batch, the at-scale file-drop contract (the `collect`
-    * below exists only to WRITE the chunk fixtures; the pipelines
-    * consume a `readStream`, never a driver-held collection).
-    * Sentinel/checkpoint/flush behavior lives here once for every
-    * Append-mode query. The checkpoint is an ephemeral tmpfs dir
-    * (TempDir) deleted in the `finally` — the memory-sink table
-    * survives it; leaked tmpfs checkpoints otherwise accumulate RAM
-    * across replay runs.
-    *
-    * CONTRACT for `build` pipelines (asserted below): the flush chunk
-    * re-feeds the sentinel as a REAL input row, so the pipeline sees it
-    * twice. That is only safe because the sentinel is zero-weight —
-    * passengers = 0 (it can change no passenger sum) and rideId = −1
-    * (callers filter it, and dedup keys collapse the duplicate). A
-    * pipeline aggregating something the duplicate affects — e.g. a
-    * bare `count(*)` per pane, or keying on arrival order — would be
-    * silently corrupted by the doubled sentinel and must not use this
-    * scaffold's sentinel mode.
-    */
   /** Serving-ordered ride feed (± sentinel), with the zero-weight
     * flush contract asserted: the watermark advanced by the last data
     * chunk (which ends with the far-future sentinel) is applied by
@@ -132,6 +109,16 @@ object StreamingQueries {
     } else ordered0
   }
 
+  /** The ONE spelling of the ride chunk-fixture write: data chunks +
+    * (in sentinel mode) the trailing flush chunk re-feeding the
+    * zero-weight sentinel — shared by the cached and mutated-feed
+    * paths so the flush contract can't diverge between them.
+    */
+  private def writeRideChunks(
+      ordered: Seq[RideEvent], nChunks: Int, sentinel: Boolean): String =
+    TaxiReplay.writeJsonlChunks(ordered, nChunks,
+      flushChunk = if (sentinel) Seq(ordered.last) else Nil)
+
   /** Ride chunk-fixture cache: the fixture WRITE (collect → serving
     * order → gz chunks) is pure in (sfDir, maxDelayMs, sentinel,
     * nChunks), and Verify/Bench drive MANY entries over identical
@@ -141,6 +128,9 @@ object StreamingQueries {
     * (independent offset log) — read-only sharing. Cached dirs are
     * cleaned by a JVM shutdown hook instead of per-entry `finally`
     * (TempDir's tmpfs-hygiene contract, transferred to JVM scope).
+    * Size is bounded by key cardinality — ≤ #SF dirs × the handful of
+    * (delay, sentinel, chunks) configs the entries use — a few small
+    * gz fixtures, not per-entry growth.
     */
   private val rideChunkCache =
     scala.collection.concurrent.TrieMap.empty[(String, Long, Boolean, Int), String]
@@ -148,14 +138,30 @@ object StreamingQueries {
       ss: SparkSession, sfDir: String,
       maxDelayMs: Long, sentinel: Boolean, nChunks: Int): String =
     rideChunkCache.getOrElseUpdate((sfDir, maxDelayMs, sentinel, nChunks), {
-      val ordered = orderedRides(ss, sfDir, maxDelayMs, sentinel)
-      val dir = TaxiReplay.writeJsonlChunks(ordered, nChunks,
-        flushChunk = if (sentinel) Seq(ordered.last) else Nil)
+      val dir = writeRideChunks(
+        orderedRides(ss, sfDir, maxDelayMs, sentinel), nChunks, sentinel)
       Runtime.getRuntime.addShutdownHook(
         new Thread(() => TempDir.deleteRecursively(dir)))
       dir
     })
 
+  /** Shared Append-mode replay scaffold: serving-ordered ride chunks
+    * ([[ridesChunkDir]] for default feeds, an entry-owned dir for
+    * mutated ones) → `readStream` → `build` pipeline → memory sink →
+    * flush-chunk watermark apply. Checkpoints are ephemeral tmpfs
+    * dirs deleted in the `finally` — the memory-sink table survives
+    * them.
+    *
+    * CONTRACT for `build` pipelines (asserted in [[orderedRides]]):
+    * the flush chunk re-feeds the sentinel as a REAL input row, so
+    * the pipeline sees it twice. That is only safe because the
+    * sentinel is zero-weight — passengers = 0 (it can change no
+    * passenger sum) and rideId = −1 (callers filter it, and dedup
+    * keys collapse the duplicate). A pipeline aggregating something
+    * the duplicate affects — e.g. a bare `count(*)` per pane, or
+    * keying on arrival order — would be silently corrupted by the
+    * doubled sentinel and must not use this scaffold's sentinel mode.
+    */
   private def appendReplay(
       spark: SparkSession,
       sfDir: String,
@@ -173,9 +179,8 @@ object StreamingQueries {
         (TaxiReplay.openJsonlStream(ss,
           ridesChunkDir(ss, sfDir, maxDelayMs, sentinel, nBatches)), None)
       case Some(f) =>
-        val ordered = orderedRides(ss, sfDir, maxDelayMs, sentinel, f)
-        val dir = TaxiReplay.writeJsonlChunks(ordered, nBatches,
-          flushChunk = if (sentinel) Seq(ordered.last) else Nil)
+        val dir = writeRideChunks(
+          orderedRides(ss, sfDir, maxDelayMs, sentinel, f), nBatches, sentinel)
         (TaxiReplay.openJsonlStream(ss, dir), Some(dir))
     }
     val name = prefix + UUID.randomUUID().toString.replace("-", "")
@@ -202,7 +207,10 @@ object StreamingQueries {
     * driver-held collection (the at-scale ingress contract). Cached
     * per (sfDir, types): the collect is pure in those inputs, and
     * ~10 streaming entries (× 2 bench passes) would otherwise each
-    * re-launch the collect job for an identical row set.
+    * re-launch the collect job for an identical row set. Bounded by
+    * key cardinality (≤ #SF dirs × 3 type filters); the largest
+    * fixture's rows are ~10 MB on-heap — harness scale, not data
+    * scale.
     */
   private val eventRowsCache = scala.collection.concurrent.TrieMap
     .empty[(String, Seq[String]), Seq[EventsReplay.Ev]]

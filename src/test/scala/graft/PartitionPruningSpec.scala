@@ -105,7 +105,9 @@ class PartitionPruningSpec extends AnyFunSuite {
       docs.write.mode("overwrite").partitionBy("source").parquet(dir.toString)
       def files(sub: String): Set[String] = {
         val d = new java.io.File(s"$dir/$sub")
-        d.listFiles().filter(_.getName.endsWith(".parquet"))
+        val ls = d.listFiles()
+        assert(ls != null, s"partition dir missing: $d")
+        ls.filter(_.getName.endsWith(".parquet"))
           .map(f => f.getName + ":" + f.lastModified).toSet
       }
       val untouchedBefore = files("source=src1")
