@@ -113,6 +113,35 @@ object StorageQueries {
           max(col("doc_id")).as("id_max"))
     }),
 
+    // Data-quality EXPECTATIONS gate — the validation contract every
+    // ingest runs before promoting a table (the dbt-test /
+    // Great-Expectations shape): six rules evaluated in ONE scan
+    // (conditional partial-agg sums; uniqueness is the only second
+    // exchange, count − countDistinct), emitted as (rule,
+    // n_violations) rows. The fixture mix is deliberate: three rules
+    // hold (not-null, unique, n_chars = length(text) — meaningful
+    // zeros pinning the generator's own consistency), three are
+    // violated by construction (length cap, lang allowlist), so the
+    // oracle checks both the pass AND fail paths of every rule
+    // spelling. NULL handling is the CASE's ELSE branch on both
+    // engines (a NULL lang is a violation, not a skip). At 100 TB:
+    // one scan, six numbers — the gate costs what a count costs.
+    "docs_expectations" -> ((s, dir) => {
+      val agg = Tables.documents(s, dir).agg(
+        sum(when(col("doc_id").isNotNull, 0).otherwise(1)).as("r1"),
+        (count(lit(1)) - countDistinct(col("doc_id"))).as("r2"),
+        sum(when(col("n_chars") === length(col("text")), 0).otherwise(1)).as("r3"),
+        sum(when(col("n_chars") <= 300, 0).otherwise(1)).as("r4"),
+        sum(when(col("lang").isin("en", "de", "fr"), 0).otherwise(1)).as("r5"),
+        sum(when(length(col("text")) > 0, 0).otherwise(1)).as("r6"))
+      agg.select(expr(
+        """stack(6,
+          |  'doc_id_not_null', r1, 'doc_id_unique', r2,
+          |  'n_chars_consistent', r3, 'n_chars_le_300', r4,
+          |  'lang_allowlist', r5, 'text_nonempty', r6)
+          |  AS (rule, n_violations)""".stripMargin))
+    }),
+
     // DYNAMIC partition overwrite — the lakehouse partial-rewrite
     // primitive: a batch job recomputes SOME partitions and the
     // overwrite must replace exactly the partitions it writes,
@@ -353,6 +382,21 @@ object StorageQueries {
          |FROM documents WHERE source IN ($srcs)
          |GROUP BY source""".stripMargin
     },
+    "docs_expectations" ->
+      s"""WITH a AS (SELECT
+         |  CAST(SUM(CASE WHEN doc_id IS NOT NULL THEN 0 ELSE 1 END) AS BIGINT) AS r1,
+         |  CAST(COUNT(*) - COUNT(DISTINCT doc_id) AS BIGINT) AS r2,
+         |  CAST(SUM(CASE WHEN n_chars = length(text) THEN 0 ELSE 1 END) AS BIGINT) AS r3,
+         |  CAST(SUM(CASE WHEN n_chars <= 300 THEN 0 ELSE 1 END) AS BIGINT) AS r4,
+         |  CAST(SUM(CASE WHEN lang IN ('en', 'de', 'fr') THEN 0 ELSE 1 END) AS BIGINT) AS r5,
+         |  CAST(SUM(CASE WHEN length(text) > 0 THEN 0 ELSE 1 END) AS BIGINT) AS r6
+         |  FROM documents)
+         |SELECT 'doc_id_not_null' AS rule, r1 AS n_violations FROM a
+         |UNION ALL SELECT 'doc_id_unique', r2 FROM a
+         |UNION ALL SELECT 'n_chars_consistent', r3 FROM a
+         |UNION ALL SELECT 'n_chars_le_300', r4 FROM a
+         |UNION ALL SELECT 'lang_allowlist', r5 FROM a
+         |UNION ALL SELECT 'text_nonempty', r6 FROM a""".stripMargin,
     "docs_dynamic_overwrite" -> {
       val srcs = PrunedSources.map(s => s"'$s'").mkString(", ")
       // overwritten partitions = doubled n_chars, same rows;
