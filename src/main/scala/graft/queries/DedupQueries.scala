@@ -732,6 +732,28 @@ object DedupQueries {
       labelPropagation(s, pairs.select(col("doc_a"), col("doc_b")), nodes)
     }),
 
+    // The CC-vs-LPA POLICY DIFFERENCE, measured on the real pair
+    // graph (the diagnostics-family companion to dedup_label_prop's
+    // claim): per CC component, how many LPA communities does it
+    // split into — a histogram where n_comms = 1 rows are the
+    // cliques both policies agree on and n_comms > 1 rows are
+    // exactly the long-chain clusters LPA refuses to bridge (the
+    // candidates a curation pass reviews before dropping whole
+    // clusters). Pairs are checkpointed ONCE and feed both
+    // clusterings — the LSH+verify pipeline does not run twice.
+    "dedup_community_compare" -> ((s, dir) => {
+      val pairs = minhashVerifiedPairs(s, dir)
+        .select(col("doc_a"), col("doc_b")).localCheckpoint()
+      val nodes = Tables.documents(s, dir).select(col("doc_id"))
+      val comp = connectedComponents(s, pairs, nodes)
+      val lpa = labelPropagation(s, pairs, nodes)
+      comp.join(lpa, Seq("doc_id"))
+        .groupBy(col("component"))
+        .agg(countDistinct(col("community")).as("n_comms"))
+        .groupBy(col("n_comms"))
+        .agg(count(lit(1)).as("n_components"))
+    }),
+
     // MinHash ESTIMATOR error, measured — the companion diagnostic to
     // the S-curve (that one grades the BANDING's capture; this one
     // grades the SIGNATURE's accuracy): for every candidate pair the
@@ -1145,6 +1167,42 @@ object DedupQueries {
          |  SELECT v, nlbl, ROW_NUMBER() OVER (PARTITION BY v
          |    ORDER BY c DESC, nlbl ASC) AS rn FROM c2) WHERE rn = 1)
          |SELECT v AS doc_id, lbl AS community FROM l2""".stripMargin,
+    "dedup_community_compare" ->
+      // both clusterings' CTE chains over ONE pairs CTE, joined into
+      // the per-component community-count histogram
+      s"""WITH RECURSIVE ${minhashPairsCtes("documents")},
+         |pairs AS ($minhashPairsSelect),
+         |cedges AS (SELECT * FROM (
+         |  SELECT doc_a AS ea, doc_b AS eb FROM pairs
+         |  UNION
+         |  SELECT doc_b, doc_a FROM pairs)),
+         |reach AS (
+         |  SELECT doc_id AS v, doc_id AS r FROM documents
+         |  UNION
+         |  SELECT reach.v, e.eb FROM reach JOIN cedges e ON reach.r = e.ea),
+         |comp AS (SELECT v, MIN(r) AS component FROM reach GROUP BY v),
+         |edges AS (
+         |  SELECT doc_a AS v, doc_b AS nbr FROM pairs
+         |  UNION ALL
+         |  SELECT doc_b, doc_a FROM pairs),
+         |l0 AS (SELECT doc_id AS v, doc_id AS lbl FROM documents),
+         |c1 AS (SELECT v, nlbl, COUNT(*) AS c FROM (
+         |  SELECT e.v, l.lbl AS nlbl FROM edges e JOIN l0 l ON e.nbr = l.v
+         |  UNION ALL SELECT v, lbl FROM l0) GROUP BY 1, 2),
+         |l1 AS (SELECT v, nlbl AS lbl FROM (
+         |  SELECT v, nlbl, ROW_NUMBER() OVER (PARTITION BY v
+         |    ORDER BY c DESC, nlbl ASC) AS rn FROM c1) WHERE rn = 1),
+         |c2 AS (SELECT v, nlbl, COUNT(*) AS c FROM (
+         |  SELECT e.v, l.lbl AS nlbl FROM edges e JOIN l1 l ON e.nbr = l.v
+         |  UNION ALL SELECT v, lbl FROM l1) GROUP BY 1, 2),
+         |l2 AS (SELECT v, nlbl AS lbl FROM (
+         |  SELECT v, nlbl, ROW_NUMBER() OVER (PARTITION BY v
+         |    ORDER BY c DESC, nlbl ASC) AS rn FROM c2) WHERE rn = 1)
+         |SELECT n_comms, COUNT(*) AS n_components FROM (
+         |  SELECT comp.component, COUNT(DISTINCT l2.lbl) AS n_comms
+         |  FROM comp JOIN l2 ON comp.v = l2.v
+         |  GROUP BY comp.component)
+         |GROUP BY n_comms""".stripMargin,
     "dedup_representatives" ->
       s"""WITH RECURSIVE ${minhashPairsCtes("documents")},
          |pairs AS ($minhashPairsSelect),
