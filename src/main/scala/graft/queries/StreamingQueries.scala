@@ -457,6 +457,52 @@ object StreamingQueries {
     }
   }
 
+  /** The data-quality EXPECTATIONS gate run AS A STREAM — the
+    * monitoring twin of `docs_expectations`: every event fans out to
+    * one (rule, violation-bit) row per rule (a narrow 2-column stack,
+    * the only row multiplication), a rule-keyed Update-mode aggregate
+    * maintains running violation totals (state = #rules rows,
+    * regardless of throughput — the boundedness that makes a quality
+    * monitor deployable on an unbounded stream), and the keyed upsert
+    * sink converges to the batch rule totals. Same deliberate fixture
+    * mix as the batch gate: two rules hold, two are violated by
+    * construction, so both paths of every spelling are exercised
+    * under streaming semantics too. No watermark — the rules are
+    * time-agnostic running totals.
+    */
+  def expectationsStream(spark: SparkSession, sfDir: String): DataFrame = {
+    val ss = streamSession(spark)
+    val evs = eventRows(ss, sfDir)
+    val (stream, chunkDir) = EventsReplay.fileStream(ss, evs, nChunks = 4)
+    val sink = new KeyedUpsertSink(Seq("rule"))
+    val ckpt = TempDir.create("graft-ckpt-")
+    val q = stream
+      .select(expr(
+        """stack(4,
+          |  'ts_not_null', CASE WHEN tMs IS NOT NULL THEN 0 ELSE 1 END,
+          |  'value_nonneg', CASE WHEN value >= 0 THEN 0 ELSE 1 END,
+          |  'value_le_50', CASE WHEN value <= 50 THEN 0 ELSE 1 END,
+          |  'etype_allowlist', CASE WHEN etype IN
+          |    ('view', 'click', 'purchase', 'signup') THEN 0 ELSE 1 END)
+          |  AS (rule, viol)""".stripMargin))
+      .groupBy(col("rule"))
+      .agg(sum(col("viol")).as("n_violations"))
+      .writeStream.outputMode("update")
+      .option("checkpointLocation", ckpt.toString)
+      .foreachBatch(sink.upsert _)
+      .start()
+    try {
+      q.processAllAvailable()
+      sink.toDF(ss).localCheckpoint()
+    } finally {
+      q.stop()
+      TempDir.deleteRecursively(ckpt.toString)
+      TempDir.deleteRecursively(chunkDir)
+      sink.close()
+      StateStoreBridge.unloadAll()
+    }
+  }
+
   /** Per-user per-type running counts on transformWithState's MAP
     * state ([[graft.streaming.TypeCountProcessor]]) — completes the
     * state-primitive coverage (ValueState → `taxi_total_tws`,
@@ -1502,6 +1548,7 @@ object StreamingQueries {
     "taxi_late_drop" -> (lateDropStream _),
     "events_sessionize_stream" -> (sessionizeStream _),
     "events_sessionize_dynamic_stream" -> (sessionizeDynamicStream _),
+    "events_expectations_stream" -> (expectationsStream _),
     "events_funnel_stream" -> (funnelStream _),
     "events_attribution_stream" -> (attributionOuterStream _),
     "events_attribution_full_stream" -> (attributionFullStream _),
@@ -1611,6 +1658,20 @@ object StreamingQueries {
     "events_sessionize_stream" -> EventQueries.oracleSql("events_sessionize"),
     "events_sessionize_dynamic_stream" ->
       EventQueries.oracleSql("events_sessionize_dynamic"),
+    "events_expectations_stream" ->
+      s"""WITH e AS (SELECT epoch_ms(date_trunc('millisecond', ts)) AS t_ms,
+         |  event_type, value FROM events),
+         |a AS (SELECT
+         |  CAST(SUM(CASE WHEN t_ms IS NOT NULL THEN 0 ELSE 1 END) AS BIGINT) AS r1,
+         |  CAST(SUM(CASE WHEN value >= 0 THEN 0 ELSE 1 END) AS BIGINT) AS r2,
+         |  CAST(SUM(CASE WHEN value <= 50 THEN 0 ELSE 1 END) AS BIGINT) AS r3,
+         |  CAST(SUM(CASE WHEN event_type IN ('view', 'click', 'purchase', 'signup')
+         |       THEN 0 ELSE 1 END) AS BIGINT) AS r4
+         |  FROM e)
+         |SELECT 'ts_not_null' AS rule, r1 AS n_violations FROM a
+         |UNION ALL SELECT 'value_nonneg', r2 FROM a
+         |UNION ALL SELECT 'value_le_50', r3 FROM a
+         |UNION ALL SELECT 'etype_allowlist', r4 FROM a""".stripMargin,
     // the streamed funnel must converge to the batch chained-min funnel
     "events_funnel_stream" -> EventQueries.oracleSql("events_funnel"),
     // outer-join emission (matches on arrival + null-padding on state

@@ -24,7 +24,7 @@ class PlanShapeSpec extends AnyFunSuite {
     "taxi_sliding_stream", "taxi_rollup_stream", "taxi_early_stream",
     "taxi_early_fires", "taxi_duration_stream", "taxi_running_stream",
     "taxi_dedup_stream", "events_sessionize_stream",
-    "events_sessionize_dynamic_stream",
+    "events_sessionize_dynamic_stream", "events_expectations_stream",
     "taxi_sliding_file_stream", "taxi_late_drop", "docs_ingest_stream",
     "docs_ingest_file_stream", "docs_ingest_available_now",
     "docs_incremental_stream",
