@@ -190,6 +190,42 @@ object DedupQueries {
       |WHERE len(list_intersect(da.tg, db.tg))::DOUBLE /
       |      len(list_distinct(list_concat(da.tg, db.tg))) >= 0.6""".stripMargin
 
+  /** Shared oracle CTE fragments over a `pairs(doc_a, doc_b)` CTE —
+    * one spelling each, so the closure form, the LPA round count
+    * (lockstepped to [[LpRounds]]), and the plurality tie-break
+    * cannot drift between the oracles that embed them
+    * (`dedup_components`, `dedup_representatives`,
+    * `dedup_label_prop`, `dedup_community_compare`).
+    * [[ccClosureCtes]] ends with `comp(v, component)`; [[lpaCtes]]
+    * ends with `l{LpRounds}(v, lbl)`.
+    */
+  private[queries] val ccClosureCtes: String =
+    s"""cedges AS (SELECT * FROM (
+       |  SELECT doc_a AS ea, doc_b AS eb FROM pairs
+       |  UNION
+       |  SELECT doc_b, doc_a FROM pairs)),
+       |reach AS (
+       |  SELECT doc_id AS v, doc_id AS r FROM documents
+       |  UNION
+       |  SELECT reach.v, e.eb FROM reach JOIN cedges e ON reach.r = e.ea),
+       |comp AS (SELECT v, MIN(r) AS component FROM reach GROUP BY v)""".stripMargin
+
+  private[queries] lazy val lpaCtes: String = {
+    def round(i: Int): String =
+      s"""c$i AS (SELECT v, nlbl, COUNT(*) AS c FROM (
+         |  SELECT e.v, l.lbl AS nlbl FROM ledges e JOIN l${i - 1} l ON e.nbr = l.v
+         |  UNION ALL SELECT v, lbl FROM l${i - 1}) GROUP BY 1, 2),
+         |l$i AS (SELECT v, nlbl AS lbl FROM (
+         |  SELECT v, nlbl, ROW_NUMBER() OVER (PARTITION BY v
+         |    ORDER BY c DESC, nlbl ASC) AS rn FROM c$i) WHERE rn = 1)""".stripMargin
+    (s"""ledges AS (
+        |  SELECT doc_a AS v, doc_b AS nbr FROM pairs
+        |  UNION ALL
+        |  SELECT doc_b, doc_a FROM pairs),
+        |l0 AS (SELECT doc_id AS v, doc_id AS lbl FROM documents)""".stripMargin
+      +: (1 to LpRounds).map(round)).mkString(",\n")
+  }
+
   /** The verified near-dup pair relation: LSH candidates in-bucket,
     * then trigram-Jaccard ≥ 0.6 verification — shared by
     * `dedup_minhash_pairs` (which exports it) and `dedup_components`
@@ -1132,94 +1168,40 @@ object DedupQueries {
     "dedup_components" ->
       s"""WITH RECURSIVE ${minhashPairsCtes("documents")},
          |pairs AS ($minhashPairsSelect),
-         |edges AS (SELECT * FROM (
-         |  SELECT doc_a AS ea, doc_b AS eb FROM pairs
-         |  UNION
-         |  SELECT doc_b, doc_a FROM pairs)),
-         |reach AS (
-         |  SELECT doc_id AS v, doc_id AS r FROM documents
-         |  UNION
-         |  SELECT reach.v, e.eb FROM reach JOIN edges e ON reach.r = e.ea)
-         |SELECT v AS doc_id, MIN(r) AS component,
-         |  CAST(v = MIN(r) AS INT) AS is_canonical
-         |FROM reach GROUP BY v""".stripMargin,
+         |$ccClosureCtes
+         |SELECT v AS doc_id, component,
+         |  CAST(v = component AS INT) AS is_canonical
+         |FROM comp""".stripMargin,
     "dedup_label_prop" ->
-      // two synchronous INCLUSIVE-plurality rounds, mirrored
-      // CTE-per-round (count desc, label asc = the Spark row_number;
-      // the self-vote UNION ALL branch is the inclusive rule)
+      // synchronous INCLUSIVE-plurality rounds, mirrored CTE-per-round
+      // via the shared [[lpaCtes]] (count desc, label asc = the Spark
+      // row_number; the self-vote UNION ALL branch is the inclusive
+      // rule)
       s"""WITH RECURSIVE ${minhashPairsCtes("documents")},
          |pairs AS ($minhashPairsSelect),
-         |edges AS (
-         |  SELECT doc_a AS v, doc_b AS nbr FROM pairs
-         |  UNION ALL
-         |  SELECT doc_b, doc_a FROM pairs),
-         |l0 AS (SELECT doc_id AS v, doc_id AS lbl FROM documents),
-         |c1 AS (SELECT v, nlbl, COUNT(*) AS c FROM (
-         |  SELECT e.v, l.lbl AS nlbl FROM edges e JOIN l0 l ON e.nbr = l.v
-         |  UNION ALL SELECT v, lbl FROM l0) GROUP BY 1, 2),
-         |l1 AS (SELECT v, nlbl AS lbl FROM (
-         |  SELECT v, nlbl, ROW_NUMBER() OVER (PARTITION BY v
-         |    ORDER BY c DESC, nlbl ASC) AS rn FROM c1) WHERE rn = 1),
-         |c2 AS (SELECT v, nlbl, COUNT(*) AS c FROM (
-         |  SELECT e.v, l.lbl AS nlbl FROM edges e JOIN l1 l ON e.nbr = l.v
-         |  UNION ALL SELECT v, lbl FROM l1) GROUP BY 1, 2),
-         |l2 AS (SELECT v, nlbl AS lbl FROM (
-         |  SELECT v, nlbl, ROW_NUMBER() OVER (PARTITION BY v
-         |    ORDER BY c DESC, nlbl ASC) AS rn FROM c2) WHERE rn = 1)
-         |SELECT v AS doc_id, lbl AS community FROM l2""".stripMargin,
+         |$lpaCtes
+         |SELECT v AS doc_id, lbl AS community FROM l$LpRounds""".stripMargin,
     "dedup_community_compare" ->
-      // both clusterings' CTE chains over ONE pairs CTE, joined into
-      // the per-component community-count histogram
+      // both clusterings' shared CTE chains over ONE pairs CTE,
+      // joined into the per-component community-count histogram
       s"""WITH RECURSIVE ${minhashPairsCtes("documents")},
          |pairs AS ($minhashPairsSelect),
-         |cedges AS (SELECT * FROM (
-         |  SELECT doc_a AS ea, doc_b AS eb FROM pairs
-         |  UNION
-         |  SELECT doc_b, doc_a FROM pairs)),
-         |reach AS (
-         |  SELECT doc_id AS v, doc_id AS r FROM documents
-         |  UNION
-         |  SELECT reach.v, e.eb FROM reach JOIN cedges e ON reach.r = e.ea),
-         |comp AS (SELECT v, MIN(r) AS component FROM reach GROUP BY v),
-         |edges AS (
-         |  SELECT doc_a AS v, doc_b AS nbr FROM pairs
-         |  UNION ALL
-         |  SELECT doc_b, doc_a FROM pairs),
-         |l0 AS (SELECT doc_id AS v, doc_id AS lbl FROM documents),
-         |c1 AS (SELECT v, nlbl, COUNT(*) AS c FROM (
-         |  SELECT e.v, l.lbl AS nlbl FROM edges e JOIN l0 l ON e.nbr = l.v
-         |  UNION ALL SELECT v, lbl FROM l0) GROUP BY 1, 2),
-         |l1 AS (SELECT v, nlbl AS lbl FROM (
-         |  SELECT v, nlbl, ROW_NUMBER() OVER (PARTITION BY v
-         |    ORDER BY c DESC, nlbl ASC) AS rn FROM c1) WHERE rn = 1),
-         |c2 AS (SELECT v, nlbl, COUNT(*) AS c FROM (
-         |  SELECT e.v, l.lbl AS nlbl FROM edges e JOIN l1 l ON e.nbr = l.v
-         |  UNION ALL SELECT v, lbl FROM l1) GROUP BY 1, 2),
-         |l2 AS (SELECT v, nlbl AS lbl FROM (
-         |  SELECT v, nlbl, ROW_NUMBER() OVER (PARTITION BY v
-         |    ORDER BY c DESC, nlbl ASC) AS rn FROM c2) WHERE rn = 1)
+         |$ccClosureCtes,
+         |$lpaCtes
          |SELECT n_comms, COUNT(*) AS n_components FROM (
-         |  SELECT comp.component, COUNT(DISTINCT l2.lbl) AS n_comms
-         |  FROM comp JOIN l2 ON comp.v = l2.v
+         |  SELECT comp.component, COUNT(DISTINCT l.lbl) AS n_comms
+         |  FROM comp JOIN l$LpRounds l ON comp.v = l.v
          |  GROUP BY comp.component)
          |GROUP BY n_comms""".stripMargin,
     "dedup_representatives" ->
       s"""WITH RECURSIVE ${minhashPairsCtes("documents")},
          |pairs AS ($minhashPairsSelect),
-         |edges AS (SELECT * FROM (
-         |  SELECT doc_a AS ea, doc_b AS eb FROM pairs
-         |  UNION
-         |  SELECT doc_b, doc_a FROM pairs)),
-         |reach AS (
-         |  SELECT doc_id AS v, doc_id AS r FROM documents
-         |  UNION
-         |  SELECT reach.v, e.eb FROM reach JOIN edges e ON reach.r = e.ea),
-         |comp AS (SELECT v AS doc_id, MIN(r) AS component FROM reach GROUP BY v),
+         |$ccClosureCtes,
          |ranked AS (
-         |  SELECT c.component, c.doc_id, d.n_chars,
+         |  SELECT c.component, c.v AS doc_id, d.n_chars,
          |    ROW_NUMBER() OVER (PARTITION BY c.component
-         |      ORDER BY d.n_chars DESC, c.doc_id) AS rk
-         |  FROM comp c JOIN documents d ON c.doc_id = d.doc_id)
+         |      ORDER BY d.n_chars DESC, c.v) AS rk
+         |  FROM comp c JOIN documents d ON c.v = d.doc_id)
          |SELECT component, COUNT(*) AS n_members,
          |  MAX(CASE WHEN rk = 1 THEN doc_id END) AS rep_id,
          |  MAX(CASE WHEN rk = 1 THEN n_chars END) AS rep_chars

@@ -118,14 +118,16 @@ object StorageQueries {
     // Great-Expectations shape): six rules evaluated in ONE scan
     // (conditional partial-agg sums; uniqueness is the only second
     // exchange, count − countDistinct), emitted as (rule,
-    // n_violations) rows. The fixture mix is deliberate: three rules
-    // hold (not-null, unique, n_chars = length(text) — meaningful
-    // zeros pinning the generator's own consistency), three are
-    // violated by construction (length cap, lang allowlist), so the
-    // oracle checks both the pass AND fail paths of every rule
-    // spelling. NULL handling is the CASE's ELSE branch on both
-    // engines (a NULL lang is a violation, not a skip). At 100 TB:
-    // one scan, six numbers — the gate costs what a count costs.
+    // n_violations) rows. The fixture mix is deliberate: four rules
+    // hold (not-null, unique, n_chars = length(text), non-empty —
+    // meaningful zeros pinning the generator's own consistency) and
+    // two are violated by construction (length cap, lang allowlist),
+    // so the shared conditional-sum spelling is exercised on both its
+    // pass and fail paths (the two violated rules drive the fail
+    // branch; the holding rules' zeros are the pinned pass branch).
+    // NULL handling is the CASE's ELSE branch on both engines (a NULL
+    // lang is a violation, not a skip). At 100 TB: one scan, six
+    // numbers — the gate costs what a count costs.
     "docs_expectations" -> ((s, dir) => {
       val agg = Tables.documents(s, dir).agg(
         sum(when(col("doc_id").isNotNull, 0).otherwise(1)).as("r1"),
