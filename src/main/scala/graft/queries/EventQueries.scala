@@ -937,16 +937,18 @@ object EventQueries {
       s"""SELECT user_id,
          |${EventTypes.map(t => s"  COUNT(*) FILTER (WHERE event_type = '$t') AS \"$t\"").mkString(",\n")}
          |FROM events GROUP BY user_id""".stripMargin,
-    // Gap-based session reconstruction: new session when the gap from
-    // the previous event is ≥ 30 min (session_window intervals are
-    // half-open, so exactly-at-gap starts a new session).
+    // Gap-based session reconstruction: new session only when the gap
+    // from the previous event EXCEEDS 30 min — Spark merges an event
+    // landing exactly at session-end + gap (inclusive boundary,
+    // probed empirically; `DynamicSessionSpec` pins it), so the break
+    // is strict >.
     "events_sessionize" ->
       s"""WITH e AS (
          |  SELECT user_id, epoch_ms(date_trunc('millisecond', ts)) AS t_ms, value
          |  FROM events),
          |marked AS (
          |  SELECT *, CASE WHEN lag(t_ms) OVER w IS NULL
-         |                   OR t_ms - lag(t_ms) OVER w >= $GapMs
+         |                   OR t_ms - lag(t_ms) OVER w > $GapMs
          |                 THEN 1 ELSE 0 END AS new_s
          |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY t_ms)),
          |sess AS (
@@ -958,8 +960,10 @@ object EventQueries {
          |  CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
          |FROM sess GROUP BY user_id, sid""".stripMargin,
     "events_sessionize_dynamic" ->
-      // interval-merge closure: a session breaks where the event's
-      // start clears the running max end (half-open [t, t+gap))
+      // interval-merge closure: a session breaks only where the
+      // event's start STRICTLY exceeds the running max end — Spark
+      // merges at start == end (inclusive boundary, pinned by
+      // DynamicSessionSpec's probe)
       s"""WITH e AS (
          |  SELECT user_id, event_id,
          |    epoch_ms(date_trunc('millisecond', ts)) AS t_ms,
@@ -972,7 +976,7 @@ object EventQueries {
          |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_end
          |  FROM e),
          |b AS (
-         |  SELECT *, CASE WHEN prev_end IS NULL OR t_ms >= prev_end
+         |  SELECT *, CASE WHEN prev_end IS NULL OR t_ms > prev_end
          |                 THEN 1 ELSE 0 END AS brk
          |  FROM o),
          |s AS (
