@@ -148,6 +148,17 @@ case class AsOfJoinExec(
 
 /** User-facing API: resolves key/time columns by name against each
   * side and installs the strategy on the session.
+  *
+  * CONTRACT on right-side duplicates: each left row joins the right
+  * row with the MAXIMUM right time ≤ its time — exactly one output
+  * row per matched left row, and the matched TIME is deterministic.
+  * If several right rows share that maximum (key, time), WHICH of the
+  * tied rows supplies the payload is unspecified (the walk keeps the
+  * last tied row in partition sort order, and the sort is on
+  * (key, time) only) — the same contract as pandas `merge_asof` on
+  * unsorted duplicates. Callers needing tied-payload determinism
+  * pre-aggregate the right side to unique (key, time), as
+  * `events_asof_join` does. Pinned by `AsOfJoinSpec`'s tie property.
   */
 object AsOf {
   def join(

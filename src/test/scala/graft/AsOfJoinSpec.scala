@@ -103,4 +103,39 @@ class AsOfJoinSpec extends AnyFunSuite {
     // first right row; k=2 has no right rows at all
     assert(got == Set((10L, 50L, 1.0)))
   }
+
+  test("random inputs with heavy ties: one row per matched left, deterministic time (ScalaCheck)") {
+    // The AsOf contract under right-side (key, time) duplicates: the
+    // matched TIME is the max right time ≤ t and exactly one output
+    // row per matched left row — even when several right rows tie on
+    // that time (whose payload wins is deliberately unspecified; see
+    // AsOf's scaladoc). Tiny value domains force collisions a fixture
+    // never produces.
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    import spark.implicits._
+    val genLeft = for {
+      k <- Gen.choose(1L, 3L); t <- Gen.choose(0L, 20L)
+    } yield (k, t)
+    val genRight = for {
+      k <- Gen.choose(1L, 3L); t <- Gen.choose(0L, 20L); v <- Gen.choose(0, 9)
+    } yield (k, t, v)
+    val prop = Prop.forAll(
+      Gen.listOfN(25, genLeft), Gen.listOfN(25, genRight)) { (ls, rs) =>
+      val l = ls.zipWithIndex.map { case ((k, t), i) => (k, t, i.toLong) }
+        .toDF("k", "t", "id")
+      val r = rs.toDF("rk", "rt", "v")
+      val got = AsOf.join(l, r, "k", "rk", "t", "rt")
+        .select("id", "k", "t", "rt")
+        .collect().map(x => (x.getLong(0), x.getLong(1), x.getLong(2), x.getLong(3)))
+      val expected = ls.zipWithIndex.flatMap { case ((k, t), i) =>
+        val times = rs.collect { case (rk, rt, _) if rk == k && rt <= t => rt }
+        if (times.isEmpty) None else Some((i.toLong, k, t, times.max))
+      }.toSet
+      got.map(_._1).distinct.length == got.length && // one row per left
+        got.toSet == expected // matched time = max right time ≤ t
+    }
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(10), prop)
+    assert(res.passed, res.status.toString)
+  }
 }
