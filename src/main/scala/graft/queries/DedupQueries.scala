@@ -18,6 +18,7 @@ object DedupQueries {
   private val Dim = 64 // embedding dimensionality of the driver tables
   private val EmbBands = 4 // hyperplane-LSH bands for embedding dedup
   private val EmbBandBits = 8 // independent sign bits per band (32-bit bucket)
+  val LpRounds = 2 // synchronous label-propagation rounds (see labelPropagation)
 
   /** dedup_ngram_jaccard's similarity threshold t. The prefix length
     * (sz − ⌈t·sz⌉ + 1) and the size-ratio conjunct
@@ -476,7 +477,6 @@ object DedupQueries {
     * localCheckpointed and freed like CC's, so lineage never grows
     * with rounds.
     */
-  val LpRounds = 2
   def labelPropagation(
       s: SparkSession, pairs: DataFrame, nodes: DataFrame): DataFrame = {
     val p = pairs.localCheckpoint()
