@@ -17,6 +17,24 @@ object Tables {
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame =
     spark.read.parquet(s"$sfDir/$name.parquet")
 
+  /** Child session that STARTS FROM the parent's runtime conf (a bare
+    * `newSession()` resets to the SparkContext's initial conf,
+    * silently dropping anything the caller — or a spec — set at
+    * runtime, e.g. AQE toggles). Used to scope plan-affecting flags
+    * to one query without mutating the shared session: the flag must
+    * outlive the builder (plans resolve lazily at execution), so a
+    * save/restore can't do this, but a session the returned frame is
+    * bound to can. Static confs can't be re-set and are skipped.
+    */
+  def scopedSession(parent: SparkSession): SparkSession = {
+    val s = parent.newSession()
+    parent.conf.getAll.foreach { case (k, v) =>
+      try s.conf.set(k, v)
+      catch { case scala.util.control.NonFatal(_) => () }
+    }
+    s
+  }
+
   def lineitem(spark: SparkSession, sfDir: String): DataFrame = load(spark, sfDir, "lineitem")
   def orders(spark: SparkSession, sfDir: String): DataFrame = load(spark, sfDir, "orders")
   def customer(spark: SparkSession, sfDir: String): DataFrame = load(spark, sfDir, "customer")

@@ -121,12 +121,17 @@ object DedupQueries {
     * keeps the SMJ the demonstration target at fixture scale (the
     * delta side would otherwise auto-broadcast).
     */
-  private[graft] def bucketedBandProbe(s: SparkSession, dir: String): DataFrame = {
+  private[graft] def bucketedBandProbe(spark: SparkSession, dir: String): DataFrame = {
     // Since Spark 3.0 the scan ignores write-side sortBy ordering
     // unless this flag is on (SPARK-28632) — and WITH it, ordering is
     // reported only for buckets holding exactly one file, which the
     // repartition-before-write below guarantees. Without it the probe
-    // pays a redundant read-side sort of already-sorted buckets.
+    // pays a redundant read-side sort of already-sorted buckets. The
+    // legacy flag is plan-affecting, so it is scoped to a child
+    // session (shared catalog, isolated conf, parent runtime conf
+    // copied — see Tables.scopedSession) instead of mutated on the
+    // caller's session.
+    val s = Tables.scopedSession(spark)
     s.conf.set("spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
     val docs = Tables.documents(s, dir).withColumn("h", TextQueries.splitHash)
     minhashBands(docs.filter(col("h") < 90))

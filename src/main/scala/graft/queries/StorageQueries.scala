@@ -304,13 +304,18 @@ object StorageQueries {
     // would otherwise auto-broadcast. Revenue uses the dsum policy
     // (sum in DECIMAL(18,4), compare as double) — order-independent,
     // hash-stable.
-    "lineitem_bucketed_join" -> ((s, dir) => {
+    "lineitem_bucketed_join" -> ((parent, dir) => {
       // SPARK-28632: write-side sortBy ordering is only trusted at
       // read with this flag (and only for one-file-per-bucket, which
       // the repartition-before-write guarantees) — without it the SMJ
       // re-sorts already-sorted buckets. Discovered r11: the original
       // zero-sort assertion ran pre-EnsureRequirements and was
-      // vacuous; BucketedJoinSpec now pins the EXECUTED plan.
+      // vacuous; BucketedJoinSpec now pins the EXECUTED plan. Scoped
+      // to a child session (shared catalog, isolated conf, parent
+      // runtime conf copied — see Tables.scopedSession) so the
+      // plan-affecting legacy flag never leaks to later queries on
+      // the caller's session.
+      val s = Tables.scopedSession(parent)
       s.conf.set("spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
       Tables.lineitem(s, dir)
         .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount"))

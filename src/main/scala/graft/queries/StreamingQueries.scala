@@ -134,16 +134,19 @@ object StreamingQueries {
     */
   private val rideChunkCache =
     scala.collection.concurrent.TrieMap.empty[(String, Long, Boolean, Int), String]
+  // ONE shutdown hook for the whole cache, registered eagerly at
+  // class-init: per-entry hooks would accumulate per cache key, and
+  // addShutdownHook throws IllegalStateException on a cache miss that
+  // races an already-started shutdown. The hook iterates whatever the
+  // cache holds at exit.
+  Runtime.getRuntime.addShutdownHook(new Thread(() =>
+    rideChunkCache.values.foreach(TempDir.deleteRecursively)))
   private def ridesChunkDir(
       ss: SparkSession, sfDir: String,
       maxDelayMs: Long, sentinel: Boolean, nChunks: Int): String =
-    rideChunkCache.getOrElseUpdate((sfDir, maxDelayMs, sentinel, nChunks), {
-      val dir = writeRideChunks(
-        orderedRides(ss, sfDir, maxDelayMs, sentinel), nChunks, sentinel)
-      Runtime.getRuntime.addShutdownHook(
-        new Thread(() => TempDir.deleteRecursively(dir)))
-      dir
-    })
+    rideChunkCache.getOrElseUpdate((sfDir, maxDelayMs, sentinel, nChunks),
+      writeRideChunks(
+        orderedRides(ss, sfDir, maxDelayMs, sentinel), nChunks, sentinel))
 
   /** Shared Append-mode replay scaffold: serving-ordered ride chunks
     * ([[ridesChunkDir]] for default feeds, an entry-owned dir for
@@ -169,9 +172,15 @@ object StreamingQueries {
       nBatches: Int = 4,
       sentinel: Boolean = true,
       maxDelayMs: Long = MaxDelayMs,
-      mutate: Option[Seq[RideEvent] => Seq[RideEvent]] = None)(
+      mutate: Option[Seq[RideEvent] => Seq[RideEvent]] = None,
+      rocksdb: Boolean = false)(
       build: DataFrame => DataFrame): DataFrame = {
     val ss = streamSession(spark)
+    // transformWithState pipelines require the RocksDB provider
+    // (Spark rejects HDFS-backed at query start) — per-entry opt-in,
+    // scoped to this replay's isolated session
+    if (rocksdb) ss.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
     // mutated feeds are entry-specific (not cacheable); default feeds
     // share the JVM-wide fixture
     val (df, ownedDir) = mutate match {
@@ -288,6 +297,17 @@ object StreamingQueries {
       .filter(p => p.getFileName.toString.matches("^b\\d+$"))
       .map(_.toString).toVector.sorted
     finally s.close()
+  }
+
+  /** Union partner for the per-batch manifest dirs: reading zero
+    * parquet paths cannot infer a schema and throws, so a stream that
+    * produced zero micro-batches (empty delta feed) falls back to an
+    * empty frame with the index side's schema instead.
+    */
+  private def readBatchesOrEmpty(
+      ss: SparkSession, root: String, like: DataFrame): DataFrame = {
+    val dirs = batchDirs(root)
+    if (dirs.isEmpty) like.limit(0) else ss.read.parquet(dirs: _*)
   }
 
   /** Typed cell-event stream shared by the stateful pipelines. */
@@ -1136,7 +1156,7 @@ object StreamingQueries {
       val idxManifest = docs.filter(col("h") < 90)
         .select(col("doc_id"), lit("index").as("origin"),
           TextFunctions.tokenCount(col("text")).as("n_tokens"))
-      idxManifest.union(ss.read.parquet(batchDirs(outDir.toString): _*))
+      idxManifest.union(readBatchesOrEmpty(ss, outDir.toString, idxManifest))
         .localCheckpoint()
     } finally {
       q.stop()
@@ -1276,11 +1296,17 @@ object StreamingQueries {
       .start()
     try {
       val expected = (0L until RateCap).count(v => (v % 150) % 7 != 0)
+      // Each probe is a full Spark job over the memory sink, so poll
+      // at 250 ms (not a hot loop) and reuse the last observed count
+      // for the post-condition instead of re-counting twice more.
       val deadline = System.currentTimeMillis() + 120000
-      while (ss.table(name).count() < expected &&
-        System.currentTimeMillis() < deadline) Thread.sleep(50)
-      require(ss.table(name).count() >= expected,
-        s"rate ingest did not reach $expected rows within 120 s")
+      var seen = ss.table(name).count()
+      while (seen < expected && System.currentTimeMillis() < deadline) {
+        Thread.sleep(250)
+        seen = ss.table(name).count()
+      }
+      require(seen >= expected,
+        s"rate ingest did not reach $expected rows within 120 s (saw $seen)")
       ss.table(name).localCheckpoint()
     } finally {
       q.stop()
@@ -1341,7 +1367,7 @@ object StreamingQueries {
         .select(col("vec_id"), posexplode(col("codes")))
         .select(col("vec_id"), col("pos").cast("int").as("s"),
           col("col").as("code"), lit("index").as("origin"))
-      idxCodes.union(ss.read.parquet(batchDirs(outDir.toString): _*))
+      idxCodes.union(readBatchesOrEmpty(ss, outDir.toString, idxCodes))
         .localCheckpoint()
     } finally {
       q.stop()

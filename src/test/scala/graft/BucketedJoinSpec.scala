@@ -48,10 +48,14 @@ class BucketedJoinSpec extends AnyFunSuite {
     import org.apache.spark.sql.execution.SortExec
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
     import org.apache.spark.sql.execution.joins.SortMergeJoinExec
-    val cand = graft.queries.DedupQueries
-      .bucketedBandProbe(spark, "/root/testdata/sf0.001")
+    // AQE off BEFORE the builder runs: the probe scopes its legacy
+    // ordering flag via a child session that snapshots the parent's
+    // runtime conf at build time (Tables.scopedSession), so a later
+    // conf.set on the parent would no longer reach the frame's plan.
     val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
     spark.conf.set("spark.sql.adaptive.enabled", "false")
+    val cand = graft.queries.DedupQueries
+      .bucketedBandProbe(spark, "/root/testdata/sf0.001")
     try {
       // executedPlan (EnsureRequirements applied): exchanges and
       // sorts are real here, so absence is a statement, not a vacuity
