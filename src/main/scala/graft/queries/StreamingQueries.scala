@@ -773,6 +773,35 @@ object StreamingQueries {
         col("cnt").as("early_cnt"))
   }
 
+  /** O11's early-fire pane machine on the NEW arbitrary-state API
+    * ([[graft.streaming.EarlyTriggerProcessor]]): MapState panes +
+    * event-time timers replacing the legacy fMGWS state machine, same
+    * ordered replay, same projection, same recursive-CTE oracle as
+    * `taxi_early_fires` — the complete early-fire sequence, not just
+    * finals, pinned on the migration-target API. RocksDB provider
+    * per-session (the API requires it).
+    */
+  def earlyTwsStream(spark: SparkSession, sfDir: String, threshold: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    appendReplay(spark, sfDir, "earlytws_", maxDelayMs = 0L, rocksdb = true) { df =>
+      import df.sparkSession.implicits._
+      cellsOf(df)
+        .groupByKey(_.cell)
+        .transformWithState(new graft.streaming.EarlyTriggerProcessor(threshold),
+          org.apache.spark.sql.streaming.TimeMode.EventTime(),
+          org.apache.spark.sql.streaming.OutputMode.Append())
+        .toDF()
+    }
+      .filter(!col("isFinal"))
+      .select(col("cell"), col("wEndMs").as("w_end_ms"),
+        // cnt-order = emission order: per-pane early fire sums are
+        // strictly increasing (see earlyFiresStream)
+        row_number().over(
+          Window.partitionBy(col("cell"), col("wEndMs")).orderBy(col("cnt")))
+          .cast("long").as("seq"),
+        col("cnt").as("early_cnt"))
+  }
+
   /** O9 faithful per-event emission: the event-time-ordered running
     * fold — one output row per input event, deterministic under
     * out-of-order replay (see TaxiPipelines.runningCountPerEvent).
@@ -1584,6 +1613,7 @@ object StreamingQueries {
     // fire and the entry would pin nothing. 3 yields multi-fire
     // sequences (FIRE, FIRE, ... final) on real panes at every SF.
     "taxi_early_fires" -> ((s, d) => earlyFiresStream(s, d, threshold = 3)),
+    "taxi_early_tws" -> ((s, d) => earlyTwsStream(s, d, threshold = 3)),
     "taxi_duration_stream" -> (durationStream _),
     "taxi_running_stream" -> (runningStream _)
   )
@@ -1724,6 +1754,7 @@ object StreamingQueries {
         |  AND purchase_ms <= click_ms + 3600000""".stripMargin,
     "taxi_early_stream" -> TaxiQueries.slidingNoCentersSql,
     "taxi_early_fires" -> TaxiQueries.earlyFiresSql(3),
+    "taxi_early_tws" -> TaxiQueries.earlyFiresSql(3),
     "taxi_duration_stream" -> TaxiQueries.rideDurationSql,
     "taxi_running_stream" -> TaxiQueries.oracleSql("taxi_running_count")
   )
