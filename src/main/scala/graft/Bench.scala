@@ -9,7 +9,21 @@ object Bench {
   private def materialize(df: DataFrame): Unit = {
     val _ = df.agg(max(xxhash64(struct(df.columns.map(col): _*)))).collect()
   }
+  /** First three /proc/loadavg fields (1/5/15-min run-queue averages)
+    * — the co-tenant-contention evidence stamped into the artifact so
+    * a loaded measurement window is visible IN the numbers it
+    * produced instead of being reconstructed at judging (r11's
+    * official artifact inflated four entries 2–7× in a window whose
+    * load was unrecorded).
+    */
+  private def loadAvg(): String =
+    try java.nio.file.Files.readString(java.nio.file.Paths.get("/proc/loadavg"))
+      .split(' ').take(3).mkString(" ")
+    catch { case _: Throwable => "unavailable" }
+
   def main(args: Array[String]): Unit = {
+    val tJvm = System.nanoTime()
+    val loadBefore = loadAvg()
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
@@ -125,8 +139,15 @@ object Bench {
         try materialize(fn(spark, sfDir)) catch { case _: Throwable => () }
         name -> (System.nanoTime() - t0) / 1e9
       }
+    val setupSec = (System.nanoTime() - tJvm) / 1e9
+    val t1 = System.nanoTime()
     val pass1 = runPass()
+    val wall1 = (System.nanoTime() - t1) / 1e9
+    val loadMid = loadAvg()
+    val t2 = System.nanoTime()
     val pass2 = runPass()
+    val wall2 = (System.nanoTime() - t2) / 1e9
+    val loadAfter = loadAvg()
     val best = pass1.map { case (k, v) => k -> math.min(v, pass2.getOrElse(k, v)) }
     def fmt(m: Map[String, Double]): String =
       m.map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
@@ -138,12 +159,18 @@ object Bench {
       case Some(names) => s""","filtered":true,"filter":"${names.toSeq.sorted.mkString(",")}""""
       case None        => ""
     }
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":${fmt(best)},"raw_pass1":${fmt(pass1)},"raw_pass2":${fmt(pass2)},"policy":"best-of-2 per query, single JVM"$filterStamp,"sf":"$sfDir"}""")
+    // Load/wall evidence: loadavg at three points plus per-pass wall
+    // clocks and JVM setup time. A calm window reads ~n_cpus loadavg
+    // and wall≈sum(per-query); a contended one is self-evident — the
+    // claim-blocking gate is tools/bench_diff.py vs the local series
+    // (round-close checklist in SCALE.md).
+    val loadStamp = s""","load_before":"$loadBefore","load_mid":"$loadMid","load_after":"$loadAfter","wall_pass1":$wall1,"wall_pass2":$wall2,"setup_sec":$setupSec,"n_cpus":${Runtime.getRuntime.availableProcessors()}"""
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":${fmt(best)},"raw_pass1":${fmt(pass1)},"raw_pass2":${fmt(pass2)},"policy":"best-of-2 per query, single JVM"$filterStamp$loadStamp,"sf":"$sfDir"}""")
     // Compact trailing line: the full line above grew past the driver's
     // 2000-char tail capture (r8's artifact lost its own total), so the
     // headline number must also land in a line short enough to always
     // survive the tail window. Printed LAST on purpose.
-    println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${best.size},"policy":"best-of-2 per query, single JVM"$filterStamp,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${best.size},"policy":"best-of-2 per query, single JVM"$filterStamp$loadStamp,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
