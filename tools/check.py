@@ -18,7 +18,7 @@ lint (no Verify outputs needed beyond oracle_sql.json, which
 
     python3 tools/check.py <sf_dir> <out_dir> --lint-only
 """
-import sys, os, json, glob
+import sys, os, json, glob, re
 import duckdb, pandas as pd
 
 # flags may appear anywhere; strip them before reading positionals
@@ -35,9 +35,89 @@ for t in ["region","nation","customer","supplier","part","orders","lineitem","ev
 BAD_TYPES = ("HUGEINT", "UHUGEINT", "INT128", "UINT128")
 
 def lint(name, sql):
-    """DESCRIBE-bind the oracle; return list of (col, type) offenders."""
+    """DESCRIBE-bind the oracle; return list of (col, type, reason) offenders.
+
+    Two type classes are banned from an oracle's FINAL projection:
+    - HUGEINT/UHUGEINT: cannot round-trip the driver's hash against a
+      Spark BIGINT (the round-10 lesson) -> CAST(... AS BIGINT).
+    - DECIMAL: its precision/scale comes from DuckDB's literal- and
+      arithmetic-inference rules, which are DuckDB-VERSION-SENSITIVE
+      (v1.0.0 infers 0.1 + 0.2 as DECIMAL(3,1)); a driver upgrade can
+      silently change the scale and flip value hashes. House rule: a
+      double aggregate goes through DECIMAL(18,4) *inside* the query
+      (dsum) but the final projection casts to DOUBLE on both sides.
+    """
     desc = con.execute(f"DESCRIBE ({sql})").fetchall()
-    return [(c, ty) for c, ty, *_ in desc if any(b in ty.upper() for b in BAD_TYPES)]
+    out = [(c, ty, "wide-int; CAST(... AS BIGINT)") for c, ty, *_ in desc
+           if any(b in ty.upper() for b in BAD_TYPES)]
+    out += [(c, ty, "decimal scale is dialect-inferred; cast the final column to DOUBLE")
+            for c, ty, *_ in desc if "DECIMAL" in ty.upper()]
+    return out
+
+# Oracle-SQL constructs whose *behavior* (not type) changed or is broken
+# across DuckDB versions; each was worked around individually and the
+# avoidance is enforced textually so it can't silently creep back in.
+TEXT_LINTS = [
+    # v1.0.0 list_reduce corrupts STRUCT accumulators carrying
+    # list/string fields across rows (EventQueries.scala:1111-1120:
+    # a 4-element fold keeps only the last id; kept ids leak BETWEEN
+    # users at other SFs). House rule: fold scalars, or ride a
+    # recursive CTE (the events_debounce / taxi_early_fires pattern).
+    ("list_reduce-struct-accumulator",
+     re.compile(r"list_reduce[^;]{0,400}?(struct_pack|->\s*\{)", re.S | re.I)),
+]
+
+# Dialect contract the oracles assume, pinned as seeded probes: each
+# (name, sql, expected) runs at lint time, so the DuckDB version doing
+# the judging PROVES it still implements the semantics the oracle SQL
+# was written against — a driver-side DuckDB upgrade that changes any
+# of these fails the lint loudly instead of flipping value hashes
+# silently. Expectations recorded against v1.0.0 (FIXTURES.md table E).
+DIALECT_PROBES = [
+    ("round half-away-from-zero on DOUBLE",
+     "SELECT round(2.5::DOUBLE, 0), round(3.5::DOUBLE, 0), round(-2.5::DOUBLE, 0)",
+     (3.0, 4.0, -3.0)),
+    ("round half-away-from-zero on DECIMAL",
+     "SELECT round(2.5::DECIMAL(3,1), 0)::DOUBLE, round(0.125::DECIMAL(9,3), 2)::DOUBLE",
+     (3.0, 0.13)),
+    ("integer / is true division; // is integer division truncating toward zero (matches Spark div)",
+     "SELECT typeof(1/2), 1/2, 1//2, typeof(1::BIGINT // 2), (-3)::BIGINT // 2",
+     ("DOUBLE", 0.5, 0, "BIGINT", -1)),
+    ("decimal-literal arithmetic keeps max-operand scale (v1.0.0 inference)",
+     "SELECT typeof(0.1 + 0.2), (0.1 + 0.2) = 0.3",
+     ("DECIMAL(3,1)", True)),
+    ("list_reduce is init-first, index-ascending",
+     "SELECT list_reduce([1, 2, 3], (s, x) -> s * 10 + x)",
+     (123,)),
+    ("list_reduce widens to DOUBLE through a DOUBLE init",
+     "SELECT typeof(list_reduce(list_prepend(0.0::DOUBLE, [1.0, 2.0]), (s, x) -> s + 0.25 * (x - s))),"
+     " list_reduce(list_prepend(0.0::DOUBLE, [1.0, 2.0]), (s, x) -> s + 0.25 * (x - s))",
+     ("DOUBLE", 0.6875)),
+    ("epoch_ms(TIMESTAMP) is BIGINT milliseconds",
+     "SELECT epoch_ms(TIMESTAMP '2024-01-01 00:00:00.123'), typeof(epoch_ms(TIMESTAMP '2024-01-01 00:00:00.123'))",
+     (1704067200123, "BIGINT")),
+    ("SUM(BIGINT) is HUGEINT (the reason the BIGINT-cast rule exists)",
+     "SELECT typeof(sum(x)) FROM (SELECT 1::BIGINT AS x)",
+     ("HUGEINT",)),
+]
+
+def run_probes():
+    n_bad = 0
+    for pname, sql, want in DIALECT_PROBES:
+        try:
+            got = con.execute(sql).fetchone()
+        except Exception as e:
+            print(f"LINT-FAIL dialect probe [{pname}]: errored: {e}")
+            n_bad += 1
+            continue
+        if tuple(got) != tuple(want):
+            print(f"LINT-FAIL dialect probe [{pname}]: got {got}, oracle SQL assumes {want}"
+                  " — this DuckDB diverges from the dialect contract (FIXTURES.md table E)")
+            n_bad += 1
+    if n_bad == 0:
+        print(f"LINT OK: {len(DIALECT_PROBES)} dialect probes match the pinned contract "
+              f"(duckdb {duckdb.__version__})")
+    return n_bad
 
 def canon(df):
     df = df.reindex(sorted(df.columns), axis=1)
@@ -70,18 +150,22 @@ def raw_dtypes(df):
         else: fams[c] = str(d.dtype)
     return fams
 
-# ---- oracle type lint (always runs; the only thing --lint-only runs) ----
-n_lint = 0
+# ---- oracle lint (always runs; the only thing --lint-only runs) ----
+n_lint = run_probes()
 for name in sorted(oracle):
     try:
         bad = lint(name, oracle[name])
     except Exception as e:
         print(f"LINT-ERR {name}: {e}"); n_lint += 1; continue
-    if bad:
-        print(f"LINT-FAIL {name}: wide-int oracle columns {bad} — wrap in CAST(... AS BIGINT)")
+    for col, ty, why in bad:
+        print(f"LINT-FAIL {name}: column ({col}, {ty}) — {why}")
         n_lint += 1
+    for lname, rx in TEXT_LINTS:
+        if rx.search(oracle[name]):
+            print(f"LINT-FAIL {name}: oracle SQL matches banned construct [{lname}]")
+            n_lint += 1
 if n_lint == 0:
-    print(f"LINT OK: {len(oracle)} oracles, no HUGEINT/UHUGEINT result columns")
+    print(f"LINT OK: {len(oracle)} oracles — no wide-int/DECIMAL finals, no banned constructs")
 if lint_only:
     sys.exit(1 if n_lint else 0)
 
