@@ -56,7 +56,7 @@ object StreamingQueries {
   private[graft] def streamSession(spark: SparkSession): SparkSession = {
     val ss = spark.newSession()
     ss.conf.set("spark.sql.shuffle.partitions",
-      sys.env.getOrElse("SPARK_GRAFT_STREAM_PARTITIONS", "4"))
+      sys.env.getOrElse("SPARK_GRAFT_STREAM_PARTITIONS", "2"))
     // State-store provider for the replay sessions. Default stays
     // HDFSBackedStateStoreProvider: the r9 A/B probe (ProbeStateStore,
     // results in SCALE.md "State-store provider") measured RocksDB +
@@ -84,6 +84,26 @@ object StreamingQueries {
     // applies the final watermark exactly once.
     ss.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
     ss
+  }
+
+  /** Forced-RocksDB sessions (transformWithState entries — Spark
+    * rejects the HDFS-backed provider at query start). Changelog
+    * checkpointing is an env A/B knob: ON writes a per-batch delta
+    * instead of uploading a full RocksDB snapshot per batch; the r9
+    * probe measured full snapshots FASTER at replay state scale
+    * (SCALE.md "State-store provider"), re-measured per round.
+    */
+  private def forceRocksdb(ss: SparkSession): Unit = {
+    ss.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    if (sys.env.get("SPARK_GRAFT_ROCKSDB_CHANGELOG").contains("true"))
+      ss.conf.set(
+        "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled",
+        "true")
+    if (sys.env.get("SPARK_GRAFT_ROCKSDB_NOTRACK").contains("true"))
+      ss.conf.set(
+        "spark.sql.streaming.stateStore.rocksdb.trackTotalNumberOfRows",
+        "false")
   }
 
   /** Serving-ordered ride feed (± sentinel), with the zero-weight
@@ -169,7 +189,7 @@ object StreamingQueries {
       spark: SparkSession,
       sfDir: String,
       prefix: String,
-      nBatches: Int = 4,
+      nBatches: Int = 3,
       sentinel: Boolean = true,
       maxDelayMs: Long = MaxDelayMs,
       mutate: Option[Seq[RideEvent] => Seq[RideEvent]] = None,
@@ -179,8 +199,7 @@ object StreamingQueries {
     // transformWithState pipelines require the RocksDB provider
     // (Spark rejects HDFS-backed at query start) — per-entry opt-in,
     // scoped to this replay's isolated session
-    if (rocksdb) ss.conf.set("spark.sql.streaming.stateStore.providerClass",
-      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    if (rocksdb) forceRocksdb(ss)
     // mutated feeds are entry-specific (not cacheable); default feeds
     // share the JVM-wide fixture
     val (df, ownedDir) = mutate match {
@@ -326,7 +345,7 @@ object StreamingQueries {
   def totalStream(spark: SparkSession, sfDir: String): DataFrame = {
     val ss = streamSession(spark)
     val df = TaxiReplay.openJsonlStream(ss,
-      ridesChunkDir(ss, sfDir, MaxDelayMs, sentinel = false, nChunks = 4))
+      ridesChunkDir(ss, sfDir, MaxDelayMs, sentinel = false, nChunks = 3))
     val sink = new KeyedUpsertSink(Seq("cell"))
     val ckpt = TempDir.create("graft-ckpt-")
     val q = TaxiPipelines.totalArrivalCount(df)
@@ -362,10 +381,9 @@ object StreamingQueries {
     */
   def totalTwsStream(spark: SparkSession, sfDir: String): DataFrame = {
     val ss = streamSession(spark)
-    ss.conf.set("spark.sql.streaming.stateStore.providerClass",
-      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    forceRocksdb(ss)
     val df = TaxiReplay.openJsonlStream(ss,
-      ridesChunkDir(ss, sfDir, MaxDelayMs, sentinel = false, nChunks = 4))
+      ridesChunkDir(ss, sfDir, MaxDelayMs, sentinel = false, nChunks = 3))
     val sink = new KeyedUpsertSink(Seq("cell"))
     val ckpt = TempDir.create("graft-ckpt-")
     val q = TwsTotalCount.totalCountTws(cellsOf(df)).toDF()
@@ -400,14 +418,13 @@ object StreamingQueries {
     */
   def debounceStream(spark: SparkSession, sfDir: String): DataFrame = {
     val ss = streamSession(spark)
-    ss.conf.set("spark.sql.streaming.stateStore.providerClass",
-      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    forceRocksdb(ss)
     import ss.implicits._
     val evs = eventRows(ss, sfDir)
     val sentinel = evSentinel(evs, gapMs = 7200000L)
     // flush chunk: apply the sentinel-advanced watermark and fire the
     // tail timers (no-data micro-batches are disabled)
-    eventsFileReplay(ss, evs :+ sentinel, "deb_", nChunks = 4,
+    eventsFileReplay(ss, evs :+ sentinel, "deb_", nChunks = 3,
       flush = Seq(sentinel)) { stream =>
       stream
         .withWatermark("ts", "60 seconds")
@@ -433,8 +450,7 @@ object StreamingQueries {
     */
   def totalBootstrapStream(spark: SparkSession, sfDir: String): DataFrame = {
     val ss = streamSession(spark)
-    ss.conf.set("spark.sql.streaming.stateStore.providerClass",
-      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    forceRocksdb(ss)
     import ss.implicits._
     val rides = TaxiReplay.ridesFromEvents(ss, sfDir).collect().toSeq
     val ordered = TaxiReplay.servingOrder(rides, MaxDelayMs)
@@ -493,7 +509,7 @@ object StreamingQueries {
   def expectationsStream(spark: SparkSession, sfDir: String): DataFrame = {
     val ss = streamSession(spark)
     val evs = eventRows(ss, sfDir)
-    val (stream, chunkDir) = EventsReplay.fileStream(ss, evs, nChunks = 4)
+    val (stream, chunkDir) = EventsReplay.fileStream(ss, evs, nChunks = 3)
     val sink = new KeyedUpsertSink(Seq("rule"))
     val ckpt = TempDir.create("graft-ckpt-")
     val q = stream
@@ -533,8 +549,7 @@ object StreamingQueries {
     */
   def typeCountsStream(spark: SparkSession, sfDir: String): DataFrame = {
     val ss = streamSession(spark)
-    ss.conf.set("spark.sql.streaming.stateStore.providerClass",
-      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    forceRocksdb(ss)
     import ss.implicits._
     val evs = eventRows(ss, sfDir)
     val (stream, chunkDir) = EventsReplay.fileStream(ss, evs, nChunks = 3)
@@ -577,7 +592,7 @@ object StreamingQueries {
   def totalCompleteStream(spark: SparkSession, sfDir: String): DataFrame = {
     val ss = streamSession(spark)
     val df = TaxiReplay.openJsonlStream(ss,
-      ridesChunkDir(ss, sfDir, MaxDelayMs, sentinel = false, nChunks = 4))
+      ridesChunkDir(ss, sfDir, MaxDelayMs, sentinel = false, nChunks = 3))
     val name = "complete_" + UUID.randomUUID().toString.replace("-", "")
     val ckpt = TempDir.create("graft-ckpt-")
     val q = TaxiPipelines.totalArrivalCount(df)
@@ -843,7 +858,7 @@ object StreamingQueries {
     val ss = streamSession(spark)
     val evs = eventRows(ss, sfDir)
     val sentinel = evSentinel(evs, gapMs = 7200000L)
-    eventsFileReplay(ss, evs :+ sentinel, "sess_", nChunks = 4,
+    eventsFileReplay(ss, evs :+ sentinel, "sess_", nChunks = 3,
       flush = Seq(sentinel)) { stream =>
       stream
         .withWatermark("ts", "60 seconds")
@@ -870,7 +885,7 @@ object StreamingQueries {
     val ss = streamSession(spark)
     val evs = eventRows(ss, sfDir)
     val sentinel = evSentinel(evs, gapMs = 7200000L)
-    eventsFileReplay(ss, evs :+ sentinel, "sessd_", nChunks = 4,
+    eventsFileReplay(ss, evs :+ sentinel, "sessd_", nChunks = 3,
       flush = Seq(sentinel)) { stream =>
       stream
         .withWatermark("ts", "60 seconds")
@@ -891,7 +906,7 @@ object StreamingQueries {
     * single final row per user on the finality bound). Batch twin and
     * oracle: `events_funnel`. The replay feeds only the three funnel
     * event types (the filter the scan would push at scale), sorted,
-    * across 4 gz JSONL chunk files ([[eventsFileReplay]]); a
+    * across 3 gz JSONL chunk files ([[eventsFileReplay]]); a
     * far-future sentinel (user −1, filtered) advances the watermark
     * past every finality bound so all users flush.
     */
@@ -900,7 +915,7 @@ object StreamingQueries {
     import ss.implicits._
     val evs = eventRows(ss, sfDir, types = Seq("view", "click", "purchase"))
     val sentinel = evSentinel(evs, gapMs = 2 * Funnel.WindowMs + 3600000L)
-    eventsFileReplay(ss, evs :+ sentinel, "funnel_", nChunks = 4,
+    eventsFileReplay(ss, evs :+ sentinel, "funnel_", nChunks = 3,
       flush = Seq(sentinel)) { stream =>
       Funnel.funnelResults(
         stream
@@ -1208,7 +1223,7 @@ object StreamingQueries {
   def trendingStream(spark: SparkSession, sfDir: String): DataFrame = {
     val ss = streamSession(spark)
     val evs = eventRows(ss, sfDir)
-    val (stream, chunkDir) = EventsReplay.fileStream(ss, evs, nChunks = 4)
+    val (stream, chunkDir) = EventsReplay.fileStream(ss, evs, nChunks = 3)
     val sink = new KeyedUpsertSink(Seq("w_start_ms", "event_type"))
     val ckpt = TempDir.create("graft-ckpt-")
     val counts = stream
@@ -1264,7 +1279,7 @@ object StreamingQueries {
     val sentinel = evSentinel(evs, gapMs = 172800000L)
     val dim = graft.Tables.customer(ss, sfDir)
       .select(col("c_custkey").as("d_user"), col("c_mktsegment").as("segment"))
-    eventsFileReplay(ss, evs :+ sentinel, "enrich_", nChunks = 4,
+    eventsFileReplay(ss, evs :+ sentinel, "enrich_", nChunks = 3,
       flush = Seq(sentinel)) { stream =>
       stream
         .withWatermark("ts", "60 seconds")
@@ -1458,7 +1473,7 @@ object StreamingQueries {
     val fed = pairs.zipWithIndex.map { case ((a, b), i) =>
       EventsReplay.Ev(a, b, i.toLong, "pair", 0.0)
     }
-    val (stream, chunkDir) = EventsReplay.fileStream(ss, fed, nChunks = 4)
+    val (stream, chunkDir) = EventsReplay.fileStream(ss, fed, nChunks = 3)
     val ckpt = TempDir.create("graft-ckpt-")
     val q = stream.writeStream.outputMode("append")
       .option("checkpointLocation", ckpt.toString)

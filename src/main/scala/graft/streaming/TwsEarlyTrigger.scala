@@ -1,7 +1,7 @@
 package graft.streaming
 
 import org.apache.spark.sql.Encoders
-import org.apache.spark.sql.streaming.{ExpiredTimerInfo, MapState, OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues}
+import org.apache.spark.sql.streaming.{ExpiredTimerInfo, MapState, OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues, ValueState}
 
 /** Per-pane trigger counters: total passenger sum and the sum since
   * the last early fire (the reference trigger's per-pane
@@ -31,13 +31,19 @@ final case class PaneCounters(sum: Long, sinceFire: Long)
   * oracle as `taxi_early_fires` (TaxiQueries.earlyFiresSql).
   *
   * State per key is bounded by the live-pane count exactly as in the
-  * fMGWS form; exactly one live timer per key, re-armed at the
-  * earliest live pane end after every batch/expiry.
+  * fMGWS form; exactly one live timer per key, armed at the LATEST
+  * live pane end — the data-batch purge emits ripening finals for
+  * keys still receiving data, so the timer exists only to flush the
+  * tail of a key that goes quiet (see purgeAndRearm for why
+  * earliest-pane arming was a measured per-batch tax).
   */
 class EarlyTriggerProcessor(threshold: Int)
     extends StatefulProcessor[Int, CellEvent, WindowCount] {
   @transient private var panes: MapState[Long, PaneCounters] = _
-
+  // earliest live pane end — lets a data batch skip the full pane-map
+  // scan (every key, every batch) when the watermark hasn't reached
+  // ANY pane; the scan is then paid only when something is actually
+  // ripe. Doubles as the single armed timer's timestamp.
   override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
     panes = getHandle.getMapState("panes", Encoders.scalaLong,
       Encoders.product[PaneCounters], TTLConfig.NONE)
@@ -51,26 +57,46 @@ class EarlyTriggerProcessor(threshold: Int)
     // (tMs, rideId) batch determinization — earlyTriggerFn's contract:
     // the group iterator's order is shuffle-dependent, event-time
     // order makes the fire values a pure function of the event data.
+    // The fire recurrence is PER PANE over that order, so panes fold
+    // independently: bucket the batch's passenger deltas per pane
+    // in JVM memory first, then run each pane's recurrence against
+    // ONE state read + ONE state write — not three RocksDB point-ops
+    // per (event, pane), which at 3 live panes per event made the
+    // JNI round-trips the dominant cost of the whole entry.
+    val byPane = scala.collection.mutable.LinkedHashMap
+      .empty[Long, scala.collection.mutable.ArrayBuffer[Long]]
     rows.toSeq.sortBy(e => (e.tMs, e.rideId)).foreach { e =>
       TaxiPipelines.windowEndsFor(e.tMs).foreach { wEnd =>
-        if (wEnd > wm) { // late panes are dropped (Flink 0.10 default)
-          val cur =
-            if (panes.containsKey(wEnd)) panes.getValue(wEnd)
-            else PaneCounters(0L, 0L)
-          val sum = cur.sum + e.passengers
-          val since = cur.sinceFire + e.passengers
-          if (since >= threshold) { // FIRE: emit, keep contents
-            out += WindowCount(cell, wEnd, sum, isFinal = false)
-            panes.updateValue(wEnd, PaneCounters(sum, 0L))
-          } else {
-            panes.updateValue(wEnd, PaneCounters(sum, since))
-          }
-        }
+        if (wEnd > wm) // late panes are dropped (Flink 0.10 default)
+          byPane.getOrElseUpdate(
+            wEnd, scala.collection.mutable.ArrayBuffer.empty[Long]) += e.passengers
       }
     }
-    // purge in data batches too, not just on timer expiry — a key
-    // receiving data in the batch its old pane expires must not re-arm
-    // a timer at a timestamp the watermark already passed
+    byPane.foreach { case (wEnd, deltas) =>
+      val cur = Option(panes.getValue(wEnd)).getOrElse(PaneCounters(0L, 0L))
+      var sum = cur.sum
+      var since = cur.sinceFire
+      deltas.foreach { p =>
+        sum += p
+        since += p
+        if (since >= threshold) { // FIRE: emit, keep contents
+          out += WindowCount(cell, wEnd, sum, isFinal = false)
+          since = 0L
+        }
+      }
+      panes.updateValue(wEnd, PaneCounters(sum, since))
+    }
+    // purge in data batches too, not just on timer expiry — the
+    // ripening finals of every key that keeps receiving data are
+    // emitted HERE, which is what lets the timer sit at the LATEST
+    // live pane end (see purgeAndRearm) instead of the earliest: an
+    // earliest-pane timer expires for every key on every batch
+    // (watermark passes the oldest pane each time), and the measured
+    // cost of that — ~13.7k expiries + deletes + re-registrations per
+    // batch, 1.5–3 s of timerProcessingTimeMs — exceeded the state
+    // updates themselves. The latest-pane timer never fires while
+    // data keeps arriving and catches exactly the one case the data
+    // path cannot: the tail flush of a key that stops receiving data.
     out ++= purgeAndRearm(cell, wm)
     out.iterator
   }
@@ -86,23 +112,33 @@ class EarlyTriggerProcessor(threshold: Int)
     * earliest surviving pane end.
     */
   private def purgeAndRearm(cell: Int, wm: Long): Seq[WindowCount] = {
-    val keys = panes.keys().toSeq // materialize before mutating
-    val (ripe, live) = keys.partition(_ <= wm)
-    val fires = ripe.sorted.map { wEnd =>
-      val c = panes.getValue(wEnd)
-      panes.removeKey(wEnd)
+    // ONE key+value scan (iterator), not keys() + getValue per ripe
+    // pane — the purge touches every live pane each time it runs, so
+    // per-entry point reads double its RocksDB cost for nothing
+    val entries = panes.iterator().toSeq // materialize before mutating
+    val (ripe, live0) = entries.partition(_._1 <= wm)
+    val live = live0.map(_._1)
+    if (live.isEmpty && ripe.nonEmpty) panes.clear() // wholesale drop
+    else ripe.foreach { case (wEnd, _) => panes.removeKey(wEnd) }
+    val fires = ripe.sortBy(_._1).map { case (wEnd, c) =>
       WindowCount(cell, wEnd, c.sum, isFinal = true)
     }
-    val armed = getHandle.listTimers().toSeq
-    if (live.nonEmpty) {
-      val next = live.min
-      if (armed != Seq(next)) {
-        armed.foreach(t => getHandle.deleteTimer(t.asInstanceOf[Long]))
-        getHandle.registerTimer(next)
-      }
-    } else {
-      armed.foreach(t => getHandle.deleteTimer(t.asInstanceOf[Long]))
-    }
+    // deferred-final contract: a pane past the watermark can never be
+    // updated again (the wEnd > wm admission check), so firing a
+    // ripe pane's final LATER than the first batch it ripens in emits
+    // the identical value — which is what makes the latest-pane timer
+    // sound for keys that stop receiving data (their remaining finals
+    // all fire together when the watermark passes the last pane).
+    armTo(live.maxOption)
     fires
+  }
+
+  /** Sync the single per-key timer to `next` (None = disarm). */
+  private def armTo(next: Option[Long]): Unit = {
+    val armed = getHandle.listTimers().toSeq
+    if (armed != next.toSeq) {
+      armed.foreach(t => getHandle.deleteTimer(t.asInstanceOf[Long]))
+      next.foreach(getHandle.registerTimer)
+    }
   }
 }
