@@ -193,9 +193,17 @@ object StreamingQueries {
       sentinel: Boolean = true,
       maxDelayMs: Long = MaxDelayMs,
       mutate: Option[Seq[RideEvent] => Seq[RideEvent]] = None,
-      rocksdb: Boolean = false)(
+      rocksdb: Boolean = false,
+      partitions: Option[Int] = None)(
       build: DataFrame => DataFrame): DataFrame = {
     val ss = streamSession(spark)
+    // per-entry state-partition sizing — the documented deployment
+    // knob: the default (2) wins for light replay state, but an entry
+    // whose keyspace x per-key state product is large enough that
+    // per-batch state work dominates (taxi_early_tws: ~13.7k cells x
+    // multi-pane maps) buys real parallelism from more partitions
+    // (measured 9.1 / 8.3 / 7.5 s at 2 / 4 / 8)
+    partitions.foreach(p => ss.conf.set("spark.sql.shuffle.partitions", p.toString))
     // transformWithState pipelines require the RocksDB provider
     // (Spark rejects HDFS-backed at query start) — per-entry opt-in,
     // scoped to this replay's isolated session
@@ -798,7 +806,8 @@ object StreamingQueries {
     */
   def earlyTwsStream(spark: SparkSession, sfDir: String, threshold: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    appendReplay(spark, sfDir, "earlytws_", maxDelayMs = 0L, rocksdb = true) { df =>
+    appendReplay(spark, sfDir, "earlytws_", maxDelayMs = 0L, rocksdb = true,
+        partitions = Some(8)) { df =>
       import df.sparkSession.implicits._
       cellsOf(df)
         .groupByKey(_.cell)
