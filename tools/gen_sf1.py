@@ -12,12 +12,18 @@ BENCH_sf1.json / SCALE.md can record measured sf0.1 -> sf1 exponents:
   copy k's customers), so join fan-outs and group cardinalities scale
   linearly like organic growth, not like a degenerate hot key.
 - dimension tables (region, nation) stay fixed — the TPC-H contract.
-- documents: copy 0 is byte-identical to sf0.1; copies k>0 get a
-  per-copy token suffix so intra-copy near-dup structure is preserved
-  (dup pairs scale ~linearly, x10) while cross-copy Jaccard collapses
-  to ~0 — replicating text verbatim would manufacture 10-clique dup
-  components (45 pairs each), a quadratic artifact growth pattern the
-  real corpus does not have.
+- documents: copy 0 is byte-identical to sf0.1; copies k>0 go through
+  a per-copy a-z SUBSTITUTION CIPHER (stopwords preserved so quality
+  gates keep passing). A cipher is an ISOMETRY of the similarity
+  space: every intra-copy token/shingle/trigram overlap — and so
+  every MinHash/SimHash/Jaccard/PPJoin relation — is EXACTLY copy 0's,
+  so dup structure scales perfectly linearly (x10 clusters, x10
+  pairs), while cross-copy similarity collapses to the stopword floor
+  real corpora have anyway. (First attempt suffixed every token,
+  which injected shared cross-doc character trigrams and blew up the
+  near-dup candidate volume quadratically — an artifact, not data.)
+  Replicating text verbatim would be the opposite artifact: 10-clique
+  dup components (45 pairs each) the real corpus does not have.
 - embeddings: copies k>0 get small deterministic per-copy noise
   (seeded), preserving per-copy cluster geometry for IVF/LSH while
   keeping cross-copy vectors distinct.
@@ -93,16 +99,22 @@ gen("events", copies_union(
     "events", lambda k: f"event_id + {k * ev_s} AS event_id, ts, "
     f"user_id + {k * user_s} AS user_id, event_type, value, props"))
 
-# documents: per-copy token suffix for k>0 (copy 0 byte-identical)
+# documents: per-copy substitution cipher for k>0 (copy 0 identical);
+# length-preserving, so n_chars carries over unchanged
+import random, string
+STOP = ("the", "a", "an", "of", "to", "and", "in", "is", "on", "for")
+stop_sql = ", ".join(f"'{w}'" for w in STOP)
 doc_selects = ["SELECT * FROM read_parquet('%s/documents.parquet')" % src]
 for k in range(1, COPIES):
+    perm = list(string.ascii_lowercase)
+    random.Random(9176 + k).shuffle(perm)
+    dstab = "".join(perm)
     doc_selects.append(
         f"SELECT doc_id + {k * doc_s} AS doc_id, "
         f"array_to_string(list_transform(string_split(text, ' '), "
-        f"t -> t || 'q{k}'), ' ') AS text, "
-        f"lang, source, "
-        f"length(array_to_string(list_transform(string_split(text, ' '), "
-        f"t -> t || 'q{k}'), ' '))::BIGINT AS n_chars "
+        f"t -> CASE WHEN t IN ({stop_sql}) THEN t "
+        f"ELSE translate(t, 'abcdefghijklmnopqrstuvwxyz', '{dstab}') END), ' ') AS text, "
+        f"lang, source, n_chars "
         f"FROM read_parquet('{src}/documents.parquet')")
 gen("documents", " UNION ALL ".join(doc_selects))
 
