@@ -954,8 +954,19 @@ object DedupQueries {
     // explode→freq, prefix rank, token equi-join, verify join.
     // The size-ratio conjunct (jac ≥ t needs min·(1+1/t) ≥ |A|+|B|)
     // prunes candidates before the exact codegen'd intersect verifies.
-    "dedup_ngram_jaccard" -> ((s, dir) => {
+    "dedup_ngram_jaccard" -> ((parent, dir) => {
       import org.apache.spark.sql.expressions.Window
+      // Partitions-track-volume, without per-SF tuning: the verify
+      // join's candidate stream grows linearly with the corpus, and at
+      // 10x data the session default (32) spilled its sort (measured
+      // 76.6 s -> 31.0 s at 128 — SCALE.md round-12 exponents). The
+      // at-scale idiom is a HIGH initial partition count with AQE
+      // coalescing down to actual bytes: small SFs coalesce back to a
+      // handful of partitions (no small-task regression), big SFs keep
+      // enough partitions to stay in memory. Scoped to a child session
+      // (conf isolation, same pattern as the bucketed entries).
+      val s = Tables.scopedSession(parent)
+      s.conf.set("spark.sql.adaptive.coalescePartitions.initialPartitionNum", "128")
       val docs = Tables.documents(s, dir)
         .select(col("doc_id"), col("source"), trigrams("text").as("tg"))
         .withColumn("sz", size(col("tg")))
