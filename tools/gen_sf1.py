@@ -130,6 +130,23 @@ for k in range(1, COPIES):
         f"FROM read_parquet('{src}/embeddings.parquet')")
 gen("embeddings", " UNION ALL ".join(emb_selects))
 
+# self-check the isometry claim: intra-copy exact-dup pairs must be
+# exactly 10x the base corpus's, with ZERO cross-copy exact dups —
+# the linear-structure property every dedup scaling exponent rests on
+base_pairs = con.execute(
+    f"SELECT count(*) FROM read_parquet('{src}/documents.parquet') a "
+    f"JOIN read_parquet('{src}/documents.parquet') b "
+    f"ON a.text = b.text AND a.doc_id < b.doc_id").fetchone()[0]
+intra, cross = con.execute(
+    f"WITH d AS (SELECT doc_id, doc_id // {doc_s} AS cp, text "
+    f"FROM read_parquet('{dst}/documents.parquet')) "
+    f"SELECT count(*) FILTER (a.cp = b.cp), count(*) FILTER (a.cp <> b.cp) "
+    f"FROM d a JOIN d b ON a.text = b.text AND a.doc_id < b.doc_id").fetchone()
+assert intra == base_pairs * COPIES and cross == 0, \
+    f"dup structure not linear: intra {intra} (want {base_pairs * COPIES}), cross {cross}"
+print(f"[gen_sf1] dup-structure check: {intra} intra-copy exact pairs "
+      f"(= {COPIES}x base {base_pairs}), 0 cross-copy")
+
 h = hashlib.md5()
 for t in sorted(os.listdir(dst)):
     h.update(open(f"{dst}/{t}", "rb").read())
