@@ -34,6 +34,15 @@ object DedupQueries {
   // near-certain capture at the top, so the report shows both sigmoid
   // tails
   private val ScurveMinJac = 0.1
+  // dedup_lsh_scurve per-group sample cap. The diagnostic is
+  // quadratic PER GROUP by design and its capture estimate converges
+  // per group — pairs beyond a fixed sample are pure waste, and
+  // source-group depth grows with the corpus while group count does
+  // not (measured 27x cost at 10x data before the cap). 250 = the
+  // sf0.1 max group size, so every driver SF is byte-identical
+  // (the cap binds only beyond sf0.1); the rank hash is salted
+  // independently of every other sampling draw.
+  private val ScurveGroupCap = 250
   private val NgramSizeRatio = 1.0 + 1.0 / NgramJaccardT
 
   /** doc_id + 16 minhash signature columns, computed in one pass by
@@ -1049,9 +1058,14 @@ object DedupQueries {
     // its estimate converges per-group; the ':scv2' draw keeps the
     // corpus' duplicate-rich source so the top tail stays populated.
     "dedup_lsh_scurve" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
       val sampled = TextFunctions.tokenHash(concat(col("source"), lit(":scv2"))) % 5 === 0
       val docs = Tables.documents(s, dir)
         .filter(sampled)
+        .withColumn("rn", row_number().over(Window.partitionBy(col("source"))
+          .orderBy(TextFunctions.tokenHash(
+            concat(col("doc_id").cast("string"), lit(":scvcap"))), col("doc_id"))))
+        .filter(col("rn") <= ScurveGroupCap)
         .select(col("doc_id"), col("source"),
           array_sort(MinHash.shingleHashes("text")).as("sh"))
         .withColumn("sz", size(col("sh")))
@@ -1291,9 +1305,15 @@ object DedupQueries {
       // JOIN the banded candidate set (the minhash CTEs), rolled up
       // by similarity decile; union = szA + szB − inter on distinct
       // shingle sets, so both engines divide identical integers
-      s"""WITH docs_scv AS (
+      s"""WITH docs_scv0 AS (
          |  SELECT * FROM documents
          |  WHERE ${TextFunctions.Sql.tokenHash("source || ':scv2'")} % 5 = 0),
+         |docs_scv AS (
+         |  SELECT doc_id, text, lang, source, n_chars FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY source
+         |      ORDER BY ${TextFunctions.Sql.tokenHash("cast(doc_id AS VARCHAR) || ':scvcap'")}, doc_id) AS rn
+         |    FROM docs_scv0)
+         |  WHERE rn <= $ScurveGroupCap),
          |${minhashPairsCtes("docs_scv")},
          |sh AS (SELECT doc_id, source,
          |         ${MinHash.Sql.shingleHashes("text")} AS sh FROM docs_scv),
