@@ -456,15 +456,32 @@ object StreamingQueries {
     * starts a 100 TB streaming job from zero state; this is the
     * adoption-critical facet of transformWithState.
     */
+  /** Bootstrap fixture cache (same rationale as [[rideChunkCache]]):
+    * the cutoff split and the live-subset chunk write are pure in
+    * sfDir, and the bench's two passes otherwise re-collect and
+    * re-write identical fixtures. Holds (hist rows, live chunk dir);
+    * dirs are cleaned by one JVM-exit hook.
+    */
+  private val bootstrapFixtureCache =
+    scala.collection.concurrent.TrieMap.empty[String, (Seq[RideEvent], String)]
+  Runtime.getRuntime.addShutdownHook(new Thread(() =>
+    bootstrapFixtureCache.values.foreach { case (_, d) => TempDir.deleteRecursively(d) }))
+  private def bootstrapFixture(
+      ss: SparkSession, sfDir: String): (Seq[RideEvent], String) =
+    bootstrapFixtureCache.getOrElseUpdate(sfDir, {
+      val rides = TaxiReplay.ridesFromEvents(ss, sfDir).collect().toSeq
+      val ordered = TaxiReplay.servingOrder(rides, MaxDelayMs)
+      val times = ordered.map(_.tMs).sorted
+      val cutoff = times(math.min(times.size - 1, (times.size * 6) / 10))
+      val (hist, live) = ordered.partition(_.tMs < cutoff)
+      (hist, TaxiReplay.writeJsonlChunks(live, 3, Nil))
+    })
+
   def totalBootstrapStream(spark: SparkSession, sfDir: String): DataFrame = {
     val ss = streamSession(spark)
     forceRocksdb(ss)
     import ss.implicits._
-    val rides = TaxiReplay.ridesFromEvents(ss, sfDir).collect().toSeq
-    val ordered = TaxiReplay.servingOrder(rides, MaxDelayMs)
-    val times = ordered.map(_.tMs).sorted
-    val cutoff = times(math.min(times.size - 1, (times.size * 6) / 10))
-    val (hist, live) = ordered.partition(_.tMs < cutoff)
+    val (hist, liveChunkDir) = bootstrapFixture(ss, sfDir)
     // batch backfill: aggregate history into initial per-cell state
     val histCells = TaxiPipelines.cellProject(
       ss.createDataset(hist).toDF()
@@ -478,7 +495,7 @@ object StreamingQueries {
     // the backfill writes its own snapshot before the stream takes over
     sink.upsert(init.map { case (c, st) => TotalCount(c, st.lastT, st.sum) }
       .toDF(), -1L)
-    val (df, chunkDir) = TaxiReplay.jsonlFileStream(ss, live, nChunks = 3)
+    val df = TaxiReplay.openJsonlStream(ss, liveChunkDir)
     val ckpt = TempDir.create("graft-ckpt-")
     val q = TwsTotalCount.totalCountBootstrap(cellsOf(df), init).toDF()
       .writeStream.outputMode("update")
@@ -495,7 +512,6 @@ object StreamingQueries {
     } finally {
       q.stop()
       TempDir.deleteRecursively(ckpt.toString)
-      TempDir.deleteRecursively(chunkDir)
       sink.close()
       StateStoreBridge.unloadAll()
     }
