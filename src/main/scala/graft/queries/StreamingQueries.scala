@@ -820,6 +820,34 @@ object StreamingQueries {
     * finals, pinned on the migration-target API. RocksDB provider
     * per-session (the API requires it).
     */
+  /** Measurement-only twin of [[earlyTwsStream]] on the OTHER pane
+    * layout (per-pane MapState, [[graft.streaming.EarlyTriggerProcessor]])
+    * — not registered; driven by ProbeTws so the
+    * MapState-vs-ValueState[Map] trade stays a measured number
+    * (SCALE.md round 12; the registered entry ships the blob form,
+    * the measured winner at the replay's dense update pattern).
+    */
+  private[graft] def earlyTwsMapProbe(
+      spark: SparkSession, sfDir: String, threshold: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    appendReplay(spark, sfDir, "earlytwsblob_", maxDelayMs = 0L, rocksdb = true,
+        partitions = Some(8)) { df =>
+      import df.sparkSession.implicits._
+      cellsOf(df)
+        .groupByKey(_.cell)
+        .transformWithState(new graft.streaming.EarlyTriggerProcessor(threshold),
+          org.apache.spark.sql.streaming.TimeMode.EventTime(),
+          org.apache.spark.sql.streaming.OutputMode.Append())
+        .toDF()
+    }
+      .filter(!col("isFinal"))
+      .select(col("cell"), col("wEndMs").as("w_end_ms"),
+        row_number().over(
+          Window.partitionBy(col("cell"), col("wEndMs")).orderBy(col("cnt")))
+          .cast("long").as("seq"),
+        col("cnt").as("early_cnt"))
+  }
+
   def earlyTwsStream(spark: SparkSession, sfDir: String, threshold: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     appendReplay(spark, sfDir, "earlytws_", maxDelayMs = 0L, rocksdb = true,
@@ -827,7 +855,13 @@ object StreamingQueries {
       import df.sparkSession.implicits._
       cellsOf(df)
         .groupByKey(_.cell)
-        .transformWithState(new graft.streaming.EarlyTriggerProcessor(threshold),
+        // blob-state pane map: the replay's batches are DENSE (each
+        // touches most live panes per key), where one ValueState
+        // serde round-trip beats per-pane MapState point-ops —
+        // measured 4.7 vs 6.2 s best-of-2 (ProbeTws A/B, SCALE.md
+        // round 12). The MapState twin ships alongside for the
+        // sparse-update regime and stays probe-covered.
+        .transformWithState(new graft.streaming.EarlyTriggerBlobProcessor(threshold),
           org.apache.spark.sql.streaming.TimeMode.EventTime(),
           org.apache.spark.sql.streaming.OutputMode.Append())
         .toDF()

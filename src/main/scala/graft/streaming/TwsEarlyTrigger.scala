@@ -40,10 +40,7 @@ final case class PaneCounters(sum: Long, sinceFire: Long)
 class EarlyTriggerProcessor(threshold: Int)
     extends StatefulProcessor[Int, CellEvent, WindowCount] {
   @transient private var panes: MapState[Long, PaneCounters] = _
-  // earliest live pane end — lets a data batch skip the full pane-map
-  // scan (every key, every batch) when the watermark hasn't reached
-  // ANY pane; the scan is then paid only when something is actually
-  // ripe. Doubles as the single armed timer's timestamp.
+
   override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
     panes = getHandle.getMapState("panes", Encoders.scalaLong,
       Encoders.product[PaneCounters], TTLConfig.NONE)
@@ -109,7 +106,8 @@ class EarlyTriggerProcessor(threshold: Int)
 
   /** FIRE_AND_PURGE every pane the watermark has passed (final sum,
     * pane removed) and re-arm the single per-key timer at the
-    * earliest surviving pane end.
+    * LATEST surviving pane end (tail-flush-only timers — see the
+    * class scaladoc).
     */
   private def purgeAndRearm(cell: Int, wm: Long): Seq[WindowCount] = {
     // ONE key+value scan (iterator), not keys() + getValue per ripe
@@ -140,5 +138,79 @@ class EarlyTriggerProcessor(threshold: Int)
       armed.foreach(t => getHandle.deleteTimer(t.asInstanceOf[Long]))
       next.foreach(getHandle.registerTimer)
     }
+  }
+}
+
+/** Measurement twin of [[EarlyTriggerProcessor]] with the pane map as
+  * ONE ValueState blob (kryo-encoded `Map[Long, PaneCounters]`)
+  * instead of per-pane MapState cells — NOT registered by any entry;
+  * exists so the MapState-vs-blob trade is a measured number
+  * (ProbeTws A/B, results in SCALE.md) rather than an argument.
+  * The blob form wins when a batch touches most live panes per key
+  * (one serde round-trip replaces 2×touched point-ops); MapState
+  * wins when updates are sparse relative to live panes — the 100 TB
+  * steady state, where a micro-batch touches the newest pane or two
+  * of many live. Semantics identical to the MapState form.
+  */
+class EarlyTriggerBlobProcessor(threshold: Int)
+    extends StatefulProcessor[Int, CellEvent, WindowCount] {
+  @transient private var panes: org.apache.spark.sql.streaming.ValueState[Map[Long, PaneCounters]] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    panes = getHandle.getValueState("paneblob",
+      Encoders.kryo[Map[Long, PaneCounters]], TTLConfig.NONE)
+
+  override def handleInputRows(
+      cell: Int,
+      rows: Iterator[CellEvent],
+      timers: TimerValues): Iterator[WindowCount] = {
+    val wm = timers.getCurrentWatermarkInMs()
+    val out = scala.collection.mutable.ListBuffer.empty[WindowCount]
+    var m = if (panes.exists()) panes.get() else Map.empty[Long, PaneCounters]
+    rows.toSeq.sortBy(e => (e.tMs, e.rideId)).foreach { e =>
+      TaxiPipelines.windowEndsFor(e.tMs).foreach { wEnd =>
+        if (wEnd > wm) {
+          val cur = m.getOrElse(wEnd, PaneCounters(0L, 0L))
+          val sum = cur.sum + e.passengers
+          val since = cur.sinceFire + e.passengers
+          if (since >= threshold) {
+            out += WindowCount(cell, wEnd, sum, isFinal = false)
+            m = m.updated(wEnd, PaneCounters(sum, 0L))
+          } else m = m.updated(wEnd, PaneCounters(sum, since))
+        }
+      }
+    }
+    val (ripe, live) = m.partition(_._1 <= wm)
+    ripe.toSeq.sortBy(_._1).foreach { case (wEnd, c) =>
+      out += WindowCount(cell, wEnd, c.sum, isFinal = true)
+    }
+    if (live.isEmpty) panes.clear() else panes.update(live)
+    val armed = getHandle.listTimers().toSeq
+    val next = if (live.isEmpty) None else Some(live.keys.max)
+    if (armed != next.toSeq) {
+      armed.foreach(t => getHandle.deleteTimer(t.asInstanceOf[Long]))
+      next.foreach(getHandle.registerTimer)
+    }
+    out.iterator
+  }
+
+  override def handleExpiredTimer(
+      cell: Int,
+      timers: TimerValues,
+      expired: ExpiredTimerInfo): Iterator[WindowCount] = {
+    val wm = timers.getCurrentWatermarkInMs()
+    val m = if (panes.exists()) panes.get() else Map.empty[Long, PaneCounters]
+    val (ripe, live) = m.partition(_._1 <= wm)
+    val fires = ripe.toSeq.sortBy(_._1).map { case (wEnd, c) =>
+      WindowCount(cell, wEnd, c.sum, isFinal = true)
+    }
+    if (live.isEmpty) panes.clear() else panes.update(live)
+    val armed = getHandle.listTimers().toSeq
+    val next = if (live.isEmpty) None else Some(live.keys.max)
+    if (armed != next.toSeq) {
+      armed.foreach(t => getHandle.deleteTimer(t.asInstanceOf[Long]))
+      next.foreach(getHandle.registerTimer)
+    }
+    fires.iterator
   }
 }

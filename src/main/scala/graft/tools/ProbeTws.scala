@@ -27,9 +27,22 @@ object ProbeTws {
         "graft.tools.TwsProgressListener")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val t0 = System.nanoTime()
-    val n = graft.queries.StreamingQueries.earlyTwsStream(spark, sfDir, 3).count()
-    println(f"[tws] rows=$n total=${(System.nanoTime() - t0) / 1e9}%.2f s")
+    // MapState-vs-blob A/B, best-of-2 each, interleaved so fixture
+    // cache warm-up and window drift hit both forms equally
+    def time(label: String, f: => Long): Long = {
+      val t0 = System.nanoTime()
+      val n = f
+      println(f"[tws] $label%-9s rows=$n total=${(System.nanoTime() - t0) / 1e9}%.2f s")
+      n
+    }
+    var nMap = 0L; var nBlob = 0L
+    (1 to 2).foreach { _ =>
+      nBlob = time("blob",
+        graft.queries.StreamingQueries.earlyTwsStream(spark, sfDir, 3).count())
+      nMap = time("mapstate",
+        graft.queries.StreamingQueries.earlyTwsMapProbe(spark, sfDir, 3).count())
+    }
+    assert(nMap == nBlob, s"blob twin diverged: $nMap vs $nBlob")
     spark.stop()
   }
 }
