@@ -21,6 +21,50 @@ object Bench {
       .split(' ').take(3).mkString(" ")
     catch { case _: Throwable => "unavailable" }
 
+  /** Aggregate /proc/stat cpu jiffies. Loadavg only sees THIS VM's
+    * run queue; on a shared host the other contention channel is
+    * STEAL — time the hypervisor ran other tenants while this VM was
+    * runnable. A window can read calm on loadavg and still run every
+    * query uniformly ~1.2× slow (observed r12); per-pass busy%/steal%
+    * make that externally-throttled window self-evident in the
+    * artifact instead of reading as a code regression.
+    */
+  private def cpuJiffies(): Array[Long] =
+    try java.nio.file.Files.readString(java.nio.file.Paths.get("/proc/stat"))
+      .linesIterator.next().trim.split("\\s+").drop(1).map(_.toLong)
+    catch { case _: Throwable => Array.empty[Long] }
+
+  /** Fixed single-thread calibration: 50 M steps of an integer mix,
+    * wall-clocked. Measures effective machine speed directly — a
+    * window where this number rises ~1.2× explains a uniform ~1.2×
+    * bench inflation that loadavg (guest run queue) and steal%
+    * (hypervisor accounting) both miss (observed r12: calm loadavg,
+    * 0.1% steal, every query 1.2× slow). Nominal ~100–200 ms.
+    */
+  private def calibMs(): Double = {
+    var h = 0x9E3779B97F4A7C15L
+    var i = 0L
+    val t0 = System.nanoTime()
+    while (i < 50000000L) {
+      h = java.lang.Long.rotateLeft(h ^ (i * 0xC2B2AE3D27D4EB4FL), 31) * 0x9E3779B185EBCA87L
+      i += 1
+    }
+    val ms = (System.nanoTime() - t0) / 1e6
+    if (h == 42L) Console.err.println(h) // keep the loop observable
+    ms
+  }
+
+  /** busy%/steal% of the interval between two cpuJiffies snapshots. */
+  private def cpuPct(a: Array[Long], b: Array[Long]): String =
+    if (a.length < 8 || b.length < 8) """{"busy_pct":-1,"steal_pct":-1}"""
+    else {
+      val d = a.zip(b).map { case (x, y) => y - x }
+      val tot = math.max(d.sum.toDouble, 1.0)
+      val idle = (d(3) + d(4)).toDouble // idle + iowait
+      val steal = d(7).toDouble
+      f"""{"busy_pct":${100.0 * (tot - idle - steal) / tot}%.1f,"steal_pct":${100.0 * steal / tot}%.1f}"""
+    }
+
   def main(args: Array[String]): Unit = {
     val tJvm = System.nanoTime()
     val loadBefore = loadAvg()
@@ -140,14 +184,19 @@ object Bench {
         name -> (System.nanoTime() - t0) / 1e9
       }
     val setupSec = (System.nanoTime() - tJvm) / 1e9
+    val calibBefore = calibMs()
+    val j0 = cpuJiffies()
     val t1 = System.nanoTime()
     val pass1 = runPass()
     val wall1 = (System.nanoTime() - t1) / 1e9
     val loadMid = loadAvg()
+    val j1 = cpuJiffies()
     val t2 = System.nanoTime()
     val pass2 = runPass()
     val wall2 = (System.nanoTime() - t2) / 1e9
     val loadAfter = loadAvg()
+    val j2 = cpuJiffies()
+    val calibAfter = calibMs()
     val best = pass1.map { case (k, v) => k -> math.min(v, pass2.getOrElse(k, v)) }
     def fmt(m: Map[String, Double]): String =
       m.map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
@@ -164,7 +213,7 @@ object Bench {
     // and wall≈sum(per-query); a contended one is self-evident — the
     // claim-blocking gate is tools/bench_diff.py vs the local series
     // (round-close checklist in SCALE.md).
-    val loadStamp = s""","load_before":"$loadBefore","load_mid":"$loadMid","load_after":"$loadAfter","wall_pass1":$wall1,"wall_pass2":$wall2,"setup_sec":$setupSec,"n_cpus":${Runtime.getRuntime.availableProcessors()}"""
+    val loadStamp = s""","load_before":"$loadBefore","load_mid":"$loadMid","load_after":"$loadAfter","cpu_pass1":${cpuPct(j0, j1)},"cpu_pass2":${cpuPct(j1, j2)},"calib_before_ms":$calibBefore,"calib_after_ms":$calibAfter,"wall_pass1":$wall1,"wall_pass2":$wall2,"setup_sec":$setupSec,"n_cpus":${Runtime.getRuntime.availableProcessors()}"""
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":${fmt(best)},"raw_pass1":${fmt(pass1)},"raw_pass2":${fmt(pass2)},"policy":"best-of-2 per query, single JVM"$filterStamp$loadStamp,"sf":"$sfDir"}""")
     // Compact trailing line: the full line above grew past the driver's
     // 2000-char tail capture (r8's artifact lost its own total), so the

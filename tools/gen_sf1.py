@@ -31,14 +31,27 @@ BENCH_sf1.json / SCALE.md can record measured sf0.1 -> sf1 exponents:
   events per window — window-agg groups stay put, per-window counts
   grow; the skew-ish direction that stresses state).
 
-Usage: python3 tools/gen_sf1.py [src=/root/testdata/sf0.1] [dst=/tmp/graft_sf1]
-Deterministic (seed fixed); ~170 MB output.
+Usage: python3 tools/gen_sf1.py [src=/root/testdata/sf0.1] [dst=/tmp/graft_sf1] [seed=9176]
+Deterministic (seed fixed); ~240 MB output at sf1. COMPOSES: running it
+again with src=<sf1 dir>, a fresh seed (required — see the SEED comment)
+and dst=/tmp/graft_sf10 yields a 100x (~2.4 GB) dataset with the same
+linear dup-structure invariant, self-checked at every level.
 """
 import sys, os, hashlib
 import duckdb
 
 src = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
 dst = sys.argv[2] if len(sys.argv) > 2 else "/tmp/graft_sf1"
+# Composition (a second 10x decade, e.g. src=sf1 -> dst=sf10) REQUIRES a
+# fresh seed: reusing the sf1 ciphers would make second-level copy k's
+# untouched block equal first-level copy k verbatim (sigma_k(base) both
+# times) — manufactured cross-copy exact dups the self-check rejects.
+# Distinct seeds make every composite sigma'_{k2} . sigma_{k1} a fresh
+# random permutation (a collision with any single-level sigma needs
+# sigma'_{k2} = sigma_{k1'} . sigma_{k1}^-1: probability 1/26! per pair).
+# The same aliasing exists for the embedding noise tag, so the seed
+# enters the noise hash too (the default keeps sf1 byte-identical).
+SEED = int(sys.argv[3]) if len(sys.argv) > 3 else 9176
 COPIES = 10
 os.makedirs(dst, exist_ok=True)
 con = duckdb.connect()
@@ -107,7 +120,7 @@ stop_sql = ", ".join(f"'{w}'" for w in STOP)
 doc_selects = ["SELECT * FROM read_parquet('%s/documents.parquet')" % src]
 for k in range(1, COPIES):
     perm = list(string.ascii_lowercase)
-    random.Random(9176 + k).shuffle(perm)
+    random.Random(SEED + k).shuffle(perm)
     dstab = "".join(perm)
     doc_selects.append(
         f"SELECT doc_id + {k * doc_s} AS doc_id, "
@@ -122,10 +135,13 @@ gen("documents", " UNION ALL ".join(doc_selects))
 # pseudo-random per (vec_id, dim, copy) in [-0.02, 0.02]
 emb_selects = ["SELECT * FROM read_parquet('%s/embeddings.parquet')" % src]
 for k in range(1, COPIES):
+    # default seed keeps the noise tag '_{k}' so sf1 regenerates
+    # byte-identically to the recorded BENCH_sf1 dataset
+    tag = f"_{k}" if SEED == 9176 else f"_{SEED}_{k}"
     emb_selects.append(
         f"SELECT vec_id + {k * vec_s} AS vec_id, "
         f"list_transform(embedding, x -> (x + "
-        f"((hash(vec_id::VARCHAR || '_' || x::VARCHAR || '_{k}') % 41)::DOUBLE - 20.0) "
+        f"((hash(vec_id::VARCHAR || '_' || x::VARCHAR || '{tag}') % 41)::DOUBLE - 20.0) "
         f"/ 1000.0)::FLOAT) AS embedding, label "
         f"FROM read_parquet('{src}/embeddings.parquet')")
 gen("embeddings", " UNION ALL ".join(emb_selects))
