@@ -32,6 +32,32 @@ object SimilarityQueries {
   private val FxScale = 16777216.0 // 2²⁴ — fixed-point lift scale
   private val KmIters = 2 // Lloyd rounds after the lattice init
 
+  // ---- Scaled-IVF sizing: the cell count TRACKS the corpus. ----
+  // Fixed k makes IVF candidate volume Q·N/k — quadratic in N once
+  // queries scale with the corpus (measured: knn_ivf_kmeans sf1→sf10
+  // ratio 49.8× for 10× data). k = N/CellTarget bounds every cell at
+  // ~CellTarget vectors, so candidates per query stay constant and
+  // within-cell pair expansions (SemDeDup) stay linear in N. The cap
+  // keeps the closed-form lattice weights inside int64 on both
+  // engines; past it, the next tier is an ANN index over the
+  // centroids themselves (the FAISS coarse-quantizer ladder).
+  private val CellTarget = 2500L // target vectors per cell
+  private val KScaledMin = 8
+  private val KScaledMax = 2048
+  private val TrainPerCell = 100L // training-sample budget per cell
+
+  private[queries] def scaledK(n: Long): Int =
+    math.max(KScaledMin, math.min(KScaledMax, (n / CellTarget).toInt))
+
+  /** Deterministic training-sample stride: vec_id % m == 0 keeps
+    * ~TrainPerCell·k vectors, so Lloyd's per-round cost is bounded by
+    * the model budget, not the corpus (the FAISS max_points_per_
+    * centroid convention) — at 100 TB training reads a fixed-size
+    * sample while only the one-pass final ASSIGN scans everything.
+    */
+  private[queries] def trainStride(n: Long, k: Int): Long =
+    math.max(1L, n / (TrainPerCell * k))
+
   /** Every 50th vector is a query — deterministic on both engines.
     * Norms ride along so each scored pair costs one dot product.
     */
@@ -135,6 +161,110 @@ object SimilarityQueries {
     for (_ <- 1 until KmIters)
       cents = updateCentroids(emb.withColumn("cell", kmAssign(cents, col("embedding"))))
     require(cents.size >= 2, s"k-means degenerated to ${cents.size} cell(s)")
+    cents
+  }
+
+  /** The deterministic integer-lattice centroids for ANY k, as
+    * driver-held model rows — the same closed-form weights
+    * [[VectorFunctions.centroidDots]] unrolls as k literal
+    * expressions, built as data instead so k can track the corpus.
+    */
+  private def latticeModel(k: Int): Seq[KmCentroid] =
+    (0 until k).map { j =>
+      val h = (1000 + j).toLong
+      val cf = Array.tabulate(Dim) { i0 =>
+        val i = i0 + 1
+        (((h * 1000003L + i) * 2654435761L / 1024L) % 7L - 3L).toFloat
+      }
+      var cc = 0.0
+      var i = 0
+      while (i < Dim) { cc += cf(i).toDouble * cf(i).toDouble; i += 1 }
+      KmCentroid(j + 1, cf, cc)
+    }
+
+  /** Model-side ASSIGN for arbitrary k: per row the argmax-dot cell
+    * (init, mirroring the lattice warm start's list_max) or the
+    * argmin(‖c‖²−2x·c) cell (Lloyd rounds), strict keep-first over
+    * cell-sorted models — the same double left-fold dot and tie-break
+    * as the literal-expression form and the oracle's ROW_NUMBER. A
+    * plain-JVM mapPartitions loop, not k literal expressions: past
+    * k ≈ 128, codegen'd literal dots exceed janino's method limit and
+    * silently fall back to interpreted eval (the PQ-encode lesson at
+    * [[pqEncode]]); the loop JIT-compiles with no ceiling.
+    */
+  private def modelAssign(emb: DataFrame, cents: Seq[KmCentroid],
+      byMaxDot: Boolean): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val cb = cents.map(c => (c.cell, c.cf, c.cc)).toArray // cell-sorted
+    // The assign loop is N·k dots of CPU, but the embeddings table is
+    // bytes-SMALL (64 floats/row): a 200 k-row corpus is one 51 MB
+    // scan split, so without an explicit fan-out the whole model
+    // application — and every stage pipelined after it — runs on ONE
+    // core (measured: 29× for 10× data at sf10 before this line).
+    // Partition by compute, not bytes; values are row-local, so the
+    // round-robin exchange cannot change results.
+    emb.select(col("vec_id"), col("embedding"))
+      .repartition(spark.sparkContext.defaultParallelism)
+      .as[(Long, Array[Float])]
+      .mapPartitions(_.map { case (id, e) =>
+        var best = 0
+        var bestScore = if (byMaxDot) Double.MinValue else Double.MaxValue
+        var j = 0
+        while (j < cb.length) {
+          var d = 0.0
+          var i = 0
+          while (i < Dim) { d += e(i).toDouble * cb(j)._2(i).toDouble; i += 1 }
+          val sc = if (byMaxDot) d else cb(j)._3 - 2.0 * d
+          val better = if (byMaxDot) sc > bestScore else sc < bestScore
+          if (better) { bestScore = sc; best = cb(j)._1 }
+          j += 1
+        }
+        (id, e, best)
+      }).toDF("vec_id", "embedding", "cell")
+  }
+
+  /** Query-side nprobe=2: the two lowest-score cells per query,
+    * (score ASC, cell ASC) — exactly the oracle's rn ≤ 2 and the
+    * masked-argmin pair of the fixed-k entries, as one model loop.
+    */
+  private def modelProbe2(qs: DataFrame, cents: Seq[KmCentroid]): DataFrame = {
+    val spark = qs.sparkSession
+    import spark.implicits._
+    val cb = cents.map(c => (c.cell, c.cf, c.cc)).toArray
+    qs.select(col("query_id"), col("q_emb"), col("q_nrm"))
+      .as[(Long, Array[Float], Double)]
+      .mapPartitions(_.flatMap { case (id, e, nrm) =>
+        var b1 = 0; var s1 = Double.MaxValue
+        var b2 = 0; var s2 = Double.MaxValue
+        var j = 0
+        while (j < cb.length) {
+          var d = 0.0
+          var i = 0
+          while (i < Dim) { d += e(i).toDouble * cb(j)._2(i).toDouble; i += 1 }
+          val sc = cb(j)._3 - 2.0 * d
+          if (sc < s1) { b2 = b1; s2 = s1; b1 = cb(j)._1; s1 = sc }
+          else if (sc < s2) { b2 = cb(j)._1; s2 = sc }
+          j += 1
+        }
+        Iterator((id, e, nrm, b1), (id, e, nrm, b2))
+      }).toDF("query_id", "q_emb", "q_nrm", "cell")
+  }
+
+  /** Scaled training run: k from the corpus count, Lloyd on the
+    * deterministic `vec_id % m` subsample (m = [[trainStride]]), the
+    * exact fixed-point UPDATE machinery of [[updateCentroids]]
+    * unchanged — so the whole run stays bit-deterministic and
+    * oracle-checkable at any k.
+    */
+  private def learnedCentroidsScaled(emb: DataFrame): Seq[KmCentroid] = {
+    val n = emb.count()
+    val k = scaledK(n)
+    val train = emb.filter(col("vec_id") % trainStride(n, k) === 0)
+    var cents = updateCentroids(modelAssign(train, latticeModel(k), byMaxDot = true))
+    for (_ <- 1 until KmIters)
+      cents = updateCentroids(modelAssign(train, cents, byMaxDot = false))
+    require(cents.size >= 2, s"scaled k-means degenerated to ${cents.size} cell(s)")
     cents
   }
 
@@ -951,6 +1081,62 @@ object SimilarityQueries {
         .filter(col("rnk") <= K)
         .select(col("query_id"), col("vec_id").as("neighbor_id"), col("rnk"),
           round(col("cos"), 6).as("cos_r"))
+    }),
+
+    // IVF ANN where the cell count TRACKS the corpus — the 100 TB
+    // form of knn_ivf_kmeans. Fixed k makes candidate volume Q·N/k,
+    // quadratic once queries scale with the corpus (measured 49.8×
+    // for 10× data at k=8, SCALE.md sf10 decade); k = N/CellTarget
+    // bounds candidates per query at ~2·CellTarget regardless of N.
+    // Training reads only the vec_id % m subsample (~TrainPerCell·k
+    // vectors, the FAISS max-points-per-centroid convention), the
+    // one-pass final ASSIGN and retrieval scan the corpus once each
+    // — every stage linear in N. Model application is a driver-held-
+    // model mapPartitions loop (k is data-dependent; k literal dot
+    // expressions would hit janino's method ceiling past ~128).
+    "knn_ivf_scaled" -> ((s, dir) => {
+      import s.implicits._
+      val emb0 = corpus(s, dir)
+      val cents = learnedCentroidsScaled(emb0)
+      val embA = modelAssign(emb0, cents, byMaxDot = false)
+        .withColumn("nrm", VectorFunctions.norm(col("embedding")))
+      val q = modelProbe2(queriesOf(emb0), cents)
+      // project to (ids, score) BEFORE ranking and use the bounded
+      // top-k aggregator: candidates are ~2·CellTarget per query at
+      // any N, but a rank window would still sort them carrying both
+      // embedding arrays (~550 B/row); the partial agg moves
+      // Q×K×partitions skinny rows instead.
+      val scored = broadcast(q).join(embA, Seq("cell"))
+        .filter(col("query_id") =!= col("vec_id"))
+        .select(col("query_id"), col("vec_id"), cosCol.as("cos"))
+        .as[(Long, Long, Double)]
+      topKSelect(scored, K, "cos_r")
+    }),
+
+    // SemDeDup with corpus-tracking cells — the scale form of
+    // dedup_semantic. The within-cell pair expansion is Σ|cell|²:
+    // at fixed k=8 cells grow with N and pairs grow N² (measured
+    // 29.2× for 10× data); at k = N/CellTarget each cell stays
+    // ~CellTarget so pair volume is N·CellTarget — linear. Same
+    // greedy-by-id keep rule, same one cell-keyed shuffle.
+    "dedup_semantic_scaled" -> ((s, dir) => {
+      val emb0 = corpus(s, dir)
+      val cents = learnedCentroidsScaled(emb0)
+      val asg = modelAssign(emb0, cents, byMaxDot = false)
+        .withColumn("nrm", VectorFunctions.norm(col("embedding")))
+        .localCheckpoint()
+      val l = asg.select(col("vec_id").as("a_id"), col("embedding").as("a_emb"),
+        col("nrm").as("a_nrm"), col("cell"))
+      val r = asg.select(col("vec_id").as("b_id"), col("embedding").as("b_emb"),
+        col("nrm").as("b_nrm"), col("cell"))
+      val dom = l.join(r, Seq("cell"))
+        .filter(col("a_id") < col("b_id") &&
+          VectorFunctions.dot(col("a_emb"), col("b_emb")) /
+            (col("a_nrm") * col("b_nrm")) >= SemTau)
+        .select(col("b_id").as("vec_id")).distinct()
+      asg.join(dom.withColumn("dup", lit(1)), Seq("vec_id"), "left")
+        .select(col("vec_id"), col("cell"),
+          (lit(1) - coalesce(col("dup"), lit(0))).as("is_kept"))
     })
   )
 
@@ -970,22 +1156,26 @@ object SimilarityQueries {
   private val ccExpr = "list_reduce(list_prepend(0.0::DOUBLE, " +
     s"[c[i]::DOUBLE * c[i]::DOUBLE for i in range(1, ${Dim + 1})]), (acc, v) -> acc + v)"
 
+  // The three Lloyd-round fragments, parameterized over the relation
+  // they scan (shared by the fixed-k mirror and the scaled-k mirror;
+  // the fixed-k texts are byte-identical to their pre-factoring form).
+  private def kmUpdateSql(prev: String): String =
+    s"(SELECT cell, COUNT(*) AS n, $laneSums AS s FROM $prev GROUP BY cell)"
+  private def kmCentsSql(m: String): String =
+    s"(SELECT cell, c, $ccExpr AS cc FROM (SELECT cell, n, $centList AS c FROM $m))"
+  private def kmAssignSql(c: String, fxRel: String): String =
+    s"""(SELECT vec_id, embedding, fx, cell FROM (
+       |  SELECT f.vec_id, f.embedding, f.fx, c.cell,
+       |    ROW_NUMBER() OVER (PARTITION BY f.vec_id ORDER BY
+       |      c.cc - 2 * ${VectorFunctions.Sql.dot("f.embedding", "c.c", Dim)} ASC,
+       |      c.cell ASC) AS rn
+       |  FROM $fxRel f CROSS JOIN $c c) WHERE rn = 1)""".stripMargin
+
   private def kmeansCtes: String = {
-    def update(prev: String) =
-      s"(SELECT cell, COUNT(*) AS n, $laneSums AS s FROM $prev GROUP BY cell)"
-    def cents(m: String) =
-      s"(SELECT cell, c, $ccExpr AS cc FROM (SELECT cell, n, $centList AS c FROM $m))"
-    def assign(c: String) =
-      s"""(SELECT vec_id, embedding, fx, cell FROM (
-         |  SELECT f.vec_id, f.embedding, f.fx, c.cell,
-         |    ROW_NUMBER() OVER (PARTITION BY f.vec_id ORDER BY
-         |      c.cc - 2 * ${VectorFunctions.Sql.dot("f.embedding", "c.c", Dim)} ASC,
-         |      c.cell ASC) AS rn
-         |  FROM fx f CROSS JOIN $c c) WHERE rn = 1)""".stripMargin
     val rounds = (1 to KmIters).map { r =>
-      s"""m$r AS ${update(s"a${r - 1}")},
-         |c$r AS ${cents(s"m$r")},
-         |a$r AS ${assign(s"c$r")}""".stripMargin
+      s"""m$r AS ${kmUpdateSql(s"a${r - 1}")},
+         |c$r AS ${kmCentsSql(s"m$r")},
+         |a$r AS ${kmAssignSql(s"c$r", "fx")}""".stripMargin
     }.mkString(",\n")
     s"""fx AS (
        |  SELECT vec_id, embedding, $fxList AS fx,
@@ -994,6 +1184,48 @@ object SimilarityQueries {
        |a0 AS (SELECT vec_id, embedding, fx,
        |         list_position(dots, list_max(dots)) AS cell FROM fx),
        |$rounds""".stripMargin
+  }
+
+  /** The SCALED k-means mirror: identical Lloyd machinery, but the
+    * cell count k derives from COUNT(*) (k = clamp(N/[[CellTarget]],
+    * [[KScaledMin]], [[KScaledMax]])) and training runs on the
+    * deterministic `vec_id % m = 0` subsample (m sized for
+    * ~[[TrainPerCell]]·k training vectors — the FAISS convention that
+    * keeps training cost independent of N). The lattice init builds
+    * centroids as ROWS from the same closed-form weight formula
+    * [[VectorFunctions.centroidDots]] unrolls textually, so the whole
+    * chain is generic over k: no SQL text depends on the data-derived
+    * cell count. `sall` is the final full-corpus assignment.
+    * [[KScaledMax]] = 2048 keeps (1000+j)·1000003·2654435761 inside
+    * int64 on BOTH engines (Scala Long would silently wrap and DuckDB
+    * BIGINT would raise past j ≈ 2400).
+    */
+  private def kmeansCtesScaled: String = {
+    val w = "((((1000 + j) * 1000003 + i) * 2654435761) // 1024) % 7 - 3"
+    val rounds = (1 to KmIters).map { r =>
+      s"""sm$r AS ${kmUpdateSql(s"sa${r - 1}")},
+         |sc$r AS ${kmCentsSql(s"sm$r")},
+         |sa$r AS ${kmAssignSql(s"sc$r", "strain")}""".stripMargin
+    }.mkString(",\n")
+    s"""kk AS (SELECT GREATEST($KScaledMin, LEAST($KScaledMax,
+       |         CAST(COUNT(*) // $CellTarget AS INT))) AS k,
+       |       GREATEST(1, CAST(COUNT(*) // ($TrainPerCell * GREATEST($KScaledMin,
+       |         LEAST($KScaledMax, CAST(COUNT(*) // $CellTarget AS INT)))) AS BIGINT)) AS m
+       |       FROM embeddings),
+       |l0 AS (SELECT cell, c, $ccExpr AS cc FROM (
+       |         SELECT CAST(j + 1 AS INT) AS cell,
+       |           [($w)::FLOAT for i in range(1, ${Dim + 1})] AS c
+       |         FROM (SELECT unnest(range(0, k)) AS j FROM kk))),
+       |sfx AS (SELECT vec_id, embedding, $fxList AS fx FROM embeddings),
+       |strain AS (SELECT * FROM sfx WHERE vec_id % (SELECT m FROM kk) = 0),
+       |sa0 AS (SELECT vec_id, embedding, fx, cell FROM (
+       |  SELECT f.vec_id, f.embedding, f.fx, c.cell,
+       |    ROW_NUMBER() OVER (PARTITION BY f.vec_id ORDER BY
+       |      ${VectorFunctions.Sql.dot("f.embedding", "c.c", Dim)} DESC,
+       |      c.cell ASC) AS rn
+       |  FROM strain f CROSS JOIN l0 c) WHERE rn = 1),
+       |$rounds,
+       |sall AS ${kmAssignSql(s"sc$KmIters", "sfx")}""".stripMargin
   }
 
   // DuckDB fragments of the PQ training mirror — the kmeansCtes
@@ -1478,6 +1710,36 @@ object SimilarityQueries {
     "dedup_semantic" ->
       s"""WITH $kmeansCtes,
          |g AS (SELECT vec_id, embedding, cell FROM a$KmIters),
+         |dom AS (
+         |  SELECT DISTINCT b.vec_id FROM g a JOIN g b
+         |    ON a.cell = b.cell AND a.vec_id < b.vec_id
+         |  WHERE ${VectorFunctions.Sql.cosine("a.embedding", "b.embedding", Dim)} >= $SemTau)
+         |SELECT g.vec_id, g.cell,
+         |  CASE WHEN d.vec_id IS NULL THEN 1 ELSE 0 END AS is_kept
+         |FROM g LEFT JOIN dom d ON g.vec_id = d.vec_id""".stripMargin,
+    "knn_ivf_scaled" ->
+      s"""WITH $kmeansCtesScaled,
+         |qp AS (
+         |  SELECT vec_id, cell FROM (
+         |    SELECT f.vec_id, c.cell,
+         |      ROW_NUMBER() OVER (PARTITION BY f.vec_id ORDER BY
+         |        c.cc - 2 * ${VectorFunctions.Sql.dot("f.embedding", "c.c", Dim)} ASC,
+         |        c.cell ASC) AS rn
+         |    FROM sfx f CROSS JOIN sc$KmIters c WHERE f.vec_id % 50 = 0)
+         |  WHERE rn <= 2)
+         |SELECT query_id, neighbor_id, rnk, cos_r FROM (
+         |  SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+         |    ROW_NUMBER() OVER (PARTITION BY q.vec_id
+         |      ORDER BY ${VectorFunctions.Sql.cosine("q.embedding", "e.embedding", Dim)} DESC,
+         |               e.vec_id ASC) AS rnk,
+         |    ROUND(${VectorFunctions.Sql.cosine("q.embedding", "e.embedding", Dim)}, 6) AS cos_r
+         |  FROM (SELECT qp.vec_id, qp.cell, f.embedding
+         |        FROM qp JOIN sfx f ON qp.vec_id = f.vec_id) q
+         |  JOIN sall e ON q.cell = e.cell AND q.vec_id != e.vec_id
+         |) WHERE rnk <= $K""".stripMargin,
+    "dedup_semantic_scaled" ->
+      s"""WITH $kmeansCtesScaled,
+         |g AS (SELECT vec_id, embedding, cell FROM sall),
          |dom AS (
          |  SELECT DISTINCT b.vec_id FROM g a JOIN g b
          |    ON a.cell = b.cell AND a.vec_id < b.vec_id
