@@ -975,7 +975,19 @@ object DedupQueries {
       // enough partitions to stay in memory. Scoped to a child session
       // (conf isolation, same pattern as the bucketed entries).
       val s = Tables.scopedSession(parent)
-      s.conf.set("spark.sql.adaptive.coalescePartitions.initialPartitionNum", "128")
+      // Initial partitions must TRACK VOLUME across decades, not sit at
+      // one measured point: 128 was right at 5.7 MB of documents (sf1,
+      // measured 76.6 → 31.0 s) but spilled again at 57 MB (sf10,
+      // measured 497 s). Derive from the input's actual bytes at the
+      // measured-good ratio (~45 KB of compressed docs per initial
+      // partition); AQE coalescing still merges small SFs back down,
+      // so the floor stays 32 and tiny inputs plan exactly as before.
+      val docPath = new org.apache.hadoop.fs.Path(s"$dir/documents.parquet")
+      val docBytes = docPath.getFileSystem(s.sparkContext.hadoopConfiguration)
+        .getContentSummary(docPath).getLength
+      val initialParts = math.max(32L, math.min(4096L, docBytes / 45000L))
+      s.conf.set("spark.sql.adaptive.coalescePartitions.initialPartitionNum",
+        initialParts.toString)
       val docs = Tables.documents(s, dir)
         .select(col("doc_id"), col("source"), trigrams("text").as("tg"))
         .withColumn("sz", size(col("tg")))
