@@ -662,6 +662,56 @@ object SimilarityQueries {
       })
   }
 
+  /** The SCALED IVF-PQ scored relation — [[ivfPqScored]]'s anatomy on
+    * the corpus-tracking coarse quantizer ([[learnedCentroidsScaled]]):
+    * k = N/CellTarget cells bound candidates per query at ~2·CellTarget
+    * vectors regardless of N (the fixed-k form measured 30× for 10×
+    * data at sf10 — SCALE.md second decade), while the residual-PQ
+    * tier still reads 4 B of codes per candidate. Every model
+    * application is a driver-held-model loop (k is data-dependent;
+    * k literal dot expressions would cross janino's method ceiling
+    * past ~128): residual/encode reuse the k-generic [[ivfResiduals]]/
+    * [[ivfPqEncode]] loops unchanged, and the query probe is
+    * [[modelProbe2]] — the same (score ASC, cell ASC) keep-first pair
+    * as the fixed-k masked argmin. ADC scoring adds the coarse term
+    * first, then the 8 residual terms in subspace order — the literal
+    * addition order the oracle mirrors.
+    */
+  private def ivfPqScoredScaled(
+      s: SparkSession, dir: String): org.apache.spark.sql.Dataset[(Long, Long, Double)] = {
+    import s.implicits._
+    val emb0 = corpus(s, dir)
+    val ivfCents = learnedCentroidsScaled(emb0)
+    val emb = Tables.embeddings(s, dir)
+    val res = ivfResiduals(emb, ivfCents).localCheckpoint()
+    val rcb = pqCodebooks(res)
+    val cb = pqCodebookArrays(rcb)
+    val cellIdx: Array[Map[Int, Int]] =
+      cb.map(cs => cs.iterator.zipWithIndex.map { case (c, i) => c._1 -> i }.toMap)
+    val ivfByCell: Map[Int, Array[Float]] =
+      ivfCents.map(c => c.cell -> c.cf).toMap
+    val index = ivfPqEncode(emb, ivfCents, rcb)
+    val q = modelProbe2(queriesOf(emb0), ivfCents)
+      .select(col("query_id"), col("q_emb"), col("cell"))
+    broadcast(q).join(index, Seq("cell"))
+      .filter(col("query_id") =!= col("vec_id"))
+      .select(col("query_id"), col("q_emb"), col("cell"), col("vec_id"),
+        col("codes"))
+      .as[(Long, Array[Float], Int, Long, Array[Int])]
+      .mapPartitions(_.map { case (qid, qEmb, cell, vid, cds) =>
+        val cf = ivfByCell(cell)
+        var est = 0.0
+        var i = 0
+        while (i < Dim) { est += qEmb(i).toDouble * cf(i).toDouble; i += 1 }
+        var sp = 0
+        while (sp < PqM) {
+          est += pqSubDot(qEmb, sp * PqSub, cb(sp)(cellIdx(sp)(cds(sp)))._2)
+          sp += 1
+        }
+        (qid, vid, est)
+      })
+  }
+
   /** Full PQ training run: warm start + KmIters Lloyd rounds, one
     * corpus scan (encode) + one ≤128-row update shuffle per round.
     */
@@ -1137,7 +1187,18 @@ object SimilarityQueries {
       asg.join(dom.withColumn("dup", lit(1)), Seq("vec_id"), "left")
         .select(col("vec_id"), col("cell"),
           (lit(1) - coalesce(col("dup"), lit(0))).as("is_kept"))
-    })
+    }),
+
+    // IVF-PQ retrieval with the corpus-tracking coarse quantizer —
+    // the billion-scale FAISS serving shape (cell-bounded ADC scan →
+    // 3K shortlist → exact-cosine re-rank) with BOTH scale levers
+    // sized to the data: cells track N (candidates per query stay
+    // ~2·CellTarget at any corpus), codes stay 4 B per candidate.
+    // Completes the port SCALE.md's second-decade table queued: the
+    // fixed-k twin measured 30× for 10× data; this form's per-stage
+    // costs are linear in N (training reads the fixed subsample,
+    // encode and retrieval scan once each).
+    "knn_ivfpq_scaled" -> ((s, dir) => exactRerank(ivfPqScoredScaled(s, dir), s, dir))
   )
 
   /** CTE chain mirroring [[learnedCentroids]] round for round: fx =
@@ -1292,14 +1353,18 @@ object SimilarityQueries {
 
   /** Residual table mirror: each vector's assigned coarse cell (the
     * kmeansCtes assignment) and x − c in the shared double-subtract
-    * float-round spelling.
+    * float-round spelling. Parameterized over the assignment and
+    * centroid relations so the fixed-k chain (a/c of kmeansCtes) and
+    * the scaled-k chain (sall/sc of kmeansCtesScaled) share one text.
     */
-  private def ivfpqResCte: String =
+  private def ivfpqResCteFor(asgRel: String, centsRel: String): String =
     s"""res AS (
        |  SELECT a.vec_id, a.cell,
        |    [CAST(a.embedding[i]::DOUBLE - c.c[i]::DOUBLE AS FLOAT)
        |     for i in range(1, ${Dim + 1})] AS embedding
-       |  FROM a$KmIters a JOIN c$KmIters c ON a.cell = c.cell)""".stripMargin
+       |  FROM $asgRel a JOIN $centsRel c ON a.cell = c.cell)""".stripMargin
+
+  private def ivfpqResCte: String = ivfpqResCteFor(s"a$KmIters", s"c$KmIters")
 
   /** Oracle for the streaming vector-index ingest
     * (`embedding_ingest_stream`): codebooks train on the index subset
@@ -1327,9 +1392,12 @@ object SimilarityQueries {
   /** The cell-bounded ADC score CTEs of the IVF-PQ index (probe
     * relation `qp` at nprobe = 2 + scored candidate relation `sc`:
     * coarse term + 8 residual terms added in literal order) — shared
-    * by the single-stage and re-ranked retrieval oracles.
+    * by the single-stage and re-ranked retrieval oracles, and
+    * parameterized over the lifted-corpus and coarse-centroid
+    * relations so the scaled-k chain (sfx/sc of kmeansCtesScaled)
+    * reuses the exact score text of the fixed-k chain (fx/c).
     */
-  private def ivfpqScoreCtes: String = {
+  private def ivfpqScoreCtesFor(fxRel: String, centsRel: String): String = {
     val joins = (0 until PqM).map { s =>
       s"""JOIN pa$KmIters a$s ON a$s.vec_id = r.vec_id AND a$s.sp = $s
          |JOIN pc$KmIters b$s ON b$s.sp = $s AND b$s.cell = a$s.cell""".stripMargin
@@ -1344,17 +1412,19 @@ object SimilarityQueries {
        |      ROW_NUMBER() OVER (PARTITION BY f.vec_id ORDER BY
        |        c.cc - 2 * ${VectorFunctions.Sql.dot("f.embedding", "c.c", Dim)} ASC,
        |        c.cell ASC) AS rn
-       |    FROM fx f CROSS JOIN c$KmIters c WHERE f.vec_id % 50 = 0)
+       |    FROM $fxRel f CROSS JOIN $centsRel c WHERE f.vec_id % 50 = 0)
        |  WHERE rn <= 2),
        |sc AS (
        |  SELECT q.vec_id AS query_id, r.vec_id AS nid,
        |    ${VectorFunctions.Sql.dot("q.embedding", "civ.c", Dim)} + $terms AS est
        |  FROM (SELECT qp.vec_id, qp.cell, f.embedding
-       |        FROM qp JOIN fx f ON qp.vec_id = f.vec_id) q
+       |        FROM qp JOIN $fxRel f ON qp.vec_id = f.vec_id) q
        |  JOIN res r ON q.cell = r.cell AND q.vec_id != r.vec_id
-       |  JOIN c$KmIters civ ON civ.cell = r.cell
+       |  JOIN $centsRel civ ON civ.cell = r.cell
        |  $joins)""".stripMargin
   }
+
+  private def ivfpqScoreCtes: String = ivfpqScoreCtesFor("fx", s"c$KmIters")
 
   private def pqAdcSelect: String =
     s"""$pqAdcScoreCte
@@ -1746,6 +1816,30 @@ object SimilarityQueries {
          |  WHERE ${VectorFunctions.Sql.cosine("a.embedding", "b.embedding", Dim)} >= $SemTau)
          |SELECT g.vec_id, g.cell,
          |  CASE WHEN d.vec_id IS NULL THEN 1 ELSE 0 END AS is_kept
-         |FROM g LEFT JOIN dom d ON g.vec_id = d.vec_id""".stripMargin
+         |FROM g LEFT JOIN dom d ON g.vec_id = d.vec_id""".stripMargin,
+    "knn_ivfpq_scaled" ->
+      // the knn_ivfpq_rerank mirror on the scaled chain: scaled Lloyd
+      // (kmeansCtesScaled: sall = full assignment, sc2 = centroids) →
+      // residuals → residual-PQ training → cell-bounded ADC at
+      // rnk ≤ 3K → exact-cosine re-rank over shortlist rows only
+      s"""WITH $kmeansCtesScaled,
+         |${ivfpqResCteFor("sall", s"sc$KmIters")},
+         |${pqCtes("res")},
+         |${ivfpqScoreCtesFor("sfx", s"sc$KmIters")},
+         |sl AS (
+         |  SELECT query_id, nid AS neighbor_id FROM (
+         |    SELECT query_id, nid,
+         |      ROW_NUMBER() OVER (PARTITION BY query_id
+         |        ORDER BY est DESC, nid ASC) AS rnk
+         |    FROM sc) WHERE rnk <= ${3 * K})
+         |SELECT query_id, neighbor_id, rnk, cos_r FROM (
+         |  SELECT sl.query_id, sl.neighbor_id,
+         |    ROW_NUMBER() OVER (PARTITION BY sl.query_id
+         |      ORDER BY ${VectorFunctions.Sql.cosine("qe.embedding", "ne.embedding", Dim)} DESC,
+         |               sl.neighbor_id ASC) AS rnk,
+         |    ROUND(${VectorFunctions.Sql.cosine("qe.embedding", "ne.embedding", Dim)}, 6) AS cos_r
+         |  FROM sl JOIN embeddings qe ON sl.query_id = qe.vec_id
+         |          JOIN embeddings ne ON sl.neighbor_id = ne.vec_id
+         |) WHERE rnk <= $K""".stripMargin
   )
 }

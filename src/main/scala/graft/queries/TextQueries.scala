@@ -239,41 +239,7 @@ object TextQueries {
     // materialize only in LSH buckets, eval grams broadcast, the
     // pack shuffle carries narrow rows, and the final meta join is
     // doc_id-keyed. Text never crosses an exchange anywhere.
-    "text_recipe_pipeline" -> ((s, dir) => {
-      import s.implicits._
-      val gated = gatedDocs(s, dir)
-      val manifest0 = gated
-        .join(canonicalOf(s, gated), "doc_id")
-        .select(col("doc_id"), col("source"), splitCol.as("split"),
-          col("text"),
-          tokenCount(col("text")).cast("long").as("n_tokens"))
-      val contaminated = manifest0.filter(col("split") =!= "test")
-        .select(col("doc_id"), explode(
-          graft.functions.expressions.WordNgrams(col("text"), ContaminationN)).as("g"))
-        .join(broadcast(evalGramsOf(s, dir)), "g")
-        .select(col("doc_id")).distinct()
-      val rate = MixtureRates.foldRight(lit(0): Column) {
-        case ((src, r), els) => when(col("source") === src, lit(r)).otherwise(els)
-      }
-      val mh = tokenHash(concat(col("doc_id").cast("string"), lit(":mix"))) % 100
-      val sampled = manifest0
-        .join(contaminated, Seq("doc_id"), "left_anti")
-        .filter(mh < rate)
-        .select(col("doc_id"), col("source"), col("split"), col("n_tokens"))
-        .localCheckpoint() // feeds both the pack shuffle and the meta join
-      val packed = sampled
-        .select(col("doc_id"),
-          (tokenHash(col("doc_id").cast("string")) % PackBuckets).as("bucket"),
-          col("n_tokens"))
-        .as[(Long, Long, Long)]
-        .repartition(col("bucket"))
-        .sortWithinPartitions("bucket", "doc_id")
-        .mapPartitions(packScan _)
-        .toDF("doc_id", "bucket", "seq_idx", "n_tokens_p")
-      packed.join(sampled, "doc_id")
-        .select(col("doc_id"), col("source"), col("split"),
-          col("bucket"), col("seq_idx"), col("n_tokens"))
-    }),
+    "text_recipe_pipeline" -> ((s, dir) => recipeParts(s, dir).result),
 
     // Per-doc salient terms by tf·idf — the keyword/topic signal of a
     // corpus-analysis pass. Two-phase: document frequencies from one
@@ -1012,6 +978,53 @@ object TextQueries {
     Tables.documents(s, dir)
       .filter(stopwordRatio(col("text")) >= 0.05)
       .localCheckpoint()
+
+  /** The composed recipe's intermediate relations, named so the
+    * scaling stage probe ([[graft.tools.ProbeRecipe]]) can time each
+    * one — ONE spelling: the registered `text_recipe_pipeline` entry
+    * consumes [[RecipeParts.result]].
+    */
+  private[graft] case class RecipeParts(
+      gated: DataFrame, canon: DataFrame, manifest0: DataFrame,
+      contaminated: DataFrame, sampled: DataFrame, result: DataFrame)
+
+  private[graft] def recipeParts(s: SparkSession, dir: String): RecipeParts = {
+    import s.implicits._
+    val gated = gatedDocs(s, dir)
+    val canon = canonicalOf(s, gated)
+    val manifest0 = gated
+      .join(canon, "doc_id")
+      .select(col("doc_id"), col("source"), splitCol.as("split"),
+        col("text"),
+        tokenCount(col("text")).cast("long").as("n_tokens"))
+    val contaminated = manifest0.filter(col("split") =!= "test")
+      .select(col("doc_id"), explode(
+        graft.functions.expressions.WordNgrams(col("text"), ContaminationN)).as("g"))
+      .join(broadcast(evalGramsOf(s, dir)), "g")
+      .select(col("doc_id")).distinct()
+    val rate = MixtureRates.foldRight(lit(0): Column) {
+      case ((src, r), els) => when(col("source") === src, lit(r)).otherwise(els)
+    }
+    val mh = tokenHash(concat(col("doc_id").cast("string"), lit(":mix"))) % 100
+    val sampled = manifest0
+      .join(contaminated, Seq("doc_id"), "left_anti")
+      .filter(mh < rate)
+      .select(col("doc_id"), col("source"), col("split"), col("n_tokens"))
+      .localCheckpoint() // feeds both the pack shuffle and the meta join
+    val packed = sampled
+      .select(col("doc_id"),
+        (tokenHash(col("doc_id").cast("string")) % PackBuckets).as("bucket"),
+        col("n_tokens"))
+      .as[(Long, Long, Long)]
+      .repartition(col("bucket"))
+      .sortWithinPartitions("bucket", "doc_id")
+      .mapPartitions(packScan _)
+      .toDF("doc_id", "bucket", "seq_idx", "n_tokens_p")
+    val result = packed.join(sampled, "doc_id")
+      .select(col("doc_id"), col("source"), col("split"),
+        col("bucket"), col("seq_idx"), col("n_tokens"))
+    RecipeParts(gated, canon, manifest0, contaminated, sampled, result)
+  }
 
   /** Near-dup cluster canonicals (minimum-id doc per connected
     * component of the LSH-verified pair graph) over a gated corpus —
