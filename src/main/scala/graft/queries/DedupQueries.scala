@@ -18,6 +18,31 @@ object DedupQueries {
   private val Dim = 64 // embedding dimensionality of the driver tables
   private val EmbBands = 4 // hyperplane-LSH bands for embedding dedup
   private val EmbBandBits = 8 // independent sign bits per band (32-bit bucket)
+
+  // ---- Scaled embedding-LSH sizing: band WIDTH tracks the corpus. ----
+  // Fixed band bits make per-band bucket count constant (2^bits per
+  // label), so bucket occupancy grows ∝ N and the in-bucket pair
+  // expansion Σ|bucket|² grows N² — the same fixed-knob trap the IVF
+  // family measured at 30-50× for 10× data (SCALE.md second decade).
+  // Growing bits with the corpus keeps ~EmbBucketTarget rows per
+  // bucket, so candidate volume stays ~N·target — linear. Band COUNT
+  // stays fixed (the OR over bands is the recall contract); width is
+  // the occupancy knob, exactly minhash-LSH's rows-per-band.
+  private val EmbBucketTarget = 250L
+  private val EmbBitsMin = 4
+  private val EmbBitsMax = 20
+
+  /** Smallest b in [[EmbBitsMin]], [[EmbBitsMax]]] with
+    * 2^b · [[EmbBucketTarget]] ≥ n — EXACT integer arithmetic, so both
+    * engines agree by construction (a float ceil(log2(n/target))
+    * could disagree by one ulp exactly at the power-of-two boundaries
+    * where the answer changes).
+    */
+  private[queries] def embBandBits(n: Long): Int = {
+    var b = EmbBitsMin
+    while (b < EmbBitsMax && (1L << b) * EmbBucketTarget < n) b += 1
+    b
+  }
   val LpRounds = 2 // synchronous label-propagation rounds (see labelPropagation)
 
   /** dedup_ngram_jaccard's similarity threshold t. The prefix length
@@ -1132,6 +1157,59 @@ object DedupQueries {
             (col("a.nrm") * col("b.nrm")))
         .filter(col("cos") >= 0.3)
         .select(col("id_a"), col("id_b"), round(col("cos"), 6).as("cos_r"))
+    }),
+
+    // Embedding-LSH near-dup mining with corpus-tracking band width —
+    // the 100 TB form of dedup_embedding_pairs. bits = smallest b with
+    // 2^b·EmbBucketTarget ≥ N (exact integer search, both engines), so
+    // bucket occupancy stays ~EmbBucketTarget and pair expansion stays
+    // ~N·target instead of N²/2^bits. Hyperplanes are the SAME
+    // closed-form integer-lattice family as the fixed entry, built as
+    // driver-held model rows instead of literal expressions (bit count
+    // is data-dependent; 4·20 = 80 literal dot exprs would crowd
+    // janino's method ceiling — the PQ-encode lesson), applied in one
+    // compute-repartitioned mapPartitions pass.
+    "dedup_embedding_scaled" -> ((s, dir) => {
+      import s.implicits._
+      val emb = Tables.embeddings(s, dir)
+      val bits = embBandBits(emb.count())
+      val nBands = EmbBands
+      val planes: Array[Array[Float]] = Array.tabulate(nBands * bits) { h =>
+        Array.tabulate(Dim) { j0 =>
+          val j = j0 + 1
+          ((h.toLong * 1000003L + j) * 2654435761L / 1024L % 7L - 3L).toFloat
+        }
+      }
+      val banded = emb.select(col("vec_id"), col("label"), col("embedding"))
+        .repartition(s.sparkContext.defaultParallelism)
+        .as[(Long, Int, Array[Float])]
+        .mapPartitions(_.flatMap { case (id, label, e) =>
+          val bvals = new Array[Long](nBands)
+          var h = 0
+          while (h < planes.length) {
+            var d = 0.0
+            var i = 0
+            while (i < e.length) { d += e(i).toDouble * planes(h)(i).toDouble; i += 1 }
+            if (d > 0) bvals(h / bits) |= 1L << (h % bits)
+            h += 1
+          }
+          Iterator.tabulate(nBands)(k => (id, label, k, bvals(k)))
+        }).toDF("vec_id", "label", "band", "bval")
+      val cand = banded.as("x").join(banded.as("y"),
+          col("x.label") === col("y.label") && col("x.band") === col("y.band") &&
+            col("x.bval") === col("y.bval") && col("x.vec_id") < col("y.vec_id"))
+        .select(col("x.vec_id").as("id_a"), col("y.vec_id").as("id_b"))
+        .distinct()
+      val vecs = emb.select(col("vec_id"), col("embedding"),
+        VectorFunctions.norm(col("embedding")).as("nrm"))
+      cand
+        .join(vecs.as("a"), col("id_a") === col("a.vec_id"))
+        .join(vecs.as("b"), col("id_b") === col("b.vec_id"))
+        .withColumn("cos",
+          VectorFunctions.dot(col("a.embedding"), col("b.embedding")) /
+            (col("a.nrm") * col("b.nrm")))
+        .filter(col("cos") >= 0.3)
+        .select(col("id_a"), col("id_b"), round(col("cos"), 6).as("cos_r"))
     })
   )
 
@@ -1358,6 +1436,42 @@ object DedupQueries {
          |  ROUND(${VectorFunctions.Sql.cosine("a.embedding", "b.embedding", Dim)}, 6) AS cos_r
          |FROM bk a JOIN bk b
          |  ON a.label = b.label AND a.vec_id < b.vec_id AND $bandMatch
+         |WHERE ${VectorFunctions.Sql.cosine("a.embedding", "b.embedding", Dim)} >= 0.3""".stripMargin
+    },
+    "dedup_embedding_scaled" -> {
+      // bits-generic mirror: nb computes the band width by the same
+      // exact integer search (no SQL text depends on the data-derived
+      // width), hp builds the closed-form hyperplanes as ROWS, sb/bd
+      // fold sign bits into per-band values, and the candidate/verify
+      // stages are the fixed entry's.
+      val dotW = s"list_reduce(list_prepend(0.0::DOUBLE, " +
+        s"[e.embedding[i]::DOUBLE * hp.w[i]::DOUBLE for i in range(1, ${Dim + 1})]), " +
+        "(acc, v) -> acc + v)"
+      s"""WITH nb AS (
+         |  SELECT COALESCE(MIN(bb), $EmbBitsMax) AS bb
+         |  FROM (SELECT unnest(range($EmbBitsMin, ${EmbBitsMax + 1})) AS bb) t,
+         |       (SELECT COUNT(*) AS n FROM embeddings) c
+         |  WHERE (1::BIGINT << bb) * $EmbBucketTarget >= c.n),
+         |hp AS (
+         |  SELECT h, [((((h*1000003 + i) * 2654435761) // 1024) % 7 - 3)::FLOAT
+         |             for i in range(1, ${Dim + 1})] AS w
+         |  FROM (SELECT unnest(range(0, $EmbBands * (SELECT bb FROM nb))) AS h)),
+         |sb AS (
+         |  SELECT e.vec_id, e.label, hp.h,
+         |    CASE WHEN $dotW > 0 THEN 1::BIGINT ELSE 0::BIGINT END AS bit
+         |  FROM embeddings e CROSS JOIN hp),
+         |bd AS (
+         |  SELECT vec_id, label, h // (SELECT bb FROM nb) AS band,
+         |    CAST(SUM(bit << (h % (SELECT bb FROM nb))) AS BIGINT) AS bval
+         |  FROM sb GROUP BY 1, 2, 3),
+         |cand AS (
+         |  SELECT DISTINCT x.vec_id AS id_a, y.vec_id AS id_b
+         |  FROM bd x JOIN bd y ON x.label = y.label AND x.band = y.band
+         |    AND x.bval = y.bval AND x.vec_id < y.vec_id)
+         |SELECT c.id_a, c.id_b,
+         |  ROUND(${VectorFunctions.Sql.cosine("a.embedding", "b.embedding", Dim)}, 6) AS cos_r
+         |FROM cand c JOIN embeddings a ON c.id_a = a.vec_id
+         |            JOIN embeddings b ON c.id_b = b.vec_id
          |WHERE ${VectorFunctions.Sql.cosine("a.embedding", "b.embedding", Dim)} >= 0.3""".stripMargin
     }
   )
