@@ -28,9 +28,9 @@ object DedupQueries {
   // bucket, so candidate volume stays ~N·target — linear. Band COUNT
   // stays fixed (the OR over bands is the recall contract); width is
   // the occupancy knob, exactly minhash-LSH's rows-per-band.
-  private val EmbBucketTarget = 250L
-  private val EmbBitsMin = 4
-  private val EmbBitsMax = 20
+  private[queries] val EmbBucketTarget = 250L
+  private[queries] val EmbBitsMin = 4
+  private[queries] val EmbBitsMax = 20
 
   /** Smallest b in [[EmbBitsMin]], [[EmbBitsMax]]] with
     * 2^b · [[EmbBucketTarget]] ≥ n — EXACT integer arithmetic, so both

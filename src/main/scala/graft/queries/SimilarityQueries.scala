@@ -1189,6 +1189,59 @@ object SimilarityQueries {
           (lit(1) - coalesce(col("dup"), lit(0))).as("is_kept"))
     }),
 
+    // LSH ANN with corpus-tracking bucket width — the 100 TB form of
+    // knn_lsh. Fixed 8 hyperplane bits = 256 buckets forever, so
+    // candidates per query grow ∝ N and total work ∝ Q·N/256 —
+    // quadratic once queries scale with the corpus (the
+    // dedup_embedding_pairs trap, measured 108× for 10× data on the
+    // banded form). bits = smallest b with 2^b·250 ≥ N (the shared
+    // exact integer search), so candidates per query stay
+    // ~(bits+1)·250 at any N. Probes stay exact-bucket + Hamming-1,
+    // emitted on the (small) query side so the corpus-side plan stays
+    // ONE bucket equi-join; hyperplanes are the same closed-form
+    // lattice family as driver-held model rows; ranking is the
+    // bounded TopKByScore partial agg (the knn_ivf_scaled anatomy).
+    "knn_lsh_scaled" -> ((s, dir) => {
+      import s.implicits._
+      val emb0 = corpus(s, dir)
+      val bits = DedupQueries.embBandBits(emb0.count())
+      val planes: Array[Array[Float]] = Array.tabulate(bits) { h =>
+        Array.tabulate(Dim) { j0 =>
+          val j = j0 + 1
+          ((h.toLong * 1000003L + j) * 2654435761L / 1024L % 7L - 3L).toFloat
+        }
+      }
+      def bucketOf(e: Array[Float]): Long = {
+        var bkt = 0L
+        var h = 0
+        while (h < planes.length) {
+          var d = 0.0
+          var i = 0
+          while (i < e.length) { d += e(i).toDouble * planes(h)(i).toDouble; i += 1 }
+          if (d > 0) bkt |= 1L << h
+          h += 1
+        }
+        bkt
+      }
+      val emb = emb0.select(col("vec_id"), col("embedding"), col("nrm"))
+        .repartition(s.sparkContext.defaultParallelism)
+        .as[(Long, Array[Float], Double)]
+        .mapPartitions(_.map { case (id, e, nrm) => (id, e, nrm, bucketOf(e)) })
+        .toDF("vec_id", "embedding", "nrm", "bucket")
+      val q = queriesOf(emb0)
+        .as[(Long, Array[Float], Double)]
+        .mapPartitions(_.flatMap { case (id, e, nrm) =>
+          val b0 = bucketOf(e)
+          Iterator.single((id, e, nrm, b0)) ++
+            Iterator.tabulate(planes.length)(b => (id, e, nrm, b0 ^ (1L << b)))
+        }).toDF("query_id", "q_emb", "q_nrm", "bucket")
+      val scored = broadcast(q).join(emb, Seq("bucket"))
+        .filter(col("query_id") =!= col("vec_id"))
+        .select(col("query_id"), col("vec_id"), cosCol.as("cos"))
+        .as[(Long, Long, Double)]
+      topKSelect(scored, K, "cos_r")
+    }),
+
     // IVF-PQ retrieval with the corpus-tracking coarse quantizer —
     // the billion-scale FAISS serving shape (cell-bounded ADC scan →
     // 3K shortlist → exact-cosine re-rank) with BOTH scale levers
@@ -1817,6 +1870,47 @@ object SimilarityQueries {
          |SELECT g.vec_id, g.cell,
          |  CASE WHEN d.vec_id IS NULL THEN 1 ELSE 0 END AS is_kept
          |FROM g LEFT JOIN dom d ON g.vec_id = d.vec_id""".stripMargin,
+    "knn_lsh_scaled" -> {
+      // bits-generic mirror (the dedup_embedding_scaled machinery on
+      // one bucket of bb bits): nb = exact integer width search, hp =
+      // hyperplane rows, bk = per-vector bucket fold. The probe set
+      // "exact bucket + Hamming-1" is bits-generic as a PREDICATE:
+      // xor = 0 OR bit_count(xor) = 1 (both buckets < 2^bb, so any
+      // one-bit xor is a probe bit) — no SQL text depends on bb.
+      val dotW = s"list_reduce(list_prepend(0.0::DOUBLE, " +
+        s"[e.embedding[i]::DOUBLE * hp.w[i]::DOUBLE for i in range(1, ${Dim + 1})]), " +
+        "(acc, v) -> acc + v)"
+      val cosQE = VectorFunctions.Sql.cosine("q.embedding", "e.embedding", Dim)
+      s"""WITH nb AS (
+         |  SELECT COALESCE(MIN(bb), ${DedupQueries.EmbBitsMax}) AS bb
+         |  FROM (SELECT unnest(range(${DedupQueries.EmbBitsMin}, ${DedupQueries.EmbBitsMax + 1})) AS bb) t,
+         |       (SELECT COUNT(*) AS n FROM embeddings) c
+         |  WHERE (1::BIGINT << bb) * ${DedupQueries.EmbBucketTarget} >= c.n),
+         |hp AS (
+         |  SELECT h, [((((h*1000003 + i) * 2654435761) // 1024) % 7 - 3)::FLOAT
+         |             for i in range(1, ${Dim + 1})] AS w
+         |  FROM (SELECT unnest(range(0, (SELECT bb FROM nb))) AS h)),
+         |sb AS (
+         |  SELECT e.vec_id, hp.h,
+         |    CASE WHEN $dotW > 0 THEN 1::BIGINT ELSE 0::BIGINT END AS bit
+         |  FROM embeddings e CROSS JOIN hp),
+         |bk AS (
+         |  SELECT vec_id, CAST(SUM(bit << h) AS BIGINT) AS bucket
+         |  FROM sb GROUP BY vec_id),
+         |be AS (
+         |  SELECT b.vec_id, b.bucket, e.embedding
+         |  FROM bk b JOIN embeddings e USING (vec_id))
+         |SELECT query_id, neighbor_id, rnk, cos_r FROM (
+         |  SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+         |    ROW_NUMBER() OVER (PARTITION BY q.vec_id
+         |      ORDER BY $cosQE DESC, e.vec_id ASC) AS rnk,
+         |    ROUND($cosQE, 6) AS cos_r
+         |  FROM (SELECT * FROM be WHERE vec_id % 50 = 0) q
+         |  JOIN be e ON (xor(q.bucket, e.bucket) = 0
+         |                OR bit_count(xor(q.bucket, e.bucket)) = 1)
+         |    AND q.vec_id != e.vec_id
+         |) WHERE rnk <= $K""".stripMargin
+    },
     "knn_ivfpq_scaled" ->
       // the knn_ivfpq_rerank mirror on the scaled chain: scaled Lloyd
       // (kmeansCtesScaled: sall = full assignment, sc2 = centroids) →
