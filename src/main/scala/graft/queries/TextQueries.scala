@@ -577,6 +577,38 @@ object TextQueries {
         .select(col("doc_id"), col("pos"))
     }),
 
+    // Global shuffle with corpus-tracking bucket count — the 100 TB
+    // form of text_global_shuffle. Fixed 32 buckets make the in-bucket
+    // rank window sort N/32 rows on ONE task (a ~3 TB task at 100 TB);
+    // buckets = clamp(N/ShuffleBucketTarget, 32, 2^20) keeps each
+    // range partition at ~ShuffleBucketTarget rows at any corpus size,
+    // and the offset relation stays a ≤buckets-row broadcast cumsum
+    // (skinny two-column rows — 2^20 of them is still MBs). Bucket
+    // count is computed from COUNT(*) by exact integer arithmetic on
+    // both engines; everything else is the fixed entry's two-level
+    // prefix sum unchanged.
+    "text_shuffle_scaled" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val n = Tables.documents(s, dir).count()
+      val nb = math.max(ShuffleBucketsMin,
+        math.min(ShuffleBucketsMax, n / ShuffleBucketTarget))
+      val docs = Tables.documents(s, dir)
+        .select(col("doc_id"),
+          tokenHash(concat(lit("shuf:"), col("doc_id").cast("string"))).as("h"))
+        .withColumn("b", (col("h") % nb).cast("int"))
+      val offs = docs.groupBy(col("b")).agg(count(lit(1)).as("cnt"))
+        .withColumn("off", coalesce(
+          sum(col("cnt")).over(
+            Window.orderBy(col("b")).rowsBetween(Window.unboundedPreceding, -1)),
+          lit(0L)))
+        .select(col("b"), col("off"))
+      docs.join(broadcast(offs), "b")
+        .withColumn("pos", col("off") +
+          row_number().over(Window.partitionBy(col("b"))
+            .orderBy(col("h"), col("doc_id"))))
+        .select(col("doc_id"), col("pos"))
+    }),
+
     // Deletion propagation plan (right-to-be-forgotten / takedown):
     // a batch of delete requests (fixture: doc_id % 131 = 0 — the
     // request TABLE shape, not a magic predicate) must purge not just
@@ -1090,6 +1122,15 @@ object TextQueries {
     */
   val ShuffleBuckets = 32
 
+  /** Corpus-tracking bucket sizing for `text_shuffle_scaled`:
+    * ~[[ShuffleBucketTarget]] rows per range partition, floored at the
+    * fixed entry's 32 and capped at 2²⁰ (at 128 MB-partition cluster
+    * scale the cap is never near; the offsets relation stays MBs).
+    */
+  val ShuffleBucketTarget = 1000L
+  val ShuffleBucketsMin = 32L
+  val ShuffleBucketsMax = 1L << 20
+
   /** Per-source keep rates (percent) for `text_mixture_sample` — the
     * corpus-composition config. One literal, rendered into the Spark
     * CASE and the oracle CASE; change here, change nowhere else.
@@ -1460,6 +1501,23 @@ object TextQueries {
     "text_global_shuffle" ->
       s"""WITH bs AS (
          |  SELECT doc_id, h, h % $ShuffleBuckets AS b FROM (
+         |    SELECT doc_id,
+         |      ${Sql.tokenHash("'shuf:' || CAST(doc_id AS VARCHAR)")} AS h
+         |    FROM documents)),
+         |cnts AS (SELECT b, COUNT(*) AS cnt FROM bs GROUP BY b),
+         |offs AS (SELECT b, COALESCE(SUM(cnt) OVER (ORDER BY b
+         |  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off FROM cnts)
+         |SELECT bs.doc_id, CAST(offs.off + ROW_NUMBER() OVER (
+         |  PARTITION BY bs.b ORDER BY bs.h, bs.doc_id) AS BIGINT) AS pos
+         |FROM bs JOIN offs ON bs.b = offs.b""".stripMargin,
+    "text_shuffle_scaled" ->
+      // the fixed oracle with the bucket count derived from COUNT(*)
+      // (exact integer clamp — no SQL text depends on the value)
+      s"""WITH nbk AS (
+         |  SELECT GREATEST($ShuffleBucketsMin, LEAST($ShuffleBucketsMax,
+         |    COUNT(*) // $ShuffleBucketTarget)) AS nb FROM documents),
+         |bs AS (
+         |  SELECT doc_id, h, h % (SELECT nb FROM nbk) AS b FROM (
          |    SELECT doc_id,
          |      ${Sql.tokenHash("'shuf:' || CAST(doc_id AS VARCHAR)")} AS h
          |    FROM documents)),
