@@ -38,7 +38,7 @@ object DedupQueries {
     * could disagree by one ulp exactly at the power-of-two boundaries
     * where the answer changes).
     */
-  private[queries] def embBandBits(n: Long): Int = {
+  private[graft] def embBandBits(n: Long): Int = {
     var b = EmbBitsMin
     while (b < EmbBitsMax && (1L << b) * EmbBucketTarget < n) b += 1
     b

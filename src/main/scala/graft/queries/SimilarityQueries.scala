@@ -46,7 +46,7 @@ object SimilarityQueries {
   private val KScaledMax = 2048
   private val TrainPerCell = 100L // training-sample budget per cell
 
-  private[queries] def scaledK(n: Long): Int =
+  private[graft] def scaledK(n: Long): Int =
     math.max(KScaledMin, math.min(KScaledMax, (n / CellTarget).toInt))
 
   /** Deterministic training-sample stride: vec_id % m == 0 keeps
@@ -55,7 +55,7 @@ object SimilarityQueries {
     * centroid convention) — at 100 TB training reads a fixed-size
     * sample while only the one-pass final ASSIGN scans everything.
     */
-  private[queries] def trainStride(n: Long, k: Int): Long =
+  private[graft] def trainStride(n: Long, k: Int): Long =
     math.max(1L, n / (TrainPerCell * k))
 
   /** Every 50th vector is a query — deterministic on both engines.
