@@ -27,6 +27,7 @@ object StorageQueries {
   val EvoPath = fixture("documents_evolution")
   val JsonlPath = fixture("documents_jsonl")
   val CodecPath = fixture("documents_codec")
+  val XmlPath = fixture("documents_xml")
 
   /** The partition-pruning predicate's source list: a 2-of-20
     * selection so the pruned scan touches 10% of directories.
@@ -60,6 +61,23 @@ object StorageQueries {
       val docs = Tables.documents(s, dir)
       docs.write.mode("overwrite").json(JsonlPath)
       TextQueries.tableChecksumOf(s.read.schema(docs.schema).json(JsonlPath))
+    }),
+
+    // Third interchange leg: parquet → XML → engine (Spark 4 ships the
+    // XML source natively — the format enterprise feeds and wiki/
+    // pubmed-style corpora still arrive in), same cross-engine
+    // checksum gate as ORC/JSONL. The read pins the EXPLICIT schema
+    // and the same rowTag the writer emitted; entity escaping
+    // (&lt; &amp; quotes) round-trips through the writer/reader pair
+    // and is proven byte-faithful by the md5 content fingerprint —
+    // the property an XML ingest must prove before a 100 TB backfill.
+    "docs_xml_roundtrip" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      docs.write.mode("overwrite")
+        .option("rowTag", "doc").format("xml").save(XmlPath)
+      TextQueries.tableChecksumOf(
+        s.read.option("rowTag", "doc").schema(docs.schema)
+          .format("xml").load(XmlPath))
     }),
 
     // Corpus snapshot DIFF — the data-ops report run between table
@@ -111,6 +129,46 @@ object StorageQueries {
           sum(col("n_chars")).as("chars_sum"),
           min(col("doc_id")).as("id_min"),
           max(col("doc_id")).as("id_max"))
+    }),
+
+    // Z-ORDER clustering for multi-dimensional data skipping (the
+    // Delta OPTIMIZE ZORDER / Iceberg sort-order shape): directory
+    // partitioning (`docs_partitioned_scan`) prunes on ONE column;
+    // z-ordering keeps EVERY clustered dimension's per-file min/max
+    // footer stats tight, so range predicates on any of them skip
+    // files. Each key is min/max-normalized to 16 bits (exact integer
+    // arithmetic — both engines compute identical z-values), the two
+    // bit streams interleave into a 32-bit z-value, and the top-6-bit
+    // prefix IS the file assignment (what a range-partition-by-z
+    // write produces, modulo equal-frequency vs equal-width cuts —
+    // prefix buckets keep the report deterministic). The result is
+    // the SKIPPING CONTRACT itself: per-bucket count + min/max spans
+    // of BOTH dimensions, each bounded to ~1/8 of its domain (pinned
+    // quantitatively by ZOrderSpec; a single-column sort leaves the
+    // other dimension's span at full range). Scale shape: one 1-row
+    // bounds aggregate broadcast back, one codegen map pass (shifts/
+    // masks — no UDF), one 64-group partial agg; at 100 TB the bucket
+    // id feeds repartitionByRange + sortWithinPartitions on write and
+    // the parquet footers carry exactly these spans.
+    "lineitem_zorder_spans" -> ((s, dir) => {
+      val li = Tables.lineitem(s, dir).select(col("l_partkey"), col("l_suppkey"))
+      val bounds = li.agg(
+        min(col("l_partkey")).as("minx"),
+        greatest(max(col("l_partkey")) - min(col("l_partkey")), lit(1L)).as("spanx"),
+        min(col("l_suppkey")).as("miny"),
+        greatest(max(col("l_suppkey")) - min(col("l_suppkey")), lit(1L)).as("spany"))
+      val norm = li.crossJoin(broadcast(bounds))
+        .withColumn("nx", expr("((l_partkey - minx) * 65535) div spanx"))
+        .withColumn("ny", expr("((l_suppkey - miny) * 65535) div spany"))
+      val zv = Seq.tabulate(16) { i =>
+        shiftright(col("nx"), i).bitwiseAND(lit(1L)) * lit(1L << (2 * i + 1)) +
+          shiftright(col("ny"), i).bitwiseAND(lit(1L)) * lit(1L << (2 * i))
+      }.reduce(_ + _)
+      norm.withColumn("bucket", shiftright(zv, 26))
+        .groupBy(col("bucket"))
+        .agg(count(lit(1)).as("n"),
+          min(col("l_partkey")).as("pk_min"), max(col("l_partkey")).as("pk_max"),
+          min(col("l_suppkey")).as("sk_min"), max(col("l_suppkey")).as("sk_max"))
     }),
 
     // Data-quality EXPECTATIONS gate — the validation contract every
@@ -363,6 +421,33 @@ object StorageQueries {
     // round trip faithful
     "docs_orc_roundtrip" -> TextQueries.oracleSql("text_table_checksum"),
     "docs_jsonl_roundtrip" -> TextQueries.oracleSql("text_table_checksum"),
+    "docs_xml_roundtrip" -> TextQueries.oracleSql("text_table_checksum"),
+    "lineitem_zorder_spans" -> {
+      // identical bit-interleave arithmetic, DuckDB spelling (`//` is
+      // integer floor-div; all values non-negative so it matches
+      // Spark's `div`); the term list is GENERATED so the two engines
+      // cannot drift bit-by-bit
+      val zTerms = (0 until 16).map { i =>
+        s"((nx >> $i) & 1) * ${1L << (2 * i + 1)} + ((ny >> $i) & 1) * ${1L << (2 * i)}"
+      }.mkString(" + ")
+      s"""WITH b AS (
+         |  SELECT MIN(l_partkey) AS minx,
+         |         GREATEST(MAX(l_partkey) - MIN(l_partkey), 1) AS spanx,
+         |         MIN(l_suppkey) AS miny,
+         |         GREATEST(MAX(l_suppkey) - MIN(l_suppkey), 1) AS spany
+         |  FROM lineitem),
+         |n AS (
+         |  SELECT l_partkey, l_suppkey,
+         |         ((l_partkey - minx) * 65535) // spanx AS nx,
+         |         ((l_suppkey - miny) * 65535) // spany AS ny
+         |  FROM lineitem, b),
+         |z AS (
+         |  SELECT l_partkey, l_suppkey, ($zTerms) AS zv FROM n)
+         |SELECT zv >> 26 AS bucket, COUNT(*) AS n,
+         |  MIN(l_partkey) AS pk_min, MAX(l_partkey) AS pk_max,
+         |  MIN(l_suppkey) AS sk_min, MAX(l_suppkey) AS sk_max
+         |FROM z GROUP BY 1""".stripMargin
+    },
     "docs_snapshot_diff" ->
       """WITH v1 AS (
         |  SELECT doc_id, source AS s1, md5(text) AS h1 FROM documents),

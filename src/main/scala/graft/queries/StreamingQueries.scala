@@ -563,6 +563,53 @@ object StreamingQueries {
     }
   }
 
+  /** Checkpoint state-store INTROSPECTION (the Spark 4 state reader):
+    * after a replayed streaming aggregation finishes, the query's
+    * checkpoint is read back as a DataFrame — `format("statestore")`
+    * over the checkpoint path — and the STATE ROWS themselves are the
+    * result. This is the ops surface a 100 TB deployment debugs with
+    * (skewed keys, state bloat, corrupt-value triage) without touching
+    * the running query: the reader works offline on the checkpoint
+    * snapshot, per-partition parallel, no driver collect. The DuckDB
+    * oracle is the plain batch aggregate over the same events —
+    * equality proves the persisted state IS the aggregate, the exact
+    * contract checkpoint recovery rests on ([[StreamRecoverySpec]]
+    * pins the restart half; this pins the at-rest half). State value
+    * columns come back under Spark's internal agg-buffer field names
+    * (`count`, `sum`, `isEmpty`) — the projection renames them to the
+    * oracle's. Companion metadata surface (`state-metadata`: operator
+    * name, store name, partition count, batch range) is pinned by
+    * StateStoreReaderSpec.
+    */
+  def stateReaderStream(spark: SparkSession, sfDir: String): DataFrame = {
+    val ss = streamSession(spark)
+    val evs = eventRows(ss, sfDir)
+    val (stream, chunkDir) = EventsReplay.fileStream(ss, evs, nChunks = 3)
+    val ckpt = TempDir.create("graft-ckpt-")
+    val q = stream
+      .groupBy(col("etype"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,6)")).as("value_sum"))
+      .writeStream.outputMode("update")
+      .option("checkpointLocation", ckpt.toString)
+      .format("noop")
+      .start()
+    try {
+      q.processAllAvailable()
+      q.stop()
+      ss.read.format("statestore").load(ckpt.toString)
+        .select(col("key.etype").as("event_type"),
+          col("value.count").as("n"),
+          col("value.sum").cast("double").as("value_sum"))
+        .localCheckpoint()
+    } finally {
+      if (q.isActive) q.stop()
+      TempDir.deleteRecursively(ckpt.toString)
+      TempDir.deleteRecursively(chunkDir)
+      StateStoreBridge.unloadAll()
+    }
+  }
+
   /** Per-user per-type running counts on transformWithState's MAP
     * state ([[graft.streaming.TypeCountProcessor]]) — completes the
     * state-primitive coverage (ValueState → `taxi_total_tws`,
@@ -1668,6 +1715,7 @@ object StreamingQueries {
     "taxi_total_tws" -> (totalTwsStream _),
     "taxi_total_bootstrap" -> (totalBootstrapStream _),
     "events_type_counts_stream" -> (typeCountsStream _),
+    "events_state_reader" -> (stateReaderStream _),
     "events_debounce_stream" -> (debounceStream _),
     "taxi_sliding_stream" -> (slidingStream _),
     "taxi_rollup_stream" -> (rollupStream _),
@@ -1773,6 +1821,11 @@ object StreamingQueries {
     "events_type_counts_stream" ->
       """SELECT user_id, event_type, COUNT(*) AS n
         |FROM events GROUP BY user_id, event_type""".stripMargin,
+    // the checkpoint's state rows must BE the batch aggregate
+    "events_state_reader" ->
+      """SELECT event_type, COUNT(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS value_sum
+        |FROM events GROUP BY event_type""".stripMargin,
     // the Append emission set must equal the batch throttle exactly
     "events_debounce_stream" -> EventQueries.oracleSql("events_debounce"),
     "taxi_sliding_stream" -> TaxiQueries.oracleSql("taxi_sliding_count"),

@@ -25,6 +25,37 @@ object TpchQueries {
   private def dsum(c: org.apache.spark.sql.Column) =
     sum(c.cast("decimal(18,4)")).cast("double")
 
+  /** Recursive-CTE month spine + gap-fill, parameterized only by the
+    * orders table name: BOTH engines run this text verbatim (Spark via
+    * `spark.sql`, DuckDB as the oracle) — the strongest SQL-front-door
+    * parity form in the registry, one character of divergence would
+    * fail the hash. The recursion generates the monthly calendar spine
+    * from MIN to MAX o_orderdate (80 levels on the driver data, under
+    * Spark's default 100-level recursion limit; the span is a property
+    * of the date domain, not the row count, so it does NOT grow with
+    * SF); the LEFT JOIN against a deliberately sparse subset
+    * (o_orderkey % 1024 = 0) gap-fills 67 of the 80 months with 0 —
+    * the report shape every time-series dashboard needs and bare
+    * GROUP BY cannot produce (absent months yield no groups). Scale
+    * shape: the spine is ≤ a few hundred single-row recursion steps
+    * (driver-trivial); the sparse aggregate is one map-side-combined
+    * shuffle; the join broadcasts the spine.
+    */
+  private def monthSpineSql(table: String): String =
+    s"""WITH RECURSIVE bounds AS (
+       |  SELECT CAST(date_trunc('month', MIN(o_orderdate)) AS DATE) AS lo,
+       |         CAST(date_trunc('month', MAX(o_orderdate)) AS DATE) AS hi
+       |  FROM $table),
+       |spine(m) AS (
+       |  SELECT lo FROM bounds
+       |  UNION ALL
+       |  SELECT CAST(m + INTERVAL '1' MONTH AS DATE) FROM spine, bounds WHERE m < hi),
+       |sparse AS (
+       |  SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS m, COUNT(*) AS n
+       |  FROM $table WHERE o_orderkey % 1024 = 0 GROUP BY 1)
+       |SELECT s.m AS month, COALESCE(c.n, 0) AS n_orders
+       |FROM spine s LEFT JOIN sparse c ON s.m = c.m""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // TPC-H Q1 shape: the canonical scan→filter→partial-agg→final-agg
     // pipeline. Filter + projection reach the parquet scan via Catalyst.
@@ -438,6 +469,18 @@ object TpchQueries {
           countDistinct(col("l_partkey")).as("n_parts"),
           countDistinct(col("l_suppkey")).as("n_supps"),
           count(lit(1)).as("n_rows"))
+    }),
+
+    // Recursive CTE through the SQL front door (Spark 4 WITH
+    // RECURSIVE): the month-spine gap-fill report. The Spark side and
+    // the DuckDB oracle run the IDENTICAL statement text (see
+    // monthSpineSql) — recursion is the last major ANSI surface with
+    // no DataFrame equivalent (iterate-until-fixpoint inside ONE
+    // statement; the engine's iterative operators — CC, PageRank, BFS
+    // — drive the loop from the host instead).
+    "orders_month_spine" -> ((s, dir) => {
+      Tables.orders(s, dir).createOrReplaceTempView("spine_orders")
+      s.sql(monthSpineSql("spine_orders"))
     })
   )
 
@@ -447,6 +490,8 @@ object TpchQueries {
   val MinCostRegion = "EUROPE"
 
   val oracleSql: Map[String, String] = Map(
+    // the exact text the Spark side executes, table name aside
+    "orders_month_spine" -> monthSpineSql("orders"),
     "q23_min_cost_supplier" ->
       s"""WITH eu AS (
          |  SELECT s_suppkey, s_name FROM supplier

@@ -1,0 +1,75 @@
+package graft
+
+import graft.queries.StreamingQueries
+import graft.streaming.{EventsReplay, TempDir}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graftbridge.StateStoreBridge
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The `events_state_reader` oracle entry pins that state CONTENT
+  * equals the batch aggregate; this spec pins the half the oracle
+  * cannot see — the `state-metadata` companion source (operator
+  * identity, store name, partitioning, batch range) and the reader's
+  * per-partition shape. These are the coordinates an operator on call
+  * uses to aim the state reader at the right store of a multi-operator
+  * 100 TB job before reading a single row.
+  */
+class StateStoreReaderSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  private val sf = "/root/testdata/sf0.001"
+
+  test("state-metadata names the agg store; statestore rows cover its partitions") {
+    val ss = StreamingQueries.streamSession(spark)
+    val evs = Tables.events(ss, sf)
+      .select(col("user_id"), col("event_id"), unix_millis(col("ts")).as("t_ms"),
+        col("event_type"), col("value"))
+      .collect().map(r => EventsReplay.Ev(r.getLong(0), r.getLong(1),
+        r.getLong(2), r.getString(3), r.getDouble(4)))
+      .toSeq.sortBy(e => (e.tMs, e.eventId))
+    val nChunks = 3
+    val (stream, chunkDir) = EventsReplay.fileStream(ss, evs, nChunks = nChunks)
+    val ckpt = TempDir.create("graft-ckpt-")
+    val q = stream.groupBy(col("etype")).agg(count(lit(1)).as("n"))
+      .writeStream.outputMode("update")
+      .option("checkpointLocation", ckpt.toString)
+      .format("noop")
+      .start()
+    try {
+      q.processAllAvailable()
+      q.stop()
+
+      val md = ss.read.format("state-metadata").load(ckpt.toString).collect()
+      assert(md.length == 1, "one stateful operator -> one metadata row")
+      val row = md(0)
+      assert(row.getAs[String]("operatorName") == "stateStoreSave",
+        "streaming agg state lives in the stateStoreSave operator")
+      assert(row.getAs[String]("stateStoreName") == "default")
+      val nParts = ss.conf.get("spark.sql.shuffle.partitions").toInt
+      assert(row.getAs[Int]("numPartitions") == nParts,
+        "state is partitioned by the session's shuffle partitions at first batch")
+      // one micro-batch per chunk (maxFilesPerTrigger=1, no-data
+      // batches disabled in streamSession)
+      assert(row.getAs[Long]("minBatchId") == 0L)
+      assert(row.getAs[Long]("maxBatchId") == (nChunks - 1).toLong)
+
+      val st = ss.read.format("statestore").load(ckpt.toString)
+      val partIds = st.select(col("partition_id")).distinct()
+        .collect().map(_.getInt(0)).toSet
+      assert(partIds.subsetOf((0 until nParts).toSet),
+        "reader exposes the store's physical partitioning")
+      // content equals the batch aggregate (the oracle pins this at
+      // sf0.01 through the DuckDB gate; re-pinned here so the spec
+      // stands alone)
+      val got = st.select(col("key.etype"), col("value.count"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      val want = Tables.events(ss, sf).groupBy(col("event_type")).count()
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(got == want, "state rows must BE the aggregate")
+    } finally {
+      if (q.isActive) q.stop()
+      TempDir.deleteRecursively(ckpt.toString)
+      TempDir.deleteRecursively(chunkDir)
+      StateStoreBridge.unloadAll()
+    }
+  }
+}
