@@ -29,32 +29,48 @@ object TpchQueries {
     * orders table name: BOTH engines run this text verbatim (Spark via
     * `spark.sql`, DuckDB as the oracle) — the strongest SQL-front-door
     * parity form in the registry, one character of divergence would
-    * fail the hash. The recursion generates the monthly calendar spine
-    * from MIN to MAX o_orderdate (80 levels on the driver data, under
-    * Spark's default 100-level recursion limit; the span is a property
-    * of the date domain, not the row count, so it does NOT grow with
-    * SF); the LEFT JOIN against a deliberately sparse subset
-    * (o_orderkey % 1024 = 0) gap-fills 67 of the 80 months with 0 —
-    * the report shape every time-series dashboard needs and bare
-    * GROUP BY cannot produce (absent months yield no groups). Scale
-    * shape: the spine is ≤ a few hundred single-row recursion steps
-    * (driver-trivial); the sparse aggregate is one map-side-combined
-    * shuffle; the join broadcasts the spine.
+    * fail the hash. The recursion generates the calendar spine from
+    * MIN to MAX o_orderdate; the LEFT JOIN against a deliberately
+    * sparse subset (o_orderkey % 1024 = 0) gap-fills absent months
+    * with 0 (67/80 at sf0.01) — the report shape every time-series
+    * dashboard needs and bare GROUP BY cannot produce (absent months
+    * yield no groups).
+    *
+    * Recursion granularity is a DISTRIBUTED-ENGINE design decision,
+    * measured: Spark executes each recursion level as a scheduled job
+    * (~0.2 s/step at local[32]) and re-evaluates the recursive
+    * member's `bounds` join — a month-level spine (80 steps) cost
+    * 16 s at sf0.1 for 80 rows. The shipped form recurses at YEAR
+    * granularity (7 steps) and fans the 12 months out relationally
+    * (a VALUES cross join) — 2.4 s warm, same result, same verbatim
+    * parity. The lesson generalizes: in an engine whose iteration
+    * unit is a job, recurse at the coarsest correct granularity and
+    * let relational fan-out do the rest (the CC/PageRank/BFS
+    * operators apply the same rule via pointer-jumping supersteps).
+    * Depth is a property of the date DOMAIN, not the row count, so it
+    * does not grow with SF (7 levels, under the default 100 limit).
     */
   private def monthSpineSql(table: String): String =
     s"""WITH RECURSIVE bounds AS (
        |  SELECT CAST(date_trunc('month', MIN(o_orderdate)) AS DATE) AS lo,
        |         CAST(date_trunc('month', MAX(o_orderdate)) AS DATE) AS hi
        |  FROM $table),
-       |spine(m) AS (
-       |  SELECT lo FROM bounds
+       |years(y) AS (
+       |  SELECT CAST(date_trunc('year', lo) AS DATE) FROM bounds
        |  UNION ALL
-       |  SELECT CAST(m + INTERVAL '1' MONTH AS DATE) FROM spine, bounds WHERE m < hi),
+       |  SELECT CAST(y + INTERVAL '1' YEAR AS DATE) FROM years, bounds
+       |  WHERE y < CAST(date_trunc('year', hi) AS DATE)),
+       |offsets(k) AS (VALUES (0),(1),(2),(3),(4),(5),(6),(7),(8),(9),(10),(11)),
+       |clipped AS (
+       |  SELECT CAST(y + k * INTERVAL '1' MONTH AS DATE) AS m
+       |  FROM years, offsets, bounds
+       |  WHERE CAST(y + k * INTERVAL '1' MONTH AS DATE) >= lo
+       |    AND CAST(y + k * INTERVAL '1' MONTH AS DATE) <= hi),
        |sparse AS (
        |  SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS m, COUNT(*) AS n
        |  FROM $table WHERE o_orderkey % 1024 = 0 GROUP BY 1)
        |SELECT s.m AS month, COALESCE(c.n, 0) AS n_orders
-       |FROM spine s LEFT JOIN sparse c ON s.m = c.m""".stripMargin
+       |FROM clipped s LEFT JOIN sparse c ON s.m = c.m""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // TPC-H Q1 shape: the canonical scan→filter→partial-agg→final-agg
