@@ -76,12 +76,16 @@ class PlanShapeSpec extends AnyFunSuite {
     // row instead of 64 floats
     // knn_matryoshka/_rerank scan per broadcast query over the 16-lane
     // prefix — the declared brute contract in the truncated domain
+    // lineitem_zorder_spans and orders_month_spine join the same 1-row
+    // relation class (min/max bounds broadcast back over the scan /
+    // into the spine clip)
     val allowed = Set("knn_brute", "multimodal_feature_knn", "knn_int8",
       "knn_int8_rerank", "knn_ivf_recall", "knn_pq_adc", "knn_pq_rerank",
       "knn_ivfpq_rerank", "knn_matryoshka", "knn_matryoshka_rerank",
       "knn_matryoshka_recall",
       "text_bpe_train",
-      "events_resample_ffill", "events_rfm", "q22_share_of_total")
+      "events_resample_ffill", "events_rfm", "q22_share_of_total",
+      "lineitem_zorder_spans", "orders_month_spine")
     (SparkEntry.queries.keySet -- streamingEntries -- allowed).toSeq.sorted.foreach { name =>
       val bnlj = plan(name).collect { case b: BroadcastNestedLoopJoinExec => b }
       assert(bnlj.isEmpty, s"$name plans BroadcastNestedLoopJoin")
