@@ -1,7 +1,7 @@
 package graft
 
 import graft.queries.StreamingQueries
-import graft.streaming.{EventsReplay, TempDir}
+import graft.streaming.{CellEvent, EventsReplay, TempDir, TwsTotalCount}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.graftbridge.StateStoreBridge
 import org.scalatest.funsuite.AnyFunSuite
@@ -69,6 +69,53 @@ class StateStoreReaderSpec extends AnyFunSuite {
       if (q.isActive) q.stop()
       TempDir.deleteRecursively(ckpt.toString)
       TempDir.deleteRecursively(chunkDir)
+      StateStoreBridge.unloadAll()
+    }
+  }
+
+  /** The new-API half: transformWithState stores NAMED state
+    * variables, and the reader addresses one with `stateVarName` —
+    * the surface an operator uses to inspect a TWS job's ValueState
+    * without code changes to the job. The read-back state must equal
+    * the fold the processor ran.
+    */
+  test("transformWithState named ValueState reads back via stateVarName") {
+    val ss = StreamingQueries.streamSession(spark)
+    // transformWithState requires the RocksDB provider (the harness
+    // flips it per-session exactly like the TWS entries do)
+    ss.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    import ss.implicits._
+    def t(ms: Long) = new java.sql.Timestamp(ms)
+    val evs = Seq(
+      CellEvent(1, 1L, t(1000), 2), CellEvent(1, 2L, t(2000), 3),
+      CellEvent(2, 3L, t(1500), 5), CellEvent(3, 4L, t(900), 1),
+      CellEvent(3, 5L, t(2500), 4))
+    val srcDir = TempDir.create("graft-tws-src-")
+    val ckpt = TempDir.create("graft-ckpt-")
+    evs.toDS().write.mode("overwrite").parquet(srcDir.toString)
+    val stream = ss.readStream.schema(evs.toDS().schema)
+      .parquet(srcDir.toString).as[CellEvent]
+    val q = TwsTotalCount.totalCountTws(stream).toDF()
+      .writeStream.outputMode("update")
+      .option("checkpointLocation", ckpt.toString)
+      .format("noop").start()
+    try {
+      q.processAllAvailable()
+      q.stop()
+      val st = ss.read.format("statestore")
+        .option("stateVarName", "total").load(ckpt.toString)
+      val got = st.select(col("key.*"), col("value.*")).collect()
+        .map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2))).toMap
+      val want = evs.groupBy(_.cell).map { case (c, es) =>
+        c -> (es.map(_.passengers.toLong).sum, es.map(_.ts.getTime).max)
+      }
+      assert(got == want,
+        s"TWS ValueState must BE the processor's fold: got $got want $want")
+    } finally {
+      if (q.isActive) q.stop()
+      TempDir.deleteRecursively(ckpt.toString)
+      TempDir.deleteRecursively(srcDir.toString)
       StateStoreBridge.unloadAll()
     }
   }
