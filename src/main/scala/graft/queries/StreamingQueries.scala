@@ -1362,6 +1362,73 @@ object StreamingQueries {
         col("rnk").cast("int").as("rnk"))
   }
 
+  /** UNION of two INDEPENDENTLY WATERMARKED streams — the multi-topic
+    * merge every production deployment runs (clickstream + backend
+    * events into one windowed pipeline). Each feed carries its OWN
+    * `withWatermark` BEFORE the union; Structured Streaming's
+    * multipleWatermarkPolicy (default MIN) gates pane finality on the
+    * SLOWEST feed — an Append pane emits only once BOTH sources'
+    * watermarks pass its end, the correctness property a naive merge
+    * loses (a fast feed must not finalize a window the slow feed can
+    * still fill). The replay splits the corpus by type into two feeds
+    * with separate chunk schedules and a far-future flush sentinel on
+    * EACH feed (each source must advance its own watermark; one
+    * lagging source alone would hold the global watermark at its last
+    * chunk and strand the tail panes). Append emission equals the
+    * batch 6-hour windowed counts over the whole corpus — the shared
+    * oracle pins exactly the merge-then-window equivalence.
+    */
+  def unionStream(spark: SparkSession, sfDir: String): DataFrame = {
+    val ss = streamSession(spark)
+    val evs = eventRows(ss, sfDir)
+    val (feedA, feedB) = evs.partition(e => e.etype == "view" || e.etype == "click")
+    require(feedA.nonEmpty && feedB.nonEmpty, "both feeds must carry data")
+    // the sentinel rides the last DATA chunk of each feed (advancing
+    // that source's watermark) and each feed's flush chunk then
+    // APPLIES it (no-data micro-batches are disabled) — the
+    // appendReplay convention, per feed. Its gap must clear the
+    // 6-hour pane + the 60 s watermark delay or the FINAL pane never
+    // finalizes (caught by the oracle: 595 vs 600 groups at 2 h).
+    val sent = evSentinel(evs, gapMs = 43200000L)
+    val (sA, dirA) = EventsReplay.fileStream(ss, feedA :+ sent, nChunks = 3,
+      flushChunk = Seq(sent))
+    val (sB, dirB) = EventsReplay.fileStream(ss, feedB :+ sent, nChunks = 3,
+      flushChunk = Seq(sent))
+    def watermarked(df: DataFrame) = df.withWatermark("ts", "60 seconds")
+    val name = "union_" + UUID.randomUUID().toString.replace("-", "")
+    val ckpt = TempDir.create("graft-ckpt-")
+    // NO userId sentinel filter here, deliberately: a non-event-time
+    // predicate gets PUSHED BELOW the EventTimeWatermark operator by
+    // Catalyst, so a pre-agg filter would drop the sentinels before
+    // they can advance either source's watermark (found by this
+    // entry's oracle: the final pane never finalized, 595/600
+    // groups). Append mode excludes them structurally instead — the
+    // sentinel pane sits a full window+delay past the last real
+    // event, so the watermark never passes its end and it is never
+    // emitted.
+    val q = watermarked(sA).union(watermarked(sB))
+      .groupBy(window(col("ts"), "6 hours").as("w"), col("etype"))
+      .agg(count(lit(1)).as("cnt"),
+        sum(col("value").cast("decimal(18,6)")).as("v_sum"))
+      .select(unix_millis(col("w.start")).as("w_start_ms"),
+        col("etype").as("event_type"), col("cnt"),
+        col("v_sum").cast("double").as("v_sum"))
+      .writeStream.outputMode("append")
+      .option("checkpointLocation", ckpt.toString)
+      .format("memory").queryName(name)
+      .start()
+    try {
+      q.processAllAvailable()
+      ss.table(name).localCheckpoint()
+    } finally {
+      q.stop()
+      TempDir.deleteRecursively(ckpt.toString)
+      TempDir.deleteRecursively(dirA)
+      TempDir.deleteRecursively(dirB)
+      StateStoreBridge.unloadAll()
+    }
+  }
+
   /** Stream-STATIC enrichment join — the remaining join mode of the
     * Structured Streaming matrix (stream-stream inner / left-outer /
     * full-outer are `taxi_duration_stream` / `events_attribution_*`):
@@ -1707,6 +1774,7 @@ object StreamingQueries {
     "events_rate_stream" -> (rateIngestStream _),
     "events_enrich_stream" -> (enrichStream _),
     "events_trending_stream" -> (trendingStream _),
+    "events_union_stream" -> (unionStream _),
     "docs_ingest_stream" -> (docsIngestStream _),
     "docs_ingest_file_stream" -> (docsIngestFileStream _),
     "docs_ingest_available_now" -> (docsIngestAvailableNow _),
@@ -1767,6 +1835,15 @@ object StreamingQueries {
         |FROM events JOIN customer ON user_id = c_custkey
         |GROUP BY 1, 2""".stripMargin,
     "events_trending_stream" -> EventQueries.oracleSql("events_trending"),
+    // the two-feed merge must equal windowing the WHOLE corpus
+    "events_union_stream" ->
+      """SELECT w_start_ms, event_type, COUNT(*) AS cnt,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS v_sum
+        |FROM (SELECT
+        |    (epoch_ms(date_trunc('millisecond', ts)) // 21600000) * 21600000
+        |      AS w_start_ms,
+        |    event_type, value FROM events)
+        |GROUP BY w_start_ms, event_type""".stripMargin,
     // exactly-once restoration + gate must equal the batch gate
     "docs_ingest_stream" ->
       s"""SELECT doc_id, source,
