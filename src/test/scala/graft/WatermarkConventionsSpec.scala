@@ -70,4 +70,61 @@ class WatermarkConventionsSpec extends AnyFunSuite {
     assert(got.get(190000L).contains(1L) && got.get(150000L).contains(1L),
       s"Update mode dropped late rows — the convention changed: $got")
   }
+
+  /** The sentinel-filter trap `events_union_stream` hit, pinned as a
+    * convention: Catalyst pushes a deterministic NON-event-time
+    * predicate BELOW the EventTimeWatermark operator, so a pre-agg
+    * filter on a sentinel key drops the sentinel before it can
+    * advance the watermark — the tail panes never finalize. Both
+    * halves pinned: the optimized plan shows the pushdown, and the
+    * behavior shows the stranded panes (the filtered run emits
+    * nothing where the unfiltered run emits every closed pane).
+    */
+  test("non-event-time filters push below the watermark node and eat sentinels") {
+    def run(filtered: Boolean): (Boolean, Map[Long, Long]) = {
+      val ss = spark.newSession()
+      ss.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
+      import ss.implicits._
+      implicit val ctx: org.apache.spark.sql.SQLContext = ss.sqlContext
+      val ms = MemoryStream[(Long, Long)]
+      val base = ms.toDF().select(col("_1").as("id"),
+        timestamp_millis(col("_2")).as("ts"))
+        .withWatermark("ts", "0 seconds")
+      val shaped = if (filtered) base.filter(col("id") =!= -1L) else base
+      val agg = shaped
+        .groupBy(window(col("ts"), "10 seconds")).agg(count(lit(1)).as("n"))
+        .select(unix_millis(col("window.start")).as("w"), col("n"))
+      val name = "wmpush" + java.util.UUID.randomUUID().toString.replace("-", "")
+      val q = agg.writeStream.outputMode("append")
+        .format("memory").queryName(name).start()
+      def step(xs: (Long, Long)*): Unit = { ms.addData(xs); q.processAllAvailable() }
+      val pushed =
+        try {
+          step((1L, 5000L), (1L, 15000L)) // two panes of real data
+          step((-1L, 500000L)) // far-future sentinel advances the wm...
+          step((-1L, 500000L)) // ...and the next batch applies it
+          // the micro-batch's EXECUTED plan shows where the filter landed
+          q.asInstanceOf[org.apache.spark.sql.execution.streaming.runtime.StreamingQueryWrapper]
+            .streamingQuery.lastExecution.executedPlan.collect {
+              case wm: org.apache.spark.sql.execution.streaming.operators.stateful.EventTimeWatermarkExec
+                  if wm.child.collect {
+                    case f: org.apache.spark.sql.execution.FilterExec => f
+                  }.nonEmpty => wm
+            }.nonEmpty
+        } finally q.stop()
+      (pushed, ss.table(name).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap)
+    }
+    val (pushedWhenFiltered, gotFiltered) = run(filtered = true)
+    assert(pushedWhenFiltered,
+      "the id filter no longer plans below EventTimeWatermark — " +
+        "the documented pushdown convention changed")
+    // real data still advances the watermark for EARLIER panes (the
+    // 15 s row closes pane 0); it is the TAIL pane that strands —
+    // exactly the 595/600 shape the union entry hit
+    assert(gotFiltered == Map(0L -> 1L),
+      s"filtered sentinels should strand the tail pane (the trap): $gotFiltered")
+    val (_, gotOpen) = run(filtered = false)
+    assert(gotOpen == Map(0L -> 1L, 10000L -> 1L),
+      s"unfiltered sentinels must flush both real panes: $gotOpen")
+  }
 }
