@@ -28,6 +28,7 @@ object StorageQueries {
   val JsonlPath = fixture("documents_jsonl")
   val CodecPath = fixture("documents_codec")
   val XmlPath = fixture("documents_xml")
+  val LineagePath = fixture("documents_lineage")
 
   /** The partition-pruning predicate's source list: a 2-of-20
     * selection so the pruned scan touches 10% of directories.
@@ -169,6 +170,36 @@ object StorageQueries {
         .agg(count(lit(1)).as("n"),
           min(col("l_partkey")).as("pk_min"), max(col("l_partkey")).as("pk_max"),
           min(col("l_suppkey")).as("sk_min"), max(col("l_suppkey")).as("sk_max"))
+    }),
+
+    // FILE-LEVEL LINEAGE via parquet metadata columns: Spark's hidden
+    // `_metadata` struct (file_name, row_index) turns "which file
+    // holds this row, at which position" into a plain column — the
+    // surface an incident uses to find the file carrying a corrupt
+    // row, a compliance delete uses to plan file rewrites, and
+    // incremental reprocessing uses for row-level provenance, with
+    // ZERO bookkeeping written into the data. The fixture writes an
+    // 8-file hash layout with in-file ordering pinned
+    // (sortWithinPartitions), and the report aggregates per file:
+    // row count, key range, and an ORDER-weighted checksum
+    // (Σ doc_id·(row_index+1)) that any within-file reorder breaks.
+    // The DuckDB oracle reads the SAME files via its own lineage
+    // surface (filename=true, file_row_number=true) — cross-engine
+    // agreement proves the mapping is a property of the files, not of
+    // either reader. Scale shape: metadata columns are populated by
+    // the reader per split, never shuffled or stored; the report is
+    // one map-side agg to ≤ files rows.
+    "docs_file_lineage" -> ((s, dir) => {
+      Tables.documents(s, dir)
+        .repartition(8, col("doc_id")).sortWithinPartitions("doc_id")
+        .write.mode("overwrite").parquet(LineagePath)
+      s.read.parquet(LineagePath)
+        .select(col("doc_id"), col("_metadata.file_name").as("file_name"),
+          col("_metadata.row_index").as("ri"))
+        .groupBy(col("file_name"))
+        .agg(count(lit(1)).as("n_rows"),
+          min(col("doc_id")).as("id_min"), max(col("doc_id")).as("id_max"),
+          sum(col("doc_id") * (col("ri") + 1)).as("order_sum"))
     }),
 
     // Data-quality EXPECTATIONS gate — the validation contract every
@@ -422,6 +453,15 @@ object StorageQueries {
     "docs_orc_roundtrip" -> TextQueries.oracleSql("text_table_checksum"),
     "docs_jsonl_roundtrip" -> TextQueries.oracleSql("text_table_checksum"),
     "docs_xml_roundtrip" -> TextQueries.oracleSql("text_table_checksum"),
+    // DuckDB's own lineage surface over the SAME files the entry
+    // wrote — filename + file_row_number mirror _metadata exactly
+    "docs_file_lineage" ->
+      s"""SELECT parse_filename(filename) AS file_name, COUNT(*) AS n_rows,
+         |  MIN(doc_id) AS id_min, MAX(doc_id) AS id_max,
+         |  CAST(SUM(doc_id * (file_row_number + 1)) AS BIGINT) AS order_sum
+         |FROM read_parquet('$LineagePath/*.parquet',
+         |  filename=true, file_row_number=true)
+         |GROUP BY 1""".stripMargin,
     "lineitem_zorder_spans" -> {
       // identical bit-interleave arithmetic, DuckDB spelling (`//` is
       // integer floor-div; all values non-negative so it matches
