@@ -65,6 +65,24 @@ class StateStoreReaderSpec extends AnyFunSuite {
       val want = Tables.events(ss, sf).groupBy(col("event_type")).count()
         .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
       assert(got == want, "state rows must BE the aggregate")
+
+      // STATE TIME TRAVEL: option("batchId", 0) reads the store as it
+      // stood after the FIRST micro-batch — i.e. the aggregate of
+      // chunk 0 alone (the replay chunking is deterministic, so the
+      // expected snapshot is computable). This is the post-incident
+      // surface: "what did the state look like before batch N
+      // corrupted it", against the same checkpoint, no restore.
+      val chunkSize = math.ceil(evs.size.toDouble / nChunks).toInt
+      val st0 = ss.read.format("statestore")
+        .option("batchId", 0).load(ckpt.toString)
+        .select(col("key.etype"), col("value.count"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      val want0 = evs.take(chunkSize).groupBy(_.etype)
+        .map { case (t, es) => t -> es.size.toLong }
+      assert(st0 == want0,
+        s"batchId=0 must snapshot chunk 0's aggregate: $st0 vs $want0")
+      assert(st0.values.sum < got.values.sum,
+        "the early snapshot must be a strict prefix of the final state")
     } finally {
       if (q.isActive) q.stop()
       TempDir.deleteRecursively(ckpt.toString)
