@@ -42,4 +42,42 @@ class ObserveMetricsSpec extends AnyFunSuite {
     assert(gotRows == Tables.documents(spark, sf)
       .filter(col("n_chars") > 0).count())
   }
+
+  /** The STREAMING half of the same surface: `observe` on a streaming
+    * Dataset emits its counters PER MICRO-BATCH through
+    * `StreamingQueryProgress.observedMetrics` — the hook a live
+    * pipeline's freshness/anomaly alerts poll without a second
+    * stateful aggregation in the query. The per-batch counters must
+    * sum to the corpus totals and attribute rows to the batches that
+    * actually carried them.
+    */
+  test("streaming observe: per-micro-batch counters sum to the corpus totals") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val ss = spark.newSession()
+    ss.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
+    import ss.implicits._
+    implicit val ctx: org.apache.spark.sql.SQLContext = ss.sqlContext
+    val ms = MemoryStream[Long]
+    val name = "obs" + java.util.UUID.randomUUID().toString.replace("-", "")
+    val q = ms.toDF()
+      .observe("batch_quality",
+        count(lit(1)).as("n_rows"),
+        sum(col("value")).as("v_sum"))
+      .writeStream.outputMode("append")
+      .format("memory").queryName(name).start()
+    val batches = Seq(Seq(1L, 2L, 3L), Seq(10L), Seq(100L, 200L))
+    try {
+      batches.foreach { xs => ms.addData(xs); q.processAllAvailable() }
+      val seen = q.recentProgress.toSeq
+        .flatMap(p => Option(p.observedMetrics.get("batch_quality")))
+        .map(r => (r.getAs[Long]("n_rows"), r.getAs[Long]("v_sum")))
+      assert(seen.map(_._1) == batches.map(_.size.toLong),
+        s"per-batch row counters must track each micro-batch: $seen")
+      assert(seen.map(_._2) == batches.map(_.sum),
+        s"per-batch sums must attribute values to their batch: $seen")
+      assert(seen.map(_._1).sum == batches.map(_.size).sum &&
+        seen.map(_._2).sum == batches.flatten.sum,
+        "the per-batch counters must sum to the corpus totals")
+    } finally q.stop()
+  }
 }
