@@ -381,6 +381,47 @@ object StreamingQueries {
     }
   }
 
+  /** O14, per-record half, run as an oracle-checked entry: the same
+    * total-arrival pipeline as `taxi_total_stream`, but emitted
+    * through [[ForeachKeyedUpsertWriter]] — a per-partition network
+    * connection with one blocking upsert+ack per record — against an
+    * in-process [[SocketUpsertServer]] WITH FAULT INJECTION live
+    * (every 7th upsert: connection drop before/after apply, or a
+    * transient ERR). The converged store must still equal the batch
+    * oracle, proving the reference sink's process-boundary contract
+    * (`sinks/ElasticsearchUpsertSink.scala:54-81`): per-record
+    * at-least-once retry + keyed idempotent overwrite = exact
+    * convergence, even on a flaky connection.
+    */
+  def totalForeachStream(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    val ss = streamSession(spark)
+    val df = TaxiReplay.openJsonlStream(ss,
+      ridesChunkDir(ss, sfDir, MaxDelayMs, sentinel = false, nChunks = 3))
+    val server = new SocketUpsertServer(failEveryN = 7).start()
+    val ckpt = TempDir.create("graft-ckpt-")
+    val q = TaxiPipelines.totalArrivalCount(df)
+      .writeStream.outputMode("update")
+      .option("checkpointLocation", ckpt.toString)
+      .foreach(new ForeachKeyedUpsertWriter("127.0.0.1", server.port, nKey = 1))
+      .start()
+    try {
+      q.processAllAvailable()
+      // non-vacuity: the retry path must actually have been exercised
+      require(server.faultCount > 0,
+        s"fault injection never fired (${server.upsertCount} upserts)")
+      server.toDF(ss, StructType(Seq(
+        StructField("cell", IntegerType), StructField("last_t_ms", LongType),
+        StructField("cnt", LongType), StructField("center_lon", FloatType),
+        StructField("center_lat", FloatType)))).localCheckpoint()
+    } finally {
+      q.stop()
+      TempDir.deleteRecursively(ckpt.toString)
+      server.close()
+      StateStoreBridge.unloadAll()
+    }
+  }
+
   /** O9 on the NEW arbitrary-state API: `transformWithState`
     * (see [[graft.streaming.TotalCountProcessor]]) — same replay,
     * same upsert-sink convergence, same oracle as `taxi_total_stream`;
@@ -1780,6 +1821,7 @@ object StreamingQueries {
     "docs_ingest_available_now" -> (docsIngestAvailableNow _),
     "docs_incremental_stream" -> (docsIncrementalStream _),
     "taxi_total_stream" -> (totalStream _),
+    "taxi_total_foreach" -> (totalForeachStream _),
     "taxi_total_tws" -> (totalTwsStream _),
     "taxi_total_bootstrap" -> (totalBootstrapStream _),
     "events_type_counts_stream" -> (typeCountsStream _),
@@ -1890,6 +1932,9 @@ object StreamingQueries {
          |FROM documents
          |WHERE ${graft.functions.TextFunctions.Sql.stopwordRatio("text")} >= 0.05""".stripMargin,
     "taxi_total_stream" -> TaxiQueries.oracleSql("taxi_total_count"),
+    // per-record network emission under fault injection must converge
+    // to the same batch state as the foreachBatch log sink
+    "taxi_total_foreach" -> TaxiQueries.oracleSql("taxi_total_count"),
     // generation change in the stateful operator, not in the contract
     "taxi_total_tws" -> TaxiQueries.oracleSql("taxi_total_count"),
     // batch backfill + stream handoff must lose nothing at the seam
