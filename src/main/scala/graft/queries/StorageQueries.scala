@@ -72,12 +72,20 @@ object StorageQueries {
     // (&lt; &amp; quotes) round-trips through the writer/reader pair
     // and is proven byte-faithful by the md5 content fingerprint —
     // the property an XML ingest must prove before a 100 TB backfill.
+    // `ignoreSurroundingSpaces=false` is pinned because the source's
+    // DEFAULT (true) silently trims leading/trailing whitespace from
+    // element text — a corpus doc padded with spaces would break the
+    // checksum parity under defaults even though nothing is wrong
+    // with the pipeline (XmlFidelitySpec pins the trim/preserve
+    // behavior and the empty-string-vs-null distinction).
     "docs_xml_roundtrip" -> ((s, dir) => {
       val docs = Tables.documents(s, dir)
       docs.write.mode("overwrite")
         .option("rowTag", "doc").format("xml").save(XmlPath)
       TextQueries.tableChecksumOf(
-        s.read.option("rowTag", "doc").schema(docs.schema)
+        s.read.option("rowTag", "doc")
+          .option("ignoreSurroundingSpaces", "false")
+          .schema(docs.schema)
           .format("xml").load(XmlPath))
     }),
 

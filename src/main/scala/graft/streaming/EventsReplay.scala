@@ -80,14 +80,25 @@ object EventsReplay {
     * DataFrame + the chunk dir the caller must delete after the query
     * stops.
     */
+  /** The ONE spelling of the feed→chunk assignment: chunk i IS
+    * micro-batch i (mod-time ordering via [[ReplayChunks]] +
+    * `maxFilesPerTrigger=1`). Exposed so specs that reason about a
+    * specific micro-batch's contents (e.g. state time travel to
+    * batchId 0) use THIS assignment instead of re-deriving the
+    * ceil-division — keeping the convention changeable in one place.
+    */
+  def chunks(evs: Seq[Ev], nChunks: Int): Vector[Seq[Ev]] = {
+    val chunkSize = math.max(1, math.ceil(evs.size.toDouble / nChunks).toInt)
+    evs.grouped(chunkSize).toVector
+  }
+
   def fileStream(
       spark: SparkSession,
       evs: Seq[Ev],
       nChunks: Int,
       flushChunk: Seq[Ev] = Nil): (DataFrame, String) = {
     val dir = TempDir.create("graft-events-")
-    val chunkSize = math.max(1, math.ceil(evs.size.toDouble / nChunks).toInt)
-    val dataChunks = evs.grouped(chunkSize).toVector
+    val dataChunks = chunks(evs, nChunks)
     dataChunks.zipWithIndex.foreach { case (chunk, i) =>
       writeChunk(dir.toString, i, chunk)
     }

@@ -59,8 +59,12 @@ class RowGroupSkippingSpec extends AnyFunSuite {
 
       val sortedScan = scanRows(slice(sortedDir.toString))
       val scrambledScan = scanRows(slice(scrambledDir.toString))
-      assert(scrambledScan == total,
-        s"scrambled layout should decode everything: $scrambledScan of $total")
+      // threshold, not equality: the contrast only needs the scrambled
+      // layout to be NEAR-unskippable — demanding that literally every
+      // 64 KB row group straddles the predicate would make the suite
+      // hostage to fixture regeneration letting one group skip by chance
+      assert(scrambledScan >= (total * 9) / 10,
+        s"scrambled layout should decode nearly everything: $scrambledScan of $total")
       assert(sortedScan * 4 <= scrambledScan,
         s"sorted layout should skip most row groups: scan read $sortedScan " +
           s"vs scrambled $scrambledScan")

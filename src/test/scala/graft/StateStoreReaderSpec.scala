@@ -72,12 +72,13 @@ class StateStoreReaderSpec extends AnyFunSuite {
       // expected snapshot is computable). This is the post-incident
       // surface: "what did the state look like before batch N
       // corrupted it", against the same checkpoint, no restore.
-      val chunkSize = math.ceil(evs.size.toDouble / nChunks).toInt
       val st0 = ss.read.format("statestore")
         .option("batchId", 0).load(ckpt.toString)
         .select(col("key.etype"), col("value.count"))
         .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-      val want0 = evs.take(chunkSize).groupBy(_.etype)
+      // chunk 0 = micro-batch 0 by EventsReplay's exposed assignment
+      // (chunks), not a re-derivation of its ceil-division
+      val want0 = EventsReplay.chunks(evs, nChunks).head.groupBy(_.etype)
         .map { case (t, es) => t -> es.size.toLong }
       assert(st0 == want0,
         s"batchId=0 must snapshot chunk 0's aggregate: $st0 vs $want0")
