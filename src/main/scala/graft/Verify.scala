@@ -45,8 +45,13 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
+    // ALWAYS the full oracle map, even under a query-name filter: the
+    // filter scopes which queries RUN (fast local iteration), but a
+    // filtered oracle dump silently downgrades every other entry to a
+    // rows-only check on the next full tools/check.py pass — a 0-row
+    // entry (legitimate, e.g. dedup_exact at sf0.01) then reads as
+    // FAIL even though its hash-compare passes.
     val json = SparkEntry.oracleSql
-      .filter { case (k, _) => selected(k) }
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()

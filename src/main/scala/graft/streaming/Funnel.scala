@@ -80,14 +80,37 @@ object Funnel {
         if (t3 >= 0) Some(t3) else None))
     } else {
       val next = FunnelState(t1, t2, t3, keep, done = false)
-      // wake at the earlier of: the next buffered event becoming ripe,
-      // or the finality bound (both strictly above the watermark here —
-      // a bound at/below it would have decided above)
-      val bound =
-        if (t1 < 0) Long.MaxValue
-        else if (t2 < 0) t1 + WindowMs
-        else t2 + WindowMs
-      val wake = math.min(bound, next.pending.map(_._1).minOption.getOrElse(Long.MaxValue))
+      // Wake at the PROJECTED decision time, not at the next buffered
+      // event: simulate the chained-min fold over everything known
+      // (ripe stages + the still-unripe buffer, in event-time order)
+      // and arm one timer at the bound that projection yields. If no
+      // further events arrive, the projection IS the decision time, so
+      // the user is invoked exactly once more instead of once per
+      // micro-batch as each buffered event ripens (measured at ~1500
+      // open users × one wasted wake per batch — pure state-IO churn:
+      // a wake below the decision bound can never emit). A later
+      // arrival re-invokes the function with data and re-arms; the
+      // `decided` check above stays authoritative on every invocation,
+      // so the wake time is only a scheduling heuristic, never a
+      // semantic input.
+      var (v1, v2, v3) = (t1, t2, t3)
+      keep.sortBy(_._1).foreach { case (t, ty) =>
+        ty match {
+          case "view" => if (v1 < 0) v1 = t
+          case "click" =>
+            if (v1 >= 0 && v2 < 0 && t > v1 && t <= v1 + WindowMs) v2 = t
+          case "purchase" =>
+            if (v2 >= 0 && v3 < 0 && t > v2 && t <= v2 + WindowMs) v3 = t
+          case _ =>
+        }
+      }
+      val wake =
+        if (v3 >= 0) v3 // all three ripe at that watermark: decides
+        else if (v2 >= 0) v2 + WindowMs
+        else if (v1 >= 0) v1 + WindowMs
+        // no view known: buffered stage-2/3 events can't decide
+        // anything on their own — wake as they ripen and fold away
+        else keep.map(_._1).minOption.getOrElse(Long.MaxValue)
       if (wake == Long.MaxValue) state.remove() // no first stage, nothing buffered
       else {
         state.update(next)
