@@ -236,38 +236,63 @@ object TaxiReplay {
   }
 
   /** Pacing for live demo replay (reference `toServingTime`,
-    * `sources/TaxiRideSource.scala:265-268`): wall-clock sleep between
-    * batches compressed by `speedFactor` (600× in the demos,
-    * `examples/TotalArrivalCount.scala:47`). Test code never calls
-    * this; the demo `main` does.
+    * `sources/TaxiRideSource.scala:265-268`): each batch is fed at its
+    * ABSOLUTE wall deadline `wallStart + (interval + 1) · batchMs` —
+    * deadline-based like the reference's servingTime arithmetic, not
+    * sleep-per-batch, so (a) feed-side processing time doesn't
+    * accumulate as drift across a long replay, and (b) an EMPTY
+    * serving interval (a lull in the data) holds real wall silence
+    * instead of being compressed away. Test code never calls this;
+    * the demo `main` and `tools.PacedCheck` do. Returns per-batch
+    * lateness (feed time − deadline, ms) so a caller can report
+    * serving-rate fidelity.
     */
   def replayPaced(
       ms: MemoryStream[RideEvent],
       events: Seq[RideEvent],
       speedFactor: Double,
-      batchMs: Long = 1000L): Unit =
-    pacedBatches(events, speedFactor, batchMs).foreach { batch =>
+      batchMs: Long = 1000L): Seq[Double] = {
+    val wallStart = System.nanoTime()
+    pacedSchedule(events, speedFactor, batchMs).map { case (interval, batch) =>
+      val deadline = wallStart + (interval + 1) * batchMs * 1000000L
+      val sleepNs = deadline - System.nanoTime()
+      if (sleepNs > 0) {
+        val ms0 = sleepNs / 1000000L
+        Thread.sleep(ms0, (sleepNs - ms0 * 1000000L).toInt)
+      }
       ms.addData(batch)
-      Thread.sleep(batchMs)
+      (System.nanoTime() - deadline) / 1e6
     }
+  }
 
   /** The pure pacing schedule behind `replayPaced`: one batch per
     * `batchMs` wall interval, holding the events whose reference
     * serving time `(eventTime − dataStart) / speedFactor`
     * (`toServingTime`, `sources/TaxiRideSource.scala:265-268`) lands in
-    * that interval; batches in serving order, each sorted by
+    * that interval; batches in serving order keyed by their interval
+    * index (intervals with no events simply don't appear — the feed
+    * honors the gap through the deadline arithmetic), each sorted by
     * (tMs, rideId). Split from the side-effecting feed so the
     * `toServingTime` binning is unit-assertable.
     */
-  def pacedBatches(
+  def pacedSchedule(
       events: Seq[RideEvent],
       speedFactor: Double,
-      batchMs: Long): Seq[Seq[RideEvent]] = {
+      batchMs: Long): Seq[(Long, Seq[RideEvent])] = {
     if (events.isEmpty) return Nil
     val t0 = events.head.tMs
     val eventMsPerBatch = math.max(1L, (batchMs * speedFactor).toLong)
     events.groupBy(e => (e.tMs - t0) / eventMsPerBatch)
       .toSeq.sortBy(_._1)
-      .map(_._2.sortBy(e => (e.tMs, e.rideId)))
+      .map { case (i, b) => (i, b.sortBy(e => (e.tMs, e.rideId))) }
   }
+
+  /** Interval-blind view of [[pacedSchedule]] (the binning pins in
+    * ReplayPacedSpec read it).
+    */
+  def pacedBatches(
+      events: Seq[RideEvent],
+      speedFactor: Double,
+      batchMs: Long): Seq[Seq[RideEvent]] =
+    pacedSchedule(events, speedFactor, batchMs).map(_._2)
 }

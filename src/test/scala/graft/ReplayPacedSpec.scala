@@ -42,6 +42,20 @@ class ReplayPacedSpec extends AnyFunSuite {
     }
   }
 
+  test("pacedSchedule keys batches by serving interval — a data lull keeps its gap") {
+    // events in intervals 0 and 7 (with perBatch = 1000*1.0 = 1000 ms
+    // of event time per wall batch): the schedule must carry the
+    // interval indices so deadline-based feeding holds 6 intervals of
+    // wall silence instead of compressing the lull away
+    val evs = Seq(
+      RideEvent(1L, 100L, isStart = false, -74.0, 40.75, 1),
+      RideEvent(2L, 7300L, isStart = false, -74.0, 40.75, 1),
+      RideEvent(3L, 7400L, isStart = false, -74.0, 40.75, 1))
+    val sched = TaxiReplay.pacedSchedule(evs, speedFactor = 1.0, batchMs = 1000L)
+    assert(sched.map(_._1) == Seq(0L, 7L))
+    assert(sched.map(_._2.size) == Seq(1, 2))
+  }
+
   test("replayPaced feeds all events at wall pace") {
     import spark.implicits._
     val rides = TaxiReplay.ridesFromEvents(spark, sf).collect().toSeq.take(200)
