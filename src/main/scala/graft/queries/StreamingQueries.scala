@@ -398,7 +398,12 @@ object StreamingQueries {
     val ss = streamSession(spark)
     val df = TaxiReplay.openJsonlStream(ss,
       ridesChunkDir(ss, sfDir, MaxDelayMs, sentinel = false, nChunks = 3))
-    val server = new SocketUpsertServer(failEveryN = 7).start()
+    // injection density: sparse enough that fault handling (reconnect
+    // per drop) stays a small fraction of the entry — at sf0.1 the
+    // pipeline emits ~32 k upserts (≈65 faults at 499); dense enough
+    // that the sf0.01 oracle run (~5-8 k upserts) still injects ~10+
+    // (non-vacuity require below)
+    val server = new SocketUpsertServer(failEveryN = 499).start()
     val ckpt = TempDir.create("graft-ckpt-")
     val q = TaxiPipelines.totalArrivalCount(df)
       .writeStream.outputMode("update")

@@ -96,7 +96,10 @@ final class ForeachKeyedUpsertWriter(
           disconnect()
           attempt += 1
           if (attempt > maxRetries) throw e
-          Thread.sleep(10L << math.min(attempt, 5))
+          // first retry is immediate (the reconnect is itself the
+          // backoff); repeated failures of the SAME record back off
+          // exponentially
+          if (attempt > 1) Thread.sleep(10L << math.min(attempt, 5))
       }
     }
   }
