@@ -178,6 +178,59 @@ object OpsReport {
     }
   }
 
+  /** Self-contained HTML render — the reference's Kibana dashboard
+    * (`README.md:137-172`) as a static artifact: no JS dependencies,
+    * inline SVG only, so the file opens anywhere and diffs in review.
+    * Panels mirror the dashboard's: ingest rate per batch, batch
+    * latency, state size, watermark lag, and the state-store
+    * partition layout with the reconciliation verdict.
+    */
+  def renderHtml(
+      title: String,
+      stats: Seq[BatchStat],
+      statePartRows: Seq[(Int, Long)],
+      metadata: Seq[String]): String = {
+    def esc(s: String) = s.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
+    // inline SVG bar panel: fixed 480×120 viewport, bars scaled to max
+    def bars(title: String, values: Seq[(String, Long)], unit: String): String = {
+      val max = math.max(1L, values.map(_._2).max)
+      val w = 480; val h = 120; val pad = 4
+      val bw = (w - pad * 2).toDouble / math.max(1, values.size)
+      val rects = values.zipWithIndex.map { case ((label, v), i) =>
+        val bh = math.max(1.0, (h - 30) * v.toDouble / max)
+        f"""<rect x="${pad + i * bw}%.1f" y="${h - 18 - bh}%.1f" width="${bw * 0.8}%.1f" height="$bh%.1f" fill="#4878a8"><title>${esc(label)}: $v $unit</title></rect>"""
+      }.mkString("\n")
+      val labels = values.zipWithIndex.map { case ((label, _), i) =>
+        f"""<text x="${pad + i * bw + bw * 0.4}%.1f" y="${h - 6}" font-size="9" text-anchor="middle" fill="#555">${esc(label)}</text>"""
+      }.mkString("\n")
+      s"""<div class="panel"><h3>${esc(title)}</h3>
+         |<svg viewBox="0 0 $w $h" width="$w" height="$h" role="img">$rects
+         |$labels
+         |<text x="$pad" y="12" font-size="10" fill="#333">max $max $unit</text></svg></div>""".stripMargin
+    }
+    val readerTotal = statePartRows.map(_._2).sum
+    val finalReported = stats.lastOption.map(_.stateRowsTotal).getOrElse(0L)
+    val verdict =
+      if (readerTotal == finalReported) s"""<span class="ok">reconciled ($readerTotal rows)</span>"""
+      else s"""<span class="bad">MISMATCH: reader $readerTotal vs progress $finalReported</span>"""
+    s"""<!DOCTYPE html>
+       |<html><head><meta charset="utf-8"><title>${esc(title)}</title>
+       |<style>body{font-family:sans-serif;margin:20px;color:#222}
+       |.panel{display:inline-block;margin:8px;padding:8px;border:1px solid #ddd;border-radius:4px}
+       |h3{margin:0 0 6px;font-size:13px}.ok{color:#1a7f37}.bad{color:#b91c1c}
+       |table{border-collapse:collapse;font-size:12px}td,th{border:1px solid #ddd;padding:3px 8px}</style>
+       |</head><body>
+       |<h1 style="font-size:16px">Ops dashboard — ${esc(title)}</h1>
+       |<p>State store vs progress feed: $verdict</p>
+       |${bars("Input rows per micro-batch", stats.map(s => (s.batchId.toString, s.inputRows)), "rows")}
+       |${bars("Batch latency (triggerExecution ms)", stats.map(s => (s.batchId.toString, s.triggerMs)), "ms")}
+       |${bars("State rows after batch", stats.map(s => (s.batchId.toString, s.stateRowsTotal)), "rows")}
+       |${bars("Watermark lag (ms)", stats.flatMap(s => s.watermarkLagMs.map(l => (s.batchId.toString, l))), "ms")}
+       |${bars("State rows per partition", statePartRows.map { case (p, n) => (s"p$p", n) }, "rows")}
+       |<h3>Operator metadata</h3><ul>${metadata.map(m => s"<li>${esc(m)}</li>").mkString}</ul>
+       |</body></html>""".stripMargin
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
     val outPath = args.drop(1).headOption
@@ -190,13 +243,18 @@ object OpsReport {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val (stats, parts, md, fed) = collectFromEventsReplay(spark, sfDir, nChunks = 4)
-    val report = render(s"events type-count replay over $sfDir ($fed events fed)",
-      stats, parts, md)
+    val title = s"events type-count replay over $sfDir ($fed events fed)"
+    val report = render(title, stats, parts, md)
     outPath match {
       case Some(p) =>
         java.nio.file.Files.write(java.nio.file.Paths.get(p),
           report.getBytes("UTF-8"))
         println(s"[ops] wrote $p")
+        // HTML twin next to the markdown artifact (the dashboard half)
+        val hp = p.replaceAll("\\.md$", "") + ".html"
+        java.nio.file.Files.write(java.nio.file.Paths.get(hp),
+          renderHtml(title, stats, parts, md).getBytes("UTF-8"))
+        println(s"[ops] wrote $hp")
       case None => println(report)
     }
     spark.stop()

@@ -59,6 +59,18 @@ class OpsReportSpec extends AnyFunSuite {
     val report = OpsReport.render("spec", stats, parts, md)
     assert(report.contains("reconciled") && !report.contains("MISMATCH"))
     assert(md.exists(_.contains("operator=stateStoreSave")))
+
+    // the HTML dashboard half: self-contained (no external refs), one
+    // bar per batch in the per-batch panels, verdict present
+    val html = OpsReport.renderHtml("spec", stats, parts, md)
+    assert(html.contains("reconciled") && !html.contains("MISMATCH"))
+    assert(!html.contains("http://") && !html.contains("https://") &&
+      !html.contains("<script"), "dashboard must be fully self-contained")
+    val rects = "<rect ".r.findAllIn(html).size
+    // 3 per-batch panels × nChunks bars + lag panel (nChunks-1: batch 0
+    // has no initialized watermark) + one bar per state partition
+    assert(rects == 3 * stats.size + (stats.size - 1) + parts.size,
+      s"unexpected bar count $rects")
   }
 
   test("latency histogram buckets are disjoint, exhaustive power-of-2 ranges") {
