@@ -197,6 +197,12 @@ object StorageQueries {
     // either reader. Scale shape: metadata columns are populated by
     // the reader per split, never shuffled or stored; the report is
     // one map-side agg to ≤ files rows.
+    // NOTE: the oracle reads the fixture FILES (that's the point —
+    // two engines' lineage surfaces over identical bytes), so the
+    // comparison is only valid within one single-SF Verify→check
+    // cycle (the driver's flow). Interleaving a run at another SF
+    // between the dump and the DuckDB compare rewrites the fixture
+    // and reads as a spurious value mismatch.
     "docs_file_lineage" -> ((s, dir) => {
       Tables.documents(s, dir)
         .repartition(8, col("doc_id")).sortWithinPartitions("doc_id")

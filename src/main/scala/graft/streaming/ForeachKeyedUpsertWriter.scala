@@ -136,7 +136,10 @@ object ForeachKeyedUpsertWriter {
     * replace would corrupt it). The null marker decodes to null.
     */
   def decodeFields(payload: String): Seq[String] =
-    payload.split('\t').toSeq.map { f =>
+    // -1 limit: a trailing EMPTY field must survive the split (Java's
+    // default drops trailing empties — found by the PropertiesSpec
+    // roundtrip on a [null, ""] row)
+    payload.split("\t", -1).toSeq.map { f =>
       if (f == NullMarker) null
       else {
         val sb = new java.lang.StringBuilder(f.length)

@@ -171,4 +171,26 @@ class PropertiesSpec extends AnyFunSuite {
         out.map(_._2.toSeq) == frames.map(_.toSeq)
     })
   }
+
+  test("upsert wire codec: encode->decode roundtrip over arbitrary unicode fields") {
+    import graft.streaming.ForeachKeyedUpsertWriter
+    import org.apache.spark.sql.Row
+    // arbitrary strings INCLUDING tabs, newlines, backslashes, the
+    // null marker codepoint, and surrogate-safe unicode; None = null
+    val fieldGen = Gen.option(Gen.listOf(Gen.oneOf(
+      Gen.choose(' ', '~'), Gen.oneOf('\t', '\n', '\\', '\u2400'),
+      Gen.choose('\u00a1', '\ud7ff'))).map(_.mkString))
+    check(forAll(Gen.nonEmptyListOf(fieldGen), Gen.choose(1, 3)) { (fields, nKeyRaw) =>
+      val nKey = math.min(nKeyRaw, fields.size)
+      val row = Row.fromSeq(fields.map(_.orNull))
+      val line = ForeachKeyedUpsertWriter.encode(row, nKey)
+      // the payload is everything after the second REAL tab; escaped
+      // fields contain no real tabs, so indexOf arithmetic is exact
+      val second = line.indexOf('\t', line.indexOf('\t') + 1)
+      val payload = line.substring(second + 1)
+      val back = ForeachKeyedUpsertWriter.decodeFields(payload)
+      // the full line must stay one record: no raw newline anywhere
+      !line.contains('\n') && back == fields.map(_.orNull)
+    })
+  }
 }
