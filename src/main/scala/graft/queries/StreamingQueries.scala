@@ -402,8 +402,9 @@ object StreamingQueries {
     // per drop) stays a small fraction of the entry — at sf0.1 the
     // pipeline emits ~32 k upserts (≈65 faults at 499); dense enough
     // that the sf0.01 oracle run (~5-8 k upserts) still injects ~10+
-    // (non-vacuity require below)
-    val server = new SocketUpsertServer(failEveryN = 499).start()
+    // (non-vacuity require below). firstFaultAt guarantees one fault
+    // on sub-period runs (the sf0.001 plan sweep emits ~490 upserts).
+    val server = new SocketUpsertServer(failEveryN = 499, firstFaultAt = 31).start()
     val ckpt = TempDir.create("graft-ckpt-")
     val q = TaxiPipelines.totalArrivalCount(df)
       .writeStream.outputMode("update")

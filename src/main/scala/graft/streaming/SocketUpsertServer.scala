@@ -39,7 +39,7 @@ import org.apache.spark.sql.types.StructType
   * is a real ES/KV cluster; nothing about the Spark-side writer
   * changes there).
   */
-final class SocketUpsertServer(failEveryN: Int = 0) {
+final class SocketUpsertServer(failEveryN: Int = 0, firstFaultAt: Int = 0) {
 
   private val store = new ConcurrentHashMap[String, String]()
   private val serverSocket = new ServerSocket(0, 64, java.net.InetAddress.getLoopbackAddress)
@@ -94,9 +94,13 @@ final class SocketUpsertServer(failEveryN: Int = 0) {
           val n = upserts.incrementAndGet()
           val key = parts(1)
           val payload = line.substring(line.indexOf('\t', line.indexOf('\t') + 1) + 1)
-          if (failEveryN > 0 && n % failEveryN == 0) {
+          if (failEveryN > 0 && (n % failEveryN == 0 || n == firstFaultAt)) {
             faults.incrementAndGet()
-            (n / failEveryN) % 3 match {
+            // the one-shot early fault (firstFaultAt) guarantees the
+            // retry path is exercised even on runs shorter than one
+            // failEveryN period (small-SF plan sweeps); it drops the
+            // connection after apply so the reconnect path fires too
+            (if (n == firstFaultAt) 1 else (n / failEveryN) % 3) match {
               case 0 => return // drop before apply: record lost, client retries
               case 1 => store.put(key, payload); return // apply, drop before ack: retry duplicates
               case _ => out.write("ERR\n"); out.flush() // transient rejection, connection survives
