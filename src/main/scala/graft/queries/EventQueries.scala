@@ -919,8 +919,104 @@ object EventQueries {
         .agg(count(lit(1)).as("n_events"),
           sum(col("value").cast("decimal(18,4)")).cast("double")
             .as("value_sum"))
+    }),
+
+    // Explicit deterministic HyperLogLog — the oracle-checked twin of
+    // the spec-pinned DataSketches built-in (HllSketchSpec): per
+    // event_type, md5-derived (bucket, rho) registers, max-merged in
+    // a two-phase agg (register maxes combine map-side — the exact
+    // merge that lets 1000 executors sketch 100 TB with KB-sized
+    // state), then the raw Flajolet estimate as ONE mirrored IEEE
+    // division over an integer-exact indicator sum (2^(53-rho) terms
+    // in a BIGINT — a double sum of 2^-rho would round by partition
+    // order). est_r is the RAW estimate by design: branch-free, so
+    // the entry hash-checks the estimator arithmetic at every SF
+    // regardless of which HLL regime the data lands in.
+    "events_hll_registers" -> ((s, dir) => {
+      import graft.functions.Sketches
+      val h = Sketches.sketchHash(col("event_id"))
+      Tables.events(s, dir)
+        .select(col("event_type"),
+          Sketches.hllBucket(h).as("bucket"), Sketches.hllRho(h).as("rho"))
+        .groupBy(col("event_type"), col("bucket"))
+        .agg(max(col("rho")).as("r"))
+        .groupBy(col("event_type"))
+        .agg(
+          (lit(Sketches.HllM.toLong) - count(lit(1))).as("v_empty"),
+          sum(Sketches.hllTerm(col("r"))).as("s_obs"))
+        .select(col("event_type"), col("v_empty"),
+          (col("s_obs") + col("v_empty") * Sketches.HllTermScale).as("s_total"),
+          round(
+            lit(0.7213) / (lit(1.0) + lit(1.079) / lit(256.0))
+              * lit(65536.0) * lit(9007199254740992.0)
+              / (col("s_obs") + col("v_empty") * Sketches.HllTermScale)
+                .cast("double"), 4).as("est_r"))
+    }),
+
+    // K-minimum-values set sketches (Bar-Yossef et al. 2002): per
+    // event type, the KmvK smallest md5 user hashes over the
+    // high-value slice (value > KmvValueMin makes the per-type user
+    // sets genuinely partial), then for every type pair the k-min of
+    // the UNION with membership flags — union cardinality via
+    // (k-1)/u_k, Jaccard via the intersection share inside the
+    // combined sketch. Sub-k sets fall back to the exact count (the
+    // standard KMV small-set branch; both branches are mirrored and
+    // both fire across the SF ladder). Scale: sketches are O(k) per
+    // type — the pairwise stage touches 10 × k rows, never the corpus.
+    "events_kmv_overlap" -> ((s, dir) => {
+      import graft.functions.Sketches
+      import org.apache.spark.sql.expressions.Window
+      val hu = Tables.events(s, dir)
+        .filter(col("value") > KmvValueMin)
+        .select(col("event_type"), Sketches.sketchHash(col("user_id")).as("hu"))
+        .distinct()
+      // k-min selection via rank window (per-type hash count is ≤
+      // distinct users; at 100 TB this becomes the bounded top-k
+      // partial agg — TopKByScore's shape — with identical output)
+      val sk = hu
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(col("event_type")).orderBy(col("hu"))))
+        .filter(col("rn") <= KmvK)
+        .select(col("event_type"), col("hu"))
+      // pair spine from the pinned EventTypes domain, exploded to
+      // (pair, member) so the sketch join stays a broadcast EQUI-join
+      val pl = s.createDataFrame(
+          EventTypes.combinations(2).toSeq.flatMap { case Seq(a, b) =>
+            Seq((a, b, a), (a, b, b))
+          }).toDF("type_a", "type_b", "member")
+      val u = sk.join(broadcast(pl), col("event_type") === col("member"))
+        .groupBy(col("type_a"), col("type_b"), col("hu"))
+        .agg(
+          max(when(col("member") === col("type_a"), 1).otherwise(0)).as("in_a"),
+          max(when(col("member") === col("type_b"), 1).otherwise(0)).as("in_b"))
+      u.withColumn("rn", row_number().over(
+          Window.partitionBy(col("type_a"), col("type_b")).orderBy(col("hu"))))
+        .filter(col("rn") <= KmvK)
+        .groupBy(col("type_a"), col("type_b"))
+        .agg(count(lit(1)).as("nk"),
+          sum((col("in_a") * col("in_b")).cast("long")).as("n_inter"),
+          max(col("hu")).as("uk"))
+        .select(col("type_a"), col("type_b"), col("n_inter"),
+          round(when(col("nk") < KmvK, col("nk").cast("double"))
+            .otherwise(lit((KmvK - 1).toDouble) / Sketches.kmvFrac(col("uk"))), 4)
+            .as("union_est_r"),
+          round(col("n_inter").cast("double") / col("nk"), 4).as("jacc_r"))
     })
   )
+
+  /** KMV sketch size (k-th minimum order statistic): below the
+    * per-type distinct-user-hash count at sf0.01+ (estimator branch)
+    * and above it at sf0.001 (exact-fallback branch) — both mirrored
+    * branches fire across the SF ladder.
+    */
+  val KmvK = 32
+
+  /** High-value slice bound for the KMV sets: keeps ~25-30% of users
+    * per type at every SF, so the per-type sets genuinely differ and
+    * the pairwise Jaccard is non-trivial (without it every type sees
+    * every user and all overlaps are 1.0).
+    */
+  val KmvValueMin = 180.0
 
   /** Irregular tier bounds for the range join: [lo, hi), disjoint,
     * covering the fixture's full value range.
@@ -933,6 +1029,54 @@ object EventQueries {
   val RangeBucketWidth = 50.0
 
   val oracleSql: Map[String, String] = Map(
+    "events_hll_registers" -> {
+      import graft.functions.Sketches.{Sql => Sk}
+      s"""WITH h AS (SELECT event_type, ${Sk.sketchHash("event_id")} AS h FROM events),
+         |reg AS (
+         |  SELECT event_type, ${Sk.hllBucket("h")} AS bucket,
+         |    MAX(${Sk.hllRho("h")}) AS r
+         |  FROM h GROUP BY 1, 2),
+         |agg AS (
+         |  SELECT event_type,
+         |    CAST(256 - count(*) AS BIGINT) AS v_empty,
+         |    CAST(SUM(1::BIGINT << (53 - r)) AS BIGINT) AS s_obs
+         |  FROM reg GROUP BY 1)
+         |SELECT event_type, v_empty,
+         |  CAST(s_obs + v_empty * 9007199254740992 AS BIGINT) AS s_total,
+         |  ROUND(0.7213 / (1.0 + 1.079 / 256.0) * 65536.0 * 9007199254740992.0
+         |    / CAST(s_obs + v_empty * 9007199254740992 AS DOUBLE), 4) AS est_r
+         |FROM agg""".stripMargin
+    },
+    "events_kmv_overlap" -> {
+      import graft.functions.Sketches.{Sql => Sk}
+      s"""WITH hu AS (SELECT DISTINCT event_type, ${Sk.sketchHash("user_id")} AS hu
+         |  FROM events WHERE value > $KmvValueMin),
+         |sk AS (SELECT event_type, hu FROM (
+         |    SELECT event_type, hu,
+         |      row_number() OVER (PARTITION BY event_type ORDER BY hu) AS rn
+         |    FROM hu)
+         |  WHERE rn <= $KmvK),
+         |pairs AS (SELECT a.event_type AS type_a, b.event_type AS type_b
+         |  FROM (SELECT DISTINCT event_type FROM events) a,
+         |       (SELECT DISTINCT event_type FROM events) b
+         |  WHERE a.event_type < b.event_type),
+         |u AS (
+         |  SELECT p.type_a, p.type_b, s.hu,
+         |    MAX(CASE WHEN s.event_type = p.type_a THEN 1 ELSE 0 END) AS in_a,
+         |    MAX(CASE WHEN s.event_type = p.type_b THEN 1 ELSE 0 END) AS in_b
+         |  FROM pairs p JOIN sk s ON s.event_type IN (p.type_a, p.type_b)
+         |  GROUP BY 1, 2, 3),
+         |r AS (SELECT *, row_number() OVER (PARTITION BY type_a, type_b ORDER BY hu) AS rn FROM u),
+         |k AS (
+         |  SELECT type_a, type_b, count(*) AS nk,
+         |    CAST(SUM(in_a * in_b) AS BIGINT) AS n_inter, MAX(hu) AS uk
+         |  FROM r WHERE rn <= $KmvK GROUP BY 1, 2)
+         |SELECT type_a, type_b, n_inter,
+         |  ROUND(CASE WHEN nk < $KmvK THEN CAST(nk AS DOUBLE)
+         |    ELSE ${(KmvK - 1).toDouble} / (${Sk.kmvFrac("uk")}) END, 4) AS union_est_r,
+         |  ROUND(CAST(n_inter AS DOUBLE) / nk, 4) AS jacc_r
+         |FROM k""".stripMargin
+    },
     "events_pivot" ->
       s"""SELECT user_id,
          |${EventTypes.map(t => s"  COUNT(*) FILTER (WHERE event_type = '$t') AS \"$t\"").mkString(",\n")}

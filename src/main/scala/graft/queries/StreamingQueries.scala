@@ -728,6 +728,44 @@ object StreamingQueries {
     }
   }
 
+  /** Mergeable-sketch state as a STREAMING aggregate: the explicit
+    * deterministic HLL registers of `events_hll_registers`, built
+    * incrementally — per micro-batch, Update-mode MAX per register
+    * bucket through the keyed upsert sink. Register max is monotone
+    * and order-insensitive, so the converged store equals the batch
+    * register table no matter how the replay chunks the feed — and
+    * the state is BOUNDED at 256 rows by construction (the whole
+    * point of sketch state at 100 TB: a distinct-count over an
+    * unbounded stream in KB of state, no watermark needed because
+    * registers never retract).
+    */
+  def hllRegisterStream(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.functions.Sketches
+    val ss = streamSession(spark)
+    val evs = eventRows(ss, sfDir)
+    val (stream, chunkDir) = EventsReplay.fileStream(ss, evs, nChunks = 3)
+    val sink = new KeyedUpsertSink(Seq("bucket"))
+    val ckpt = TempDir.create("graft-ckpt-")
+    val h = Sketches.sketchHash(col("eventId"))
+    val q = stream
+      .select(Sketches.hllBucket(h).as("bucket"), Sketches.hllRho(h).as("rho"))
+      .groupBy(col("bucket")).agg(max(col("rho")).as("r"))
+      .writeStream.outputMode("update")
+      .option("checkpointLocation", ckpt.toString)
+      .foreachBatch(sink.upsert _)
+      .start()
+    try {
+      q.processAllAvailable()
+      sink.toDF(ss).localCheckpoint()
+    } finally {
+      q.stop()
+      TempDir.deleteRecursively(ckpt.toString)
+      TempDir.deleteRecursively(chunkDir)
+      sink.close()
+      StateStoreBridge.unloadAll()
+    }
+  }
+
   /** CHAINED windowed aggregations in ONE streaming query (Spark 3.4+
     * time-window-on-window): 5-minute tumbling pre-aggregation rolled
     * up to 15-minute totals — the hierarchical-rollup pattern a
@@ -1831,6 +1869,7 @@ object StreamingQueries {
     "taxi_total_tws" -> (totalTwsStream _),
     "taxi_total_bootstrap" -> (totalBootstrapStream _),
     "events_type_counts_stream" -> (typeCountsStream _),
+    "events_hll_stream" -> (hllRegisterStream _),
     "events_state_reader" -> (stateReaderStream _),
     "events_debounce_stream" -> (debounceStream _),
     "taxi_sliding_stream" -> (slidingStream _),
@@ -1949,6 +1988,13 @@ object StreamingQueries {
     "events_type_counts_stream" ->
       """SELECT user_id, event_type, COUNT(*) AS n
         |FROM events GROUP BY user_id, event_type""".stripMargin,
+    // converged streaming registers must BE the batch register table
+    "events_hll_stream" -> {
+      import graft.functions.Sketches.{Sql => Sk}
+      s"""WITH h AS (SELECT ${Sk.sketchHash("event_id")} AS h FROM events)
+         |SELECT ${Sk.hllBucket("h")} AS bucket, MAX(${Sk.hllRho("h")}) AS r
+         |FROM h GROUP BY 1""".stripMargin
+    },
     // the checkpoint's state rows must BE the batch aggregate
     "events_state_reader" ->
       """SELECT event_type, COUNT(*) AS n,

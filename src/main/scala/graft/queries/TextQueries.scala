@@ -922,8 +922,94 @@ object TextQueries {
         .select(col("doc_id"), col("source"), rate.as("rate_pct"), mh.as("mh"))
         .filter(col("mh") < col("rate_pct"))
         .select(col("doc_id"), col("source"), col("rate_pct"))
+    }),
+
+    // Winnowing document fingerprints (Schleimer/Wilkerson/Aiken,
+    // MOSS): per doc, md5 each word [[WinnowG]]-gram, then keep the
+    // MINIMUM hash of every [[WinnowW]]-gram window — any shared run
+    // of ≥ G+W-1 tokens is GUARANTEED to share a fingerprint, while
+    // only ~1/W of grams are kept. That sampling is what distinguishes
+    // it from text_dup_spans (which hashes every gram): at 100 TB the
+    // fingerprint index is a W-fold smaller join. Selection is the
+    // distinct window-min set — position-free, so it's mirrorable as
+    // list arithmetic with no window functions. Cross-doc pairs come
+    // from a fingerprint-bucket join with the LSH-banding discipline:
+    // fingerprints shared by > [[WinnowMaxDf]] docs are dropped as
+    // stop-fingerprints (bounding per-bucket pair fan-out), pairs
+    // need ≥ [[WinnowMinShared]] shared fingerprints.
+    "text_winnow" -> ((s, dir) => {
+      val gl = ngrams(tokens(col("text")), WinnowG)
+      val hl = transform(gl, g => md5(g))
+      val nw = size(hl) - (WinnowW - 1)
+      val fpsExpr = when(nw >= 1,
+          array_distinct(transform(sequence(lit(1), nw),
+            i => array_min(slice(hl, i, lit(WinnowW))))))
+        .otherwise(array().cast("array<string>"))
+      val fp = Tables.documents(s, dir)
+        .select(col("doc_id"), explode(fpsExpr).as("fp"))
+        .localCheckpoint() // two consumers: df counts + pair join
+      val shared = fp.groupBy(col("fp"))
+        .agg(count(lit(1)).as("nd"))
+        .filter(col("nd") >= 2 && col("nd") <= WinnowMaxDf)
+        .select(col("fp"))
+      val hits = fp.join(shared, "fp")
+      hits.select(col("fp"), col("doc_id").as("doc_a"))
+        .join(hits.select(col("fp"), col("doc_id").as("doc_b")), "fp")
+        .filter(col("doc_a") < col("doc_b"))
+        .groupBy(col("doc_a"), col("doc_b"))
+        .agg(count(lit(1)).as("n_shared"))
+        .filter(col("n_shared") >= WinnowMinShared)
+    }),
+
+    // Misra–Gries heavy hitters as a first-class entry: the
+    // [[graft.functions.MisraGriesAgg]] typed aggregator (map-side
+    // partial summaries of ≤ k counters, associative merge) produces
+    // the candidate set, then a broadcast join verifies candidates
+    // against exact counts — output = tokens with exact count
+    // > N/(k+1). The MG bound (no item above N/(k+1) is ever evicted
+    // from a k-counter summary) makes the sketch→verify pipeline
+    // EQUAL to the plain exact oracle by theorem, which is precisely
+    // why it is the 100 TB recipe: the first pass shuffles O(k) per
+    // partition instead of one row per distinct token, the second
+    // counts only candidates. (On this corpus vocab ≤ k, so the
+    // sketch is in its exact regime; the lossy regime is
+    // ScalaCheck-pinned in MisraGriesSpec.)
+    "text_heavy_hitters" -> ((s, dir) => {
+      import graft.functions.MisraGriesAgg
+      val toks = Tables.documents(s, dir)
+        .select(explode(tokens(col("text"))).as("token"))
+        .localCheckpoint() // two consumers: sketch pass + verify pass
+      import s.implicits._
+      val cands = toks.as[String]
+        .select(new MisraGriesAgg(HhK).toColumn)
+        .toDF("sk")
+        .select(explode(col("sk")).as("c"))
+        .select(col("c._1").as("token"))
+      val total = toks.groupBy().agg(count(lit(1)).as("n_total"))
+      toks.join(broadcast(cands), "token")
+        .groupBy(col("token")).agg(count(lit(1)).as("cnt"))
+        .crossJoin(broadcast(total))
+        .filter(col("cnt") * (HhK + 1) > col("n_total"))
+        .select(col("token"), col("cnt"))
     })
   )
+
+  /** Winnowing parameters: word-gram width G, window W (detection
+    * guarantee: shared token runs ≥ G+W-1 = 8 — the same span the
+    * DupSpanN=8 grams target), stop-fingerprint document-frequency
+    * cap, and the minimum shared-fingerprint count for a pair.
+    */
+  val WinnowG = 4
+  val WinnowW = 5
+  val WinnowMaxDf = 50
+  val WinnowMinShared = 2
+
+  /** Misra–Gries summary size for `text_heavy_hitters`: the heavy-
+    * hitter threshold is N/(k+1) — 1/33 ≈ 3.0%, inside the fixture's
+    * ~3.1–3.6% main-token band so membership is decided per-token by
+    * the exact verify at every SF (non-vacuous keeps AND drops).
+    */
+  val HhK = 32
 
   /** Boolean-search query terms (mid-df corpus words: each in ~78% of
     * docs, so the 3-way AND keeps both matches and non-matches).
@@ -1190,6 +1276,32 @@ object TextQueries {
        |        FROM $prev, t$i)""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
+    "text_winnow" -> {
+      // list-arithmetic mirror of the window-min selection: hl[i:j]
+      // slices are INCLUSIVE in DuckDB, so [i : i+W-1] is W elements
+      s"""WITH base AS (SELECT doc_id, ${Sql.tokens("text")} AS tk FROM documents),
+         |hl AS (SELECT doc_id,
+         |  [md5(g) for g in (${Sql.ngrams("tk", WinnowG)})] AS hl FROM base),
+         |fp AS (
+         |  SELECT DISTINCT doc_id,
+         |    unnest([list_min(hl[i:i+${WinnowW - 1}])
+         |            for i in range(1, len(hl) - ${WinnowW - 2})]) AS fp
+         |  FROM hl),
+         |shared AS (SELECT fp FROM fp GROUP BY fp
+         |  HAVING count(*) BETWEEN 2 AND $WinnowMaxDf)
+         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_shared
+         |FROM fp a JOIN shared USING (fp) JOIN fp b USING (fp)
+         |WHERE a.doc_id < b.doc_id
+         |GROUP BY 1, 2
+         |HAVING count(*) >= $WinnowMinShared""".stripMargin
+    },
+    "text_heavy_hitters" ->
+      s"""WITH tok AS (SELECT unnest(${Sql.tokens("text")}) AS token FROM documents),
+         |tot AS (SELECT count(*) AS n FROM tok)
+         |SELECT token, count(*) AS cnt
+         |FROM tok, tot
+         |GROUP BY token, n
+         |HAVING count(*) * ${HhK + 1} > n""".stripMargin,
     "text_vocab_growth" -> {
       val cps = VocabCheckpoints.mkString("[", ", ", "]")
       s"""WITH fs AS (

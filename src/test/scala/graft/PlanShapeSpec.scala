@@ -32,6 +32,7 @@ class PlanShapeSpec extends AnyFunSuite {
     "events_attribution_full_stream", "events_trending_stream",
     "events_enrich_stream", "events_debounce_stream",
     "events_type_counts_stream", "events_rate_stream",
+    "events_hll_stream",
     "embedding_ingest_stream", "dedup_cc_stream",
     "multimodal_ingest_stream")
 
@@ -79,11 +80,13 @@ class PlanShapeSpec extends AnyFunSuite {
     // lineitem_zorder_spans and orders_month_spine join the same 1-row
     // relation class (min/max bounds broadcast back over the scan /
     // into the spine clip)
+    // text_heavy_hitters joins the same 1-row class (the total token
+    // count N broadcast into the candidate-verify filter)
     val allowed = Set("knn_brute", "multimodal_feature_knn", "knn_int8",
       "knn_int8_rerank", "knn_ivf_recall", "knn_pq_adc", "knn_pq_rerank",
       "knn_ivfpq_rerank", "knn_matryoshka", "knn_matryoshka_rerank",
       "knn_matryoshka_recall",
-      "text_bpe_train",
+      "text_bpe_train", "text_heavy_hitters",
       "events_resample_ffill", "events_rfm", "q22_share_of_total",
       "lineitem_zorder_spans", "orders_month_spine")
     (SparkEntry.queries.keySet -- streamingEntries -- allowed).toSeq.sorted.foreach { name =>
