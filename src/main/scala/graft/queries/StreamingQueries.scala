@@ -766,6 +766,45 @@ object StreamingQueries {
     }
   }
 
+  /** Count-Min counters as streaming state: per micro-batch, SUM per
+    * (hash row, bucket) in Update mode through the upsert sink —
+    * counters merge by addition over the disjoint replay chunks, so
+    * the converged 256-cell table equals the batch CMS exactly. With
+    * `events_hll_stream` (max-merge) this covers both mergeable-
+    * sketch state algebras; state is bounded at d·w cells no matter
+    * the stream length — per-key frequency estimation over an
+    * unbounded stream in constant state.
+    */
+  def cmsStream(spark: SparkSession, sfDir: String): DataFrame = {
+    val ss = streamSession(spark)
+    val evs = eventRows(ss, sfDir)
+    val (stream, chunkDir) = EventsReplay.fileStream(ss, evs, nChunks = 3)
+    val sink = new KeyedUpsertSink(Seq("d", "b"))
+    val ckpt = TempDir.create("graft-ckpt-")
+    val salts = (0 until EventQueries.CmsD).map(d => lit(d.toString))
+    val q = stream
+      .select(explode(array(salts: _*)).as("d"),
+        col("userId").cast("string").as("k"))
+      .select(col("d"),
+        (conv(substring(md5(concat(col("d"), lit(":"), col("k"))), 1, 8), 16, 10)
+          .cast("long") % EventQueries.CmsW).as("b"))
+      .groupBy(col("d"), col("b")).agg(count(lit(1)).as("c"))
+      .writeStream.outputMode("update")
+      .option("checkpointLocation", ckpt.toString)
+      .foreachBatch(sink.upsert _)
+      .start()
+    try {
+      q.processAllAvailable()
+      sink.toDF(ss).localCheckpoint()
+    } finally {
+      q.stop()
+      TempDir.deleteRecursively(ckpt.toString)
+      TempDir.deleteRecursively(chunkDir)
+      sink.close()
+      StateStoreBridge.unloadAll()
+    }
+  }
+
   /** CHAINED windowed aggregations in ONE streaming query (Spark 3.4+
     * time-window-on-window): 5-minute tumbling pre-aggregation rolled
     * up to 15-minute totals — the hierarchical-rollup pattern a
@@ -1870,6 +1909,7 @@ object StreamingQueries {
     "taxi_total_bootstrap" -> (totalBootstrapStream _),
     "events_type_counts_stream" -> (typeCountsStream _),
     "events_hll_stream" -> (hllRegisterStream _),
+    "events_cms_stream" -> (cmsStream _),
     "events_state_reader" -> (stateReaderStream _),
     "events_debounce_stream" -> (debounceStream _),
     "taxi_sliding_stream" -> (slidingStream _),
@@ -1995,6 +2035,13 @@ object StreamingQueries {
          |SELECT ${Sk.hllBucket("h")} AS bucket, MAX(${Sk.hllRho("h")}) AS r
          |FROM h GROUP BY 1""".stripMargin
     },
+    // converged streaming CMS counters must BE the batch cell table
+    "events_cms_stream" ->
+      s"""SELECT d, CAST(('0x' || substr(md5(d || ':' || k), 1, 8))::UBIGINT AS BIGINT) % ${EventQueries.CmsW} AS b,
+         |       count(*) AS c
+         |FROM (SELECT CAST(user_id AS VARCHAR) AS k FROM events),
+         |     (SELECT unnest([${(0 until EventQueries.CmsD).map(d => s"'$d'").mkString(", ")}]) AS d)
+         |GROUP BY 1, 2""".stripMargin,
     // the checkpoint's state rows must BE the batch aggregate
     "events_state_reader" ->
       """SELECT event_type, COUNT(*) AS n,

@@ -32,7 +32,7 @@ class PlanShapeSpec extends AnyFunSuite {
     "events_attribution_full_stream", "events_trending_stream",
     "events_enrich_stream", "events_debounce_stream",
     "events_type_counts_stream", "events_rate_stream",
-    "events_hll_stream",
+    "events_hll_stream", "events_cms_stream",
     "embedding_ingest_stream", "dedup_cc_stream",
     "multimodal_ingest_stream")
 

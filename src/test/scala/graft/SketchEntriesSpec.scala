@@ -112,6 +112,23 @@ class SketchEntriesSpec extends AnyFunSuite {
     assert(f * 20 > g, s"winnow kept $f of $g grams — implausibly sparse")
   }
 
+  test("CMS estimates never underestimate and stay inside the w-geometry error") {
+    val est = EventQueries.queries("events_cms_counts")(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val exact = Tables.events(spark, sf).groupBy(col("user_id")).count()
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(est.keySet == exact.keySet)
+    est.foreach { case (u, e) =>
+      assert(e >= exact(u), s"user $u: CMS $e underestimates exact ${exact(u)}")
+    }
+    val n = exact.values.sum.toDouble
+    val meanErr = est.map { case (u, e) => e - exact(u) }.sum.toDouble / est.size
+    // expected collision mass per counter ~ N/w; the min over d=4 rows
+    // sits well under it — 2N/w fails loudly on misrouted buckets
+    assert(meanErr <= 2.0 * n / EventQueries.CmsW,
+      s"mean CMS overestimate $meanErr vs bound ${2.0 * n / EventQueries.CmsW}")
+  }
+
   test("MG candidate set from the corpus sketch covers every true heavy hitter") {
     import spark.implicits._
     val toks = Tables.documents(spark, sf)
