@@ -1025,8 +1025,35 @@ object EventQueries {
         .join(broadcast(cells), Seq("d", "b"))
         .groupBy(col("user_id"))
         .agg(min(col("c")).as("cms_est"))
+    }),
+
+    // Join-size estimation by CMS inner product (the AMS-lineage
+    // application: |A ⋈_k B| = Σ_u nA(u)·nB(u), estimated as the MIN
+    // over hash rows of Σ_b cA[d,b]·cB[d,b] — never an underestimate,
+    // collisions only add). This is what an optimizer consults at
+    // 100 TB before picking a join strategy: two bounded cell tables
+    // (256 ints each, built with one partial-agg pass per side, here
+    // over the click and view slices keyed by user) replace a
+    // pre-join of the fact tables. Integer-exact end to end.
+    "events_join_size_est" -> ((s, dir) => {
+      val events = Tables.events(s, dir)
+      val cellsA = cmsCells(events.filter(col("event_type") === JoinEstTypeA))
+      val cellsB = cmsCells(events.filter(col("event_type") === JoinEstTypeB))
+      cellsA.withColumnRenamed("c", "ca")
+        .join(cellsB.withColumnRenamed("c", "cb"), Seq("d", "b"))
+        .groupBy(col("d"))
+        .agg(sum(col("ca") * col("cb")).as("ip"))
+        .agg(min(col("ip")).as("est_join_size"))
+        .select(lit(JoinEstTypeA).as("type_a"), lit(JoinEstTypeB).as("type_b"),
+          col("est_join_size"))
     })
   )
+
+  /** The two event-type slices whose per-user join size
+    * `events_join_size_est` estimates.
+    */
+  val JoinEstTypeA = "click"
+  val JoinEstTypeB = "view"
 
   /** Count-Min sketch geometry: d salted hash rows × w counter
     * buckets — 256 integer cells total. w=64 keeps the expected
@@ -1139,6 +1166,25 @@ object EventQueries {
          |JOIN cells c ON c.d = ds.d
          | AND c.b = CAST(('0x' || substr(md5(ds.d || ':' || p.k), 1, 8))::UBIGINT AS BIGINT) % $CmsW
          |GROUP BY 1""".stripMargin,
+    "events_join_size_est" ->
+      s"""WITH ds AS (SELECT unnest([${(0 until CmsD).map(d => s"'$d'").mkString(", ")}]) AS d),
+         |ca AS (
+         |  SELECT d, CAST(('0x' || substr(md5(d || ':' || k), 1, 8))::UBIGINT AS BIGINT) % $CmsW AS b,
+         |         count(*) AS c
+         |  FROM (SELECT CAST(user_id AS VARCHAR) AS k FROM events WHERE event_type = '$JoinEstTypeA'), ds
+         |  GROUP BY 1, 2),
+         |cb AS (
+         |  SELECT d, CAST(('0x' || substr(md5(d || ':' || k), 1, 8))::UBIGINT AS BIGINT) % $CmsW AS b,
+         |         count(*) AS c
+         |  FROM (SELECT CAST(user_id AS VARCHAR) AS k FROM events WHERE event_type = '$JoinEstTypeB'), ds
+         |  GROUP BY 1, 2),
+         |ip AS (
+         |  SELECT ca.d, CAST(SUM(ca.c * cb.c) AS BIGINT) AS ip
+         |  FROM ca JOIN cb ON ca.d = cb.d AND ca.b = cb.b
+         |  GROUP BY 1)
+         |SELECT '$JoinEstTypeA' AS type_a, '$JoinEstTypeB' AS type_b,
+         |  MIN(ip) AS est_join_size
+         |FROM ip""".stripMargin,
     "events_pivot" ->
       s"""SELECT user_id,
          |${EventTypes.map(t => s"  COUNT(*) FILTER (WHERE event_type = '$t') AS \"$t\"").mkString(",\n")}

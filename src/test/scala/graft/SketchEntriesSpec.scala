@@ -129,6 +129,26 @@ class SketchEntriesSpec extends AnyFunSuite {
       s"mean CMS overestimate $meanErr vs bound ${2.0 * n / EventQueries.CmsW}")
   }
 
+  test("CMS join-size estimate never underestimates the exact join size") {
+    val est = EventQueries.queries("events_join_size_est")(spark, sf)
+      .head().getLong(2)
+    val e = Tables.events(spark, sf)
+    def counts(t: String) = e.filter(col("event_type") === t)
+      .groupBy(col("user_id")).count()
+    val exact = counts(EventQueries.JoinEstTypeA).as("a")
+      .join(counts(EventQueries.JoinEstTypeB).as("b"), "user_id")
+      .select(sum(col("a.count") * col("b.count")).as("n"))
+      .head().getLong(0)
+    assert(est >= exact, s"CMS inner product $est underestimates exact $exact")
+    // E[est] = exact + nA*nB/w (the collision mass is ADDITIVE and
+    // dominates when distinct keys >> w); 3x that mass fails loudly
+    // on misrouted buckets while tolerating the geometry
+    val nA = e.filter(col("event_type") === EventQueries.JoinEstTypeA).count()
+    val nB = e.filter(col("event_type") === EventQueries.JoinEstTypeB).count()
+    val bound = exact + 3 * nA * nB / EventQueries.CmsW
+    assert(est <= bound, s"CMS inner product $est vs bound $bound — misrouted?")
+  }
+
   test("MG candidate set from the corpus sketch covers every true heavy hitter") {
     import spark.implicits._
     val toks = Tables.documents(spark, sf)
