@@ -1046,6 +1046,76 @@ object EventQueries {
         .agg(min(col("ip")).as("est_join_size"))
         .select(lit(JoinEstTypeA).as("type_a"), lit(JoinEstTypeB).as("type_b"),
           col("est_join_size"))
+    }),
+
+    // Mergeable histogram quantile sketch — the fourth mergeable-
+    // sketch algebra after max-merged HLL registers, k-min KMV and
+    // add-merged CMS counters, and the 100 TB stand-in for the
+    // sort-based exact `q10_quantiles`: equi-width bin counters
+    // (≤ 250 per group over the fixture's [0, 1000) value domain)
+    // merge by ADDITION, so they partial-aggregate map-side and the
+    // shuffle carries O(bins) per partition instead of the value
+    // stream — the same role t-digest/KLL play in approx_percentile,
+    // in a deterministic form the oracle can hash. Quantile
+    // extraction then touches only the cell table: integer-exact
+    // rank target ceil(p·n/100), the covering bin located by its
+    // cumulative count, ONE mirrored IEEE interpolation inside it.
+    // Estimate error is bounded by the bin width (spec-pinned
+    // against the exact rank value).
+    "events_quantile_sketch" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val cells = Tables.events(s, dir)
+        .select(col("event_type"),
+          floor(col("value") / lit(QhWidth)).cast("long").as("b"))
+        .groupBy(col("event_type"), col("b")).agg(count(lit(1)).as("c"))
+      val tw = Window.partitionBy(col("event_type"))
+      cells
+        .withColumn("cum", sum(col("c")).over(tw.orderBy(col("b"))))
+        .withColumn("n", sum(col("c")).over(tw))
+        .withColumn("p", explode(array(QhPcts.map(lit): _*)))
+        .withColumn("target", expr("(n * p + 99) div 100"))
+        .filter(col("target") > col("cum") - col("c") &&
+          col("target") <= col("cum"))
+        .select(col("event_type"), col("p"), col("n"), col("target"),
+          round(col("b") * lit(QhWidth) +
+            (lit(QhWidth) * (col("target") - (col("cum") - col("c"))))
+              / col("c"), 4).as("qest_r"))
+    }),
+
+    // k-anonymity generalization ladder — the release-governance op a
+    // training-data pipeline runs before publishing event-derived
+    // features (Sweeney 2002): quasi-identifier (event_type, day,
+    // value band) classes of size ≥ k publish as-is; smaller classes
+    // generalize (drop the day) and their RESIDUAL band classes
+    // publish only if the residue itself reaches k; what still can't
+    // hide among k-1 peers is suppressed. Everything after the one
+    // corpus scan operates on the bounded quasi-id cell table (rows
+    // are interchangeable within a class, so class counts carry the
+    // whole decision) — at 100 TB the ladder is aggregations over a
+    // few-thousand-row table, never a second pass over the events.
+    "events_k_anon" -> ((s, dir) => {
+      val c0 = Tables.events(s, dir)
+        .select(col("event_type"), to_date(col("ts")).as("d"),
+          floor(col("value") / lit(KAnonBand)).cast("long").as("b"))
+        .groupBy(col("event_type"), col("d"), col("b"))
+        .agg(count(lit(1)).as("c"))
+      val l0 = c0.filter(col("c") >= KAnonK)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("groups"), sum(col("c")).as("rows_pub"))
+        .withColumn("level", lit("day_band"))
+      val r1 = c0.filter(col("c") < KAnonK)
+        .groupBy(col("event_type"), col("b"))
+        .agg(sum(col("c")).as("rc"))
+      val l1 = r1.filter(col("rc") >= KAnonK)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("groups"), sum(col("rc")).as("rows_pub"))
+        .withColumn("level", lit("band"))
+      val sup = r1.filter(col("rc") < KAnonK)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("groups"), sum(col("rc")).as("rows_pub"))
+        .withColumn("level", lit("suppressed"))
+      l0.unionByName(l1).unionByName(sup)
+        .select(col("event_type"), col("level"), col("groups"), col("rows_pub"))
     })
   )
 
@@ -1063,6 +1133,27 @@ object EventQueries {
     */
   val CmsD = 4
   val CmsW = 64
+
+  /** Quantile-sketch histogram geometry: equi-width bins over the
+    * fixture's spec'd value domain [0, 1000) (`RangeTiers`' span) —
+    * width 4.0 keeps ≤ 250 integer counters per group (bounded state
+    * by construction) while the interpolation error bound (≤ one
+    * width) stays visible and spec-checkable against the exact rank
+    * value.
+    */
+  val QhWidth = 4.0
+
+  /** Quantile targets (percent) the sketch extracts per group. */
+  val QhPcts = Seq(25, 50, 75, 95)
+
+  /** k-anonymity threshold: a quasi-identifier class publishes only
+    * when ≥ k rows share it. k=5 with 10.0-wide value bands is
+    * calibrated so publish / generalize / suppress are ALL non-empty
+    * at sf0.001, sf0.01 and sf0.1 (e.g. sf0.001 publishes exactly 2
+    * day-level classes; sf0.1's band classes below k stay ≥ 55).
+    */
+  val KAnonK = 5
+  val KAnonBand = 10.0
 
   /** CMS cell table (d, b, c): the d-fold explode partial-aggregates
     * to ≤ d·w rows per partition before the one exchange, so at
@@ -1185,6 +1276,41 @@ object EventQueries {
          |SELECT '$JoinEstTypeA' AS type_a, '$JoinEstTypeB' AS type_b,
          |  MIN(ip) AS est_join_size
          |FROM ip""".stripMargin,
+    "events_quantile_sketch" ->
+      s"""WITH cells AS (
+         |  SELECT event_type, CAST(FLOOR(value / $QhWidth) AS BIGINT) AS b, count(*) AS c
+         |  FROM events GROUP BY 1, 2),
+         |cum AS (
+         |  SELECT event_type, b, c,
+         |    CAST(SUM(c) OVER (PARTITION BY event_type ORDER BY b) AS BIGINT) AS cum,
+         |    CAST(SUM(c) OVER (PARTITION BY event_type) AS BIGINT) AS n
+         |  FROM cells),
+         |tq AS (
+         |  SELECT *, (n * p + 99) // 100 AS target
+         |  FROM cum, (SELECT unnest([${QhPcts.mkString(", ")}]) AS p) q)
+         |SELECT event_type, p, n, target,
+         |  ROUND(b * $QhWidth + ($QhWidth * (target - (cum - c))) / c, 4) AS qest_r
+         |FROM tq
+         |WHERE target > cum - c AND target <= cum""".stripMargin,
+    "events_k_anon" ->
+      s"""WITH c0 AS (
+         |  SELECT event_type, CAST(ts AS DATE) AS d,
+         |    CAST(FLOOR(value / $KAnonBand) AS BIGINT) AS b, count(*) AS c
+         |  FROM events GROUP BY 1, 2, 3),
+         |r1 AS (
+         |  SELECT event_type, b, CAST(SUM(c) AS BIGINT) AS rc
+         |  FROM c0 WHERE c < $KAnonK GROUP BY 1, 2)
+         |SELECT event_type, 'day_band' AS level, count(*) AS groups,
+         |  CAST(SUM(c) AS BIGINT) AS rows_pub
+         |FROM c0 WHERE c >= $KAnonK GROUP BY 1
+         |UNION ALL
+         |SELECT event_type, 'band' AS level, count(*) AS groups,
+         |  CAST(SUM(rc) AS BIGINT) AS rows_pub
+         |FROM r1 WHERE rc >= $KAnonK GROUP BY 1
+         |UNION ALL
+         |SELECT event_type, 'suppressed' AS level, count(*) AS groups,
+         |  CAST(SUM(rc) AS BIGINT) AS rows_pub
+         |FROM r1 WHERE rc < $KAnonK GROUP BY 1""".stripMargin,
     "events_pivot" ->
       s"""SELECT user_id,
          |${EventTypes.map(t => s"  COUNT(*) FILTER (WHERE event_type = '$t') AS \"$t\"").mkString(",\n")}

@@ -380,4 +380,37 @@ class AnalyticsOpsSpec extends AnyFunSuite {
       assert(minRow.getAs[Int]("is_kept") == 1)
     }
   }
+
+  test("events_k_anon: ladder branches live, corpus conserved, per-row rederivation agrees") {
+    import graft.queries.EventQueries
+    import org.apache.spark.sql.expressions.Window
+    val summary = SparkEntry.queries("events_k_anon")(spark, sf).collect()
+    assert(summary.map(_.getAs[String]("level")).toSet ==
+      Set("day_band", "band", "suppressed"),
+      "all three generalization-ladder branches must be live in the fixture")
+    val total = Tables.events(spark, sf).count()
+    assert(summary.map(_.getAs[Long]("rows_pub")).sum == total,
+      "published + generalized + suppressed must partition the corpus")
+    // independent per-row derivation (window counts instead of the
+    // entry's aggregate pipeline) must land every row on the same level
+    val e = Tables.events(spark, sf).select(col("event_type"),
+      to_date(col("ts")).as("d"),
+      floor(col("value") / lit(EventQueries.KAnonBand)).cast("long").as("b"))
+    val perRow = e
+      .withColumn("c0", count(lit(1)).over(
+        Window.partitionBy(col("event_type"), col("d"), col("b"))))
+      .withColumn("rc", count(when(col("c0") < EventQueries.KAnonK, 1)).over(
+        Window.partitionBy(col("event_type"), col("b"))))
+      .withColumn("lvl",
+        when(col("c0") >= EventQueries.KAnonK, "day_band")
+          .when(col("rc") >= EventQueries.KAnonK, "band")
+          .otherwise("suppressed"))
+      .groupBy(col("event_type"), col("lvl")).count().collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    val fromEntry = summary
+      .map(r => (r.getAs[String]("event_type"), r.getAs[String]("level")) ->
+        r.getAs[Long]("rows_pub")).toMap
+    assert(perRow == fromEntry,
+      s"per-row ladder assignment disagrees with the entry: $perRow vs $fromEntry")
+  }
 }

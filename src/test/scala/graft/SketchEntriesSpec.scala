@@ -165,4 +165,46 @@ class SketchEntriesSpec extends AnyFunSuite {
       s"MG no-miss bound violated: ${truth -- cands} above N/(k+1) but not in sketch")
     assert(truth.nonEmpty, "threshold produced an empty heavy-hitter set — vacuous")
   }
+
+  test("quantile sketch lands within one bin width of the exact rank value") {
+    val est = EventQueries.queries("events_quantile_sketch")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getInt(1)) ->
+        (r.getLong(2), r.getLong(3), r.getDouble(4))).toMap
+    val vals = Tables.events(spark, sf)
+      .select(col("event_type"), col("value")).collect()
+      .map(r => (r.getString(0), r.getDouble(1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sorted).toMap
+    assert(est.keySet.map(_._1) == vals.keySet)
+    assert(est.keySet.map(_._2) == EventQueries.QhPcts.toSet,
+      "every percentile target must resolve to exactly one covering bin")
+    est.foreach { case ((t, p), (n, target, e)) =>
+      assert(n == vals(t).length, s"($t,$p): sketch n $n vs corpus ${vals(t).length}")
+      val exact = vals(t)((target - 1).toInt)
+      // est and the rank-target value lie in the same bin, so the
+      // estimate can never be off by more than the bin width — the
+      // histogram analogue of KLL/t-digest's rank-error guarantee
+      assert(math.abs(e - exact) <= EventQueries.QhWidth,
+        s"($t,$p): est $e vs exact rank value $exact beyond one bin width")
+    }
+    assert(est.values.exists { case (_, _, e) =>
+      e / EventQueries.QhWidth != math.floor(e / EventQueries.QhWidth) },
+      "no estimate interpolated inside a bin — the IEEE-interpolation path is vacuous")
+  }
+
+  test("histogram cells merge by addition (union-of-parts = cells-of-whole)") {
+    def cells(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("event_type"),
+        floor(col("value") / lit(EventQueries.QhWidth)).cast("long").as("b"))
+      .groupBy(col("event_type"), col("b")).agg(count(lit(1)).as("c"))
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val e = Tables.events(spark, sf)
+    val whole = cells(e)
+    val even = cells(e.filter(col("event_id") % 2 === 0))
+    val odd = cells(e.filter(col("event_id") % 2 =!= 0))
+    val merged = (even.keySet ++ odd.keySet).map(k =>
+      k -> (even.getOrElse(k, 0L) + odd.getOrElse(k, 0L))).toMap
+    assert(merged == whole,
+      "adding per-shard histogram counters must reproduce the whole-corpus cells")
+    assert(even.nonEmpty && odd.nonEmpty, "one shard empty — merge check vacuous")
+  }
 }
