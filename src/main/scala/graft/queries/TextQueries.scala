@@ -938,14 +938,22 @@ object TextQueries {
     // stop-fingerprints (bounding per-bucket pair fan-out), pairs
     // need ≥ [[WinnowMinShared]] shared fingerprints.
     "text_winnow" -> ((s, dir) => {
-      val gl = ngrams(tokens(col("text")), WinnowG)
-      val hl = transform(gl, g => md5(g))
+      // the gram-hash array is PROJECTED to a bound attribute before
+      // the window-min lambda: a lambda capturing the whole
+      // tokenize→gram→md5 pipeline as a free expression re-evaluates
+      // it per window ELEMENT under Generate (O(tokens²) md5 calls —
+      // measured 54.4 s vs 1.2 s at sf0.1, ProbeWinnow), the same
+      // trap TextFunctions.bigrams documents; bound to an attribute
+      // each element reads the already-computed array.
+      val hl = col("hl")
       val nw = size(hl) - (WinnowW - 1)
       val fpsExpr = when(nw >= 1,
           array_distinct(transform(sequence(lit(1), nw),
             i => array_min(slice(hl, i, lit(WinnowW))))))
         .otherwise(array().cast("array<string>"))
       val fp = Tables.documents(s, dir)
+        .select(col("doc_id"),
+          transform(ngrams(tokens(col("text")), WinnowG), g => md5(g)).as("hl"))
         .select(col("doc_id"), explode(fpsExpr).as("fp"))
         .localCheckpoint() // two consumers: df counts + pair join
       val shared = fp.groupBy(col("fp"))

@@ -3,12 +3,12 @@ package graft.tools
 import graft.SparkEntry
 import org.apache.spark.sql.SparkSession
 
-/** Time a single named query (after a warmup run of a cheap query):
-  *   sbt "runMain graft.tools.TimeQuery <name> [sfDir] [reps]"
+/** Time named queries (after a warmup run of a cheap query):
+  *   sbt "runMain graft.tools.TimeQuery <name>[,<name>...] [sfDir] [reps]"
   */
 object TimeQuery {
   def main(args: Array[String]): Unit = {
-    val name = args(0)
+    val names = args(0).split(',').map(_.trim).filter(_.nonEmpty)
     val sfDir = if (args.length > 1) args(1) else "/root/testdata/sf0.1"
     val reps = if (args.length > 2) args(2).toInt else 2
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -23,10 +23,12 @@ object TimeQuery {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     spark.read.parquet(s"$sfDir/lineitem.parquet").groupBy("l_returnflag").count().count()
-    (1 to reps).foreach { r =>
-      val t0 = System.nanoTime()
-      val n = SparkEntry.queries(name)(spark, sfDir).count()
-      println(f"[time] $name rep$r: ${(System.nanoTime() - t0) / 1e9}%.3f s ($n rows)")
+    names.foreach { name =>
+      (1 to reps).foreach { r =>
+        val t0 = System.nanoTime()
+        val n = SparkEntry.queries(name)(spark, sfDir).count()
+        println(f"[time] $name rep$r: ${(System.nanoTime() - t0) / 1e9}%.3f s ($n rows)")
+      }
     }
     spark.stop()
   }
