@@ -29,6 +29,16 @@ object StorageQueries {
   val CodecPath = fixture("documents_codec")
   val XmlPath = fixture("documents_xml")
   val LineagePath = fixture("documents_lineage")
+  val ManifestPath = fixture("documents_manifest")
+
+  /** Manifest layout geometry: range-partitioned file count and the
+    * pruning predicate's key-span window (percent of max doc_id).
+    * [35%, 45%] of the key span against 8 range files prunes ≥ 6
+    * files at every SF while keeping ≥ 1 file that must be read.
+    */
+  val ManifestFiles = 8
+  val ManifestLoPct = 35
+  val ManifestHiPct = 45
 
   /** The partition-pruning predicate's source list: a 2-of-20
     * selection so the pruned scan touches 10% of directories.
@@ -214,6 +224,42 @@ object StorageQueries {
         .agg(count(lit(1)).as("n_rows"),
           min(col("doc_id")).as("id_min"), max(col("doc_id")).as("id_max"),
           sum(col("doc_id") * (col("ri") + 1)).as("order_sum"))
+    }),
+
+    // FILE-STATS MANIFEST pruning — the Iceberg/Delta scan-planning
+    // primitive as a first-class relation: a range-clustered write
+    // (repartitionByRange + sortWithinPartitions, so files carry
+    // disjoint key ranges) is manifested into per-file (rows, min,
+    // max) stats via `_metadata`, and a range predicate is planned
+    // AGAINST THE MANIFEST — must_read = [id_min, id_max] intersects
+    // [lo, hi]. The proof is inside the relation: sel_rows (the exact
+    // per-file hit count, same pass) can only be > 0 where must_read
+    // is 1, so the oracle hash pins no-false-skip file by file. At
+    // 100 TB the manifest is built once at write time and the planner
+    // consults ≤ files rows — pruning costs a KB-scale aggregate,
+    // never a data pass (the parquet-footer row-group half of the
+    // same contract is RowGroupSkippingSpec / lineitem_zorder_spans).
+    "docs_manifest_prune" -> ((s, dir) => {
+      Tables.documents(s, dir)
+        .repartitionByRange(ManifestFiles, col("doc_id"))
+        .sortWithinPartitions("doc_id")
+        .write.mode("overwrite").parquet(ManifestPath)
+      val base = s.read.parquet(ManifestPath)
+        .select(col("doc_id"), col("_metadata.file_name").as("file_name"))
+      val bounds = base.agg(
+        expr(s"(max(doc_id) * $ManifestLoPct) div 100").as("lo"),
+        expr(s"(max(doc_id) * $ManifestHiPct) div 100").as("hi"))
+      base.crossJoin(broadcast(bounds))
+        .groupBy(col("file_name"))
+        .agg(count(lit(1)).as("n_rows"),
+          min(col("doc_id")).as("id_min"), max(col("doc_id")).as("id_max"),
+          sum(when(col("doc_id").between(col("lo"), col("hi")), 1L)
+            .otherwise(0L)).as("sel_rows"),
+          max(col("lo")).as("lo"), max(col("hi")).as("hi"))
+        .select(col("file_name"), col("n_rows"), col("id_min"), col("id_max"),
+          when(col("id_max") >= col("lo") && col("id_min") <= col("hi"), 1)
+            .otherwise(0).as("must_read"),
+          col("sel_rows"))
     }),
 
     // Data-quality EXPECTATIONS gate — the validation contract every
@@ -476,6 +522,26 @@ object StorageQueries {
          |FROM read_parquet('$LineagePath/*.parquet',
          |  filename=true, file_row_number=true)
          |GROUP BY 1""".stripMargin,
+    // DuckDB plans the same predicate against the same files' stats —
+    // its lineage surface (filename=true) mirrors `_metadata` exactly
+    "docs_manifest_prune" ->
+      s"""WITH base AS (
+         |  SELECT doc_id, parse_filename(filename) AS file_name
+         |  FROM read_parquet('$ManifestPath/*.parquet', filename=true)),
+         |b AS (
+         |  SELECT (MAX(doc_id) * $ManifestLoPct) // 100 AS lo,
+         |         (MAX(doc_id) * $ManifestHiPct) // 100 AS hi
+         |  FROM base),
+         |m AS (
+         |  SELECT file_name, COUNT(*) AS n_rows,
+         |    MIN(doc_id) AS id_min, MAX(doc_id) AS id_max,
+         |    CAST(SUM(CASE WHEN doc_id BETWEEN lo AND hi THEN 1 ELSE 0 END) AS BIGINT) AS sel_rows,
+         |    MAX(lo) AS lo, MAX(hi) AS hi
+         |  FROM base, b GROUP BY 1)
+         |SELECT file_name, n_rows, id_min, id_max,
+         |  CASE WHEN id_max >= lo AND id_min <= hi THEN 1 ELSE 0 END AS must_read,
+         |  sel_rows
+         |FROM m""".stripMargin,
     "lineitem_zorder_spans" -> {
       // identical bit-interleave arithmetic, DuckDB spelling (`//` is
       // integer floor-div; all values non-negative so it matches

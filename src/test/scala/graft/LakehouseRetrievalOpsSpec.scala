@@ -319,4 +319,33 @@ class LakehouseRetrievalOpsSpec extends AnyFunSuite {
     assert(got.values.map(_._1).sum == files.length)
     assert(got.values.map(_._2).sum == files.map(_._3).sum)
   }
+
+  test("docs_manifest_prune: no false skips, effective pruning, disjoint file ranges") {
+    import queries.StorageQueries
+    val rows = SparkEntry.queries("docs_manifest_prune")(spark, sf).collect()
+    assert(rows.length == StorageQueries.ManifestFiles)
+    // the predicate recomputed independently over the raw corpus
+    val maxId = Tables.documents(spark, sf).agg(max(col("doc_id")))
+      .head().getLong(0)
+    val lo = maxId * StorageQueries.ManifestLoPct / 100
+    val hi = maxId * StorageQueries.ManifestHiPct / 100
+    val exactSel = Tables.documents(spark, sf)
+      .filter(col("doc_id").between(lo, hi)).count()
+    assert(rows.map(_.getAs[Long]("sel_rows")).sum == exactSel,
+      "per-file hit counts must add up to the full-scan predicate count")
+    rows.foreach { r =>
+      if (r.getAs[Long]("sel_rows") > 0)
+        assert(r.getAs[Int]("must_read") == 1,
+          s"false skip: ${r.getAs[String]("file_name")} holds hits but was pruned")
+    }
+    val mustRead = rows.count(_.getAs[Int]("must_read") == 1)
+    assert(mustRead >= 1 && mustRead <= 2,
+      s"range layout should confine a 10%-span predicate to 1-2 of 8 files, got $mustRead")
+    // the property that MAKES stats pruning effective: disjoint ranges
+    val spans = rows.map(r => (r.getAs[Long]("id_min"), r.getAs[Long]("id_max")))
+      .sortBy(_._1)
+    spans.sliding(2).foreach { case Array((_, aMax), (bMin, _)) =>
+      assert(aMax < bMin, "range-clustered files must carry disjoint key ranges")
+    }
+  }
 }
