@@ -40,6 +40,9 @@ object StorageQueries {
   val ManifestLoPct = 35
   val ManifestHiPct = 45
 
+  val WapStagePath = fixture("documents_wap_stage")
+  val WapPublishPath = fixture("documents_wap_publish")
+
   /** The partition-pruning predicate's source list: a 2-of-20
     * selection so the pruned scan touches 10% of directories.
     */
@@ -260,6 +263,57 @@ object StorageQueries {
           when(col("id_max") >= col("lo") && col("id_min") <= col("hi"), 1)
             .otherwise(0).as("must_read"),
           col("sel_rows"))
+    }),
+
+    // WRITE-AUDIT-PUBLISH — the lakehouse release pattern (Iceberg's
+    // WAP flow): candidate batches are STAGED to a quarantine
+    // location, the expectations audit runs over the staged files,
+    // and only batches whose audit is clean get published to the
+    // serving location — a consumer of the published table can never
+    // observe unaudited rows. Fixture: two staged batches, "a" a
+    // faithful re-score and "b" the same job with a consistency bug
+    // injected on every 13th doc; the audit (n_chars = length(text),
+    // docs_expectations' r3 rule) passes a and rejects b, and the
+    // output carries the read-back row count + content checksum of
+    // the PUBLISHED FILES (cross-engine over the same bytes, the
+    // lineage-entry discipline) so the hash pins what actually
+    // shipped. The release decision is driver-held — 2 audit rows,
+    // metadata-sized at any corpus size (the WAP controller's job);
+    // audit itself is one staged scan, publish one filtered write.
+    "docs_wap_publish" -> ((s, dir) => {
+      val base = Tables.documents(s, dir)
+        .select(col("doc_id"), col("text"), col("lang"), col("source"),
+          col("n_chars"))
+      base.withColumn("batch", lit("a"))
+        .unionByName(base.withColumn("batch", lit("b"))
+          .withColumn("n_chars",
+            when(col("doc_id") % 13 === 0, col("n_chars") + lit(7L))
+              .otherwise(col("n_chars"))))
+        .write.mode("overwrite").parquet(WapStagePath)
+      val staged = s.read.parquet(WapStagePath)
+      val audit = staged.groupBy(col("batch"))
+        .agg(count(lit(1)).as("n_rows"),
+          sum(when(col("n_chars") === length(col("text")), 0L)
+            .otherwise(1L)).as("n_violations"))
+      val passing = audit.collect()
+        .filter(_.getAs[Long]("n_violations") == 0L)
+        .map(_.getAs[String]("batch")).toSeq.sorted
+      staged.filter(col("batch").isin(passing: _*)).drop("batch")
+        .write.mode("overwrite").parquet(WapPublishPath)
+      val pubStats = s.read.parquet(WapPublishPath)
+        .select(conv(substring(md5(col("text")), 1, 15), 16, 10)
+          .cast("long").as("h"))
+        .agg(count(lit(1)).as("pr"), expr("bit_xor(h)").as("px"))
+      audit
+        .withColumn("published",
+          when(col("n_violations") === 0L, 1).otherwise(0))
+        .crossJoin(broadcast(pubStats))
+        .select(col("batch"), col("n_rows"), col("n_violations"),
+          col("published"),
+          when(col("published") === 1, col("pr")).otherwise(lit(0L))
+            .as("pub_rows"),
+          when(col("published") === 1, col("px")).otherwise(lit(0L))
+            .as("pub_xor"))
     }),
 
     // Data-quality EXPECTATIONS gate — the validation contract every
@@ -522,6 +576,24 @@ object StorageQueries {
          |FROM read_parquet('$LineagePath/*.parquet',
          |  filename=true, file_row_number=true)
          |GROUP BY 1""".stripMargin,
+    // DuckDB re-runs the audit over the staged files and checksums
+    // the published files — both over the exact bytes the entry wrote
+    "docs_wap_publish" ->
+      s"""WITH staged AS (
+         |  SELECT * FROM read_parquet('$WapStagePath/*.parquet')),
+         |audit AS (
+         |  SELECT batch, COUNT(*) AS n_rows,
+         |    CAST(SUM(CASE WHEN n_chars = length(text) THEN 0 ELSE 1 END) AS BIGINT) AS n_violations
+         |  FROM staged GROUP BY 1),
+         |pub AS (
+         |  SELECT COUNT(*) AS pr,
+         |    bit_xor(CAST(('0x' || substr(md5(text), 1, 15))::UBIGINT AS BIGINT)) AS px
+         |  FROM read_parquet('$WapPublishPath/*.parquet'))
+         |SELECT batch, n_rows, n_violations,
+         |  CASE WHEN n_violations = 0 THEN 1 ELSE 0 END AS published,
+         |  CASE WHEN n_violations = 0 THEN pr ELSE CAST(0 AS BIGINT) END AS pub_rows,
+         |  CASE WHEN n_violations = 0 THEN px ELSE CAST(0 AS BIGINT) END AS pub_xor
+         |FROM audit, pub""".stripMargin,
     // DuckDB plans the same predicate against the same files' stats —
     // its lineage surface (filename=true) mirrors `_metadata` exactly
     "docs_manifest_prune" ->

@@ -348,4 +348,30 @@ class LakehouseRetrievalOpsSpec extends AnyFunSuite {
       assert(aMax < bMin, "range-clustered files must carry disjoint key ranges")
     }
   }
+
+  test("docs_wap_publish: only the audited-clean batch ships; published files hold zero violations") {
+    import queries.StorageQueries
+    val rows = SparkEntry.queries("docs_wap_publish")(spark, sf).collect()
+      .map(r => r.getAs[String]("batch") -> r).toMap
+    assert(rows.keySet == Set("a", "b"))
+    val total = Tables.documents(spark, sf).count()
+    assert(rows("a").getAs[Long]("n_violations") == 0L)
+    assert(rows("a").getAs[Int]("published") == 1)
+    assert(rows("b").getAs[Int]("published") == 0)
+    // the injected bug count is exactly the 1/13 slice
+    val injected = Tables.documents(spark, sf)
+      .filter(col("doc_id") % 13 === 0).count()
+    assert(rows("b").getAs[Long]("n_violations") == injected && injected > 0)
+    // the WAP guarantee, checked on the real published bytes: the
+    // serving location holds exactly the clean batch and nothing that
+    // would fail the audit
+    val pub = spark.read.parquet(StorageQueries.WapPublishPath)
+    assert(pub.count() == total)
+    assert(rows("a").getAs[Long]("pub_rows") == total)
+    assert(pub.filter(col("n_chars") =!= length(col("text"))).count() == 0,
+      "published table must never expose a row the audit would reject")
+    // rejected batch reports no published stats
+    assert(rows("b").getAs[Long]("pub_rows") == 0L &&
+      rows("b").getAs[Long]("pub_xor") == 0L)
+  }
 }
