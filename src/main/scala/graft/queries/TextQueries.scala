@@ -34,6 +34,42 @@ object TextQueries {
         when(sw >= 0.2, "high").when(sw >= 0.05, "mid").otherwise("low").as("quality_bucket"))
     }),
 
+    // Distribution-drift monitor (chi-square contributions) — the
+    // "did my filter skew the mix?" check every curation pipeline
+    // runs before shipping a gated corpus: per dimension, the
+    // quality-gated subset's category counts against expectations
+    // scaled from the full corpus, emitted as per-category chi-square
+    // terms. Dimensions: length band (n_chars div 100) — which the
+    // stopword-ratio gate REALLY drifts in this corpus (short docs
+    // fail the ratio test more, measured kept-rates 0.49-0.69 band 0
+    // vs 0.68-0.82 band 5 across the SF ladder, spec-pinned as the
+    // monotone length effect) — and source, the quiet null. Chi-square
+    // instead of KL/PSI is deliberate: terms need only +,−,×,÷ (one
+    // mirrored IEEE pipeline), no libm log whose rounding differs
+    // across engines. Scale: two bounded groupBys + a window over the
+    // ≤ |categories| cell table; the corpus is scanned twice and never
+    // joined row-to-row.
+    "text_drift_chi2" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val docs = Tables.documents(s, dir)
+        .withColumn("len_band", expr("n_chars div 100").cast("string"))
+      val cur = docs.filter(stopwordRatio(col("text")) >= 0.05)
+      def dist(df: DataFrame, dim: String, n: String) =
+        df.groupBy(col(dim).as("category")).agg(count(lit(1)).as(n))
+          .withColumn("dim", lit(dim))
+      val ref = dist(docs, "len_band", "n_ref").unionByName(dist(docs, "source", "n_ref"))
+      val gated = dist(cur, "len_band", "n_cur").unionByName(dist(cur, "source", "n_cur"))
+      val w = Window.partitionBy(col("dim"))
+      ref.join(gated, Seq("dim", "category"), "left")
+        .na.fill(0L, Seq("n_cur"))
+        .withColumn("tr", sum(col("n_ref")).over(w))
+        .withColumn("tc", sum(col("n_cur")).over(w))
+        .withColumn("e", (col("n_ref").cast("double") * col("tc")) / col("tr"))
+        .select(col("dim"), col("category"), col("n_ref"), col("n_cur"),
+          round(((col("n_cur") - col("e")) * (col("n_cur") - col("e")))
+            / col("e"), 4).as("term_r"))
+    }),
+
     // Heuristic language ID vs the labeled lang column.
     "text_lang_id" -> ((s, dir) => {
       Tables.documents(s, dir).select(
@@ -1392,6 +1428,30 @@ object TextQueries {
          |       WHEN ${Sql.stopwordRatio("text")} >= 0.05 THEN 'mid'
          |       ELSE 'low' END AS quality_bucket
          |FROM documents""".stripMargin,
+    "text_drift_chi2" ->
+      s"""WITH docs AS (
+         |  SELECT CAST(n_chars // 100 AS VARCHAR) AS len_band, source,
+         |    ${Sql.stopwordRatio("text")} AS sw FROM documents),
+         |cur AS (SELECT * FROM docs WHERE sw >= 0.05),
+         |ref AS (
+         |  SELECT 'len_band' AS dim, len_band AS category, count(*) AS n_ref FROM docs GROUP BY 2
+         |  UNION ALL
+         |  SELECT 'source', source, count(*) FROM docs GROUP BY 2),
+         |gated AS (
+         |  SELECT 'len_band' AS dim, len_band AS category, count(*) AS n_cur FROM cur GROUP BY 2
+         |  UNION ALL
+         |  SELECT 'source', source, count(*) FROM cur GROUP BY 2),
+         |cells AS (
+         |  SELECT r.dim, r.category, r.n_ref, COALESCE(g.n_cur, 0) AS n_cur
+         |  FROM ref r LEFT JOIN gated g ON g.dim = r.dim AND g.category = r.category),
+         |t AS (
+         |  SELECT *, CAST(SUM(n_ref) OVER (PARTITION BY dim) AS BIGINT) AS tr,
+         |            CAST(SUM(n_cur) OVER (PARTITION BY dim) AS BIGINT) AS tc
+         |  FROM cells),
+         |x AS (SELECT *, (CAST(n_ref AS DOUBLE) * tc) / tr AS e FROM t)
+         |SELECT dim, category, n_ref, n_cur,
+         |  ROUND(((n_cur - e) * (n_cur - e)) / e, 4) AS term_r
+         |FROM x""".stripMargin,
     "text_lang_id" ->
       s"""SELECT doc_id, lang,
          |  ${Sql.langId("text")} AS predicted_lang,

@@ -180,4 +180,38 @@ class CurationOpsSpec extends AnyFunSuite {
       assert(red.length == r.getAs[Int]("redacted_len"))
     }
   }
+
+  test("text_drift_chi2: terms match a brute recompute; the length effect is real") {
+    val rows = SparkEntry.queries("text_drift_chi2")(spark, sf).collect()
+    val byDim = rows.groupBy(_.getAs[String]("dim"))
+    assert(byDim.keySet == Set("len_band", "source"))
+    byDim.foreach { case (_, cells) =>
+      val tr = cells.map(_.getAs[Long]("n_ref")).sum
+      val tc = cells.map(_.getAs[Long]("n_cur")).sum
+      assert(tc > 0 && tc < tr, "gate must keep some and drop some")
+      cells.foreach { c =>
+        val e = c.getAs[Long]("n_ref").toDouble * tc / tr
+        val want = (c.getAs[Long]("n_cur") - e) * (c.getAs[Long]("n_cur") - e) / e
+        assert(math.abs(c.getAs[Double]("term_r") - want) <= 1e-4,
+          s"${c.getAs[String]("dim")}/${c.getAs[String]("category")}: " +
+            s"term ${c.getAs[Double]("term_r")} vs brute $want")
+      }
+    }
+    // the drift the fixture really carries: short docs fail the
+    // stopword-ratio gate more than long docs (measured 0.49-0.69 vs
+    // 0.68-0.82 across the SF ladder) — the top length band's
+    // survival rate must beat the bottom band's
+    val bands = byDim("len_band")
+      .map(c => c.getAs[String]("category").toInt ->
+        (c.getAs[Long]("n_cur").toDouble / c.getAs[Long]("n_ref")))
+      .sortBy(_._1)
+    assert(bands.last._2 > bands.head._2,
+      s"length effect missing: kept rates ${bands.mkString(", ")}")
+    // every ref category survives into the relation, even if gated low
+    assert(byDim("source").map(_.getAs[String]("category")).toSet ==
+      Tables.documents(spark, sf).select(col("source")).distinct()
+        .collect().map(_.getString(0)).toSet)
+    // the statistic is not identically zero anywhere it shouldn't be
+    assert(rows.exists(_.getAs[Double]("term_r") > 0.0))
+  }
 }

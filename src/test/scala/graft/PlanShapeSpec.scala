@@ -82,13 +82,17 @@ class PlanShapeSpec extends AnyFunSuite {
     // into the spine clip)
     // text_heavy_hitters joins the same 1-row class (the total token
     // count N broadcast into the candidate-verify filter)
+    // docs_manifest_prune / docs_wap_publish join the same 1-row
+    // class (predicate bounds / published-table stats broadcast over
+    // the ≤ files manifest rows resp. the 2 audit rows)
     val allowed = Set("knn_brute", "multimodal_feature_knn", "knn_int8",
       "knn_int8_rerank", "knn_ivf_recall", "knn_pq_adc", "knn_pq_rerank",
       "knn_ivfpq_rerank", "knn_matryoshka", "knn_matryoshka_rerank",
       "knn_matryoshka_recall",
       "text_bpe_train", "text_heavy_hitters",
       "events_resample_ffill", "events_rfm", "q22_share_of_total",
-      "lineitem_zorder_spans", "orders_month_spine")
+      "lineitem_zorder_spans", "orders_month_spine",
+      "docs_manifest_prune", "docs_wap_publish")
     (SparkEntry.queries.keySet -- streamingEntries -- allowed).toSeq.sorted.foreach { name =>
       val bnlj = plan(name).collect { case b: BroadcastNestedLoopJoinExec => b }
       assert(bnlj.isEmpty, s"$name plans BroadcastNestedLoopJoin")
