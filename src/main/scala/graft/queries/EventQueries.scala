@@ -1082,6 +1082,43 @@ object EventQueries {
               / col("c"), 4).as("qest_r"))
     }),
 
+    // Position-based (U-shaped) multi-touch attribution — the credit-
+    // ALLOCATION model on top of the pairing joins the attribution
+    // stream entries prove: per purchase, every non-purchase touch by
+    // the same user in a 24-hour lookback earns 1.0 (sole touch),
+    // 0.5/0.5 (two), or 0.4 first /
+    // 0.4 last / 0.2 split over the middles — each credit ONE exact
+    // rational division, summed per channel through the DECIMAL(18,4)
+    // convention (dsum) so partition order can't move the total. Scale
+    // shape: one user-keyed equi-join shuffle, window functions riding
+    // the same partitioning, a ≤ |types| aggregate; at 100 TB the
+    // lookback predicate bounds per-user pair fan-out by time.
+    "events_attribution_position" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val e = Tables.events(s, dir)
+      val purchases = e.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id").as("p_id"), col("ts").as("p_ts"))
+      val touches = e.filter(col("event_type") =!= "purchase")
+        .select(col("user_id"), col("event_id").as("t_id"),
+          col("event_type").as("channel"), col("ts").as("t_ts"))
+      val w = Window.partitionBy(col("user_id"), col("p_id"))
+      touches.join(purchases, Seq("user_id"))
+        .filter(col("t_ts") <= col("p_ts") &&
+          col("t_ts") > col("p_ts") - expr("INTERVAL 24 HOURS"))
+        .withColumn("k", row_number().over(w.orderBy(col("t_ts"), col("t_id"))))
+        .withColumn("n", count(lit(1)).over(w))
+        .withColumn("credit",
+          when(col("n") === 1, lit(1.0))
+            .when(col("n") === 2, lit(0.5))
+            .when(col("k") === 1 || col("k") === col("n"), lit(0.4))
+            .otherwise(lit(0.2) / (col("n") - 2)))
+        .groupBy(col("channel"))
+        .agg(count(lit(1)).as("n_touches"),
+          countDistinct(col("p_id")).as("n_conversions"),
+          sum(col("credit").cast("decimal(18,4)")).cast("double")
+            .as("credit_sum"))
+    }),
+
     // k-anonymity generalization ladder — the release-governance op a
     // training-data pipeline runs before publishing event-derived
     // features (Sweeney 2002): quasi-identifier (event_type, day,
@@ -1292,6 +1329,30 @@ object EventQueries {
          |  ROUND(b * $QhWidth + ($QhWidth * (target - (cum - c))) / c, 4) AS qest_r
          |FROM tq
          |WHERE target > cum - c AND target <= cum""".stripMargin,
+    "events_attribution_position" ->
+      s"""WITH e AS (
+         |  SELECT event_id, user_id, event_type,
+         |    date_trunc('millisecond', ts) AS ts
+         |  FROM events),
+         |p AS (SELECT user_id, event_id AS p_id, ts AS p_ts
+         |  FROM e WHERE event_type = 'purchase'),
+         |t AS (SELECT user_id, event_id AS t_id, event_type AS channel, ts AS t_ts
+         |  FROM e WHERE event_type <> 'purchase'),
+         |paired AS (
+         |  SELECT t.channel, t.t_id, t.t_ts, p.p_id,
+         |    row_number() OVER (PARTITION BY t.user_id, p.p_id
+         |                       ORDER BY t.t_ts, t.t_id) AS k,
+         |    count(*) OVER (PARTITION BY t.user_id, p.p_id) AS n
+         |  FROM t JOIN p ON t.user_id = p.user_id
+         |   AND t.t_ts <= p.p_ts AND t.t_ts > p.p_ts - INTERVAL 24 HOUR)
+         |SELECT channel, count(*) AS n_touches,
+         |  CAST(count(DISTINCT p_id) AS BIGINT) AS n_conversions,
+         |  CAST(SUM(CAST(CASE WHEN n = 1 THEN 1.0
+         |                     WHEN n = 2 THEN 0.5
+         |                     WHEN k = 1 OR k = n THEN 0.4
+         |                     ELSE 0.2 / (n - 2) END AS DECIMAL(18,4))) AS DOUBLE)
+         |    AS credit_sum
+         |FROM paired GROUP BY 1""".stripMargin,
     "events_k_anon" ->
       s"""WITH c0 AS (
          |  SELECT event_type, CAST(ts AS DATE) AS d,

@@ -381,6 +381,48 @@ class AnalyticsOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("events_attribution_position: credits conserve per conversion; model branches live") {
+    import org.apache.spark.sql.expressions.Window
+    val rows = SparkEntry.queries("events_attribution_position")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    // re-derive the pairing and per-touch credits independently
+    val e = Tables.events(spark, sf)
+    val p = e.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("p_id"), col("ts").as("p_ts"))
+    val t = e.filter(col("event_type") =!= "purchase")
+      .select(col("user_id"), col("event_id").as("t_id"),
+        col("event_type").as("channel"), col("ts").as("t_ts"))
+    val paired = t.join(p, Seq("user_id"))
+      .filter(col("t_ts") <= col("p_ts") &&
+        col("t_ts") > col("p_ts") - expr("INTERVAL 24 HOURS"))
+      .withColumn("k", row_number().over(
+        Window.partitionBy(col("user_id"), col("p_id"))
+          .orderBy(col("t_ts"), col("t_id"))))
+      .withColumn("n", count(lit(1)).over(
+        Window.partitionBy(col("user_id"), col("p_id"))))
+      .select(col("channel"), col("p_id"), col("k"), col("n")).collect()
+    val ns = paired.map(_.getAs[Long]("n")).toSet
+    assert(ns.contains(1L) && ns.contains(2L) && ns.exists(_ >= 3L),
+      s"sole/pair/U-shaped branches must all be live, got n values $ns")
+    def credit(k: Long, n: Long): Double =
+      if (n == 1) 1.0 else if (n == 2) 0.5
+      else if (k == 1 || k == n) 0.4 else 0.2 / (n - 2)
+    val brute = paired.groupBy(_.getAs[String]("channel")).view.mapValues(
+      _.map(r => BigDecimal(credit(r.getAs[Int]("k").toLong, r.getAs[Long]("n")))
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP)).sum.toDouble).toMap
+    rows.foreach { r =>
+      val c = r.getAs[String]("channel")
+      assert(math.abs(r.getAs[Double]("credit_sum") - brute(c)) <= 1e-9,
+        s"$c: entry ${r.getAs[Double]("credit_sum")} vs brute ${brute(c)}")
+    }
+    // conservation: each conversion's credits sum to 1 (up to the 1e-4
+    // per-credit quantization of the DECIMAL summation convention)
+    val nConv = paired.map(_.getAs[Long]("p_id")).distinct.length
+    val totalCredit = rows.map(_.getAs[Double]("credit_sum")).sum
+    assert(math.abs(totalCredit - nConv) <= 1e-4 * paired.length,
+      s"credit mass $totalCredit vs $nConv attributed conversions")
+  }
+
   test("events_k_anon: ladder branches live, corpus conserved, per-row rederivation agrees") {
     import graft.queries.EventQueries
     import org.apache.spark.sql.expressions.Window
