@@ -298,22 +298,36 @@ object StorageQueries {
       val passing = audit.collect()
         .filter(_.getAs[Long]("n_violations") == 0L)
         .map(_.getAs[String]("batch")).toSeq.sorted
-      staged.filter(col("batch").isin(passing: _*)).drop("batch")
+      // ADVICE r13 hardening, three changes sharing one rationale —
+      // the publish ACTION, the reported flag, and the read-back
+      // stats must have a single source of truth:
+      // (1) the published table RETAINS `batch` (snapshot lineage, as
+      //     a WAP controller records the audited snapshot id), so the
+      //     read-back checksum attributes PER BATCH — two passing
+      //     batches can no longer report each other's rows;
+      // (2) the `published` flag below derives from the same
+      //     driver-held `passing` set that drove the write (isin),
+      //     not a re-evaluation of the audit rule;
+      // (3) an all-rejected audit writes an explicit schema-only
+      //     parquet (coalesce(1) keeps one empty part file), so the
+      //     read-back — and the oracle's glob — never hits a missing
+      //     file.
+      val toPublish = staged.filter(col("batch").isin(passing: _*))
+      (if (passing.isEmpty) toPublish.coalesce(1) else toPublish)
         .write.mode("overwrite").parquet(WapPublishPath)
       val pubStats = s.read.parquet(WapPublishPath)
-        .select(conv(substring(md5(col("text")), 1, 15), 16, 10)
-          .cast("long").as("h"))
+        .select(col("batch"),
+          conv(substring(md5(col("text")), 1, 15), 16, 10)
+            .cast("long").as("h"))
+        .groupBy(col("batch"))
         .agg(count(lit(1)).as("pr"), expr("bit_xor(h)").as("px"))
       audit
-        .withColumn("published",
-          when(col("n_violations") === 0L, 1).otherwise(0))
-        .crossJoin(broadcast(pubStats))
+        .join(broadcast(pubStats), Seq("batch"), "left")
         .select(col("batch"), col("n_rows"), col("n_violations"),
-          col("published"),
-          when(col("published") === 1, col("pr")).otherwise(lit(0L))
-            .as("pub_rows"),
-          when(col("published") === 1, col("px")).otherwise(lit(0L))
-            .as("pub_xor"))
+          when(col("batch").isin(passing: _*), 1).otherwise(0)
+            .as("published"),
+          coalesce(col("pr"), lit(0L)).as("pub_rows"),
+          coalesce(col("px"), lit(0L)).as("pub_xor"))
     }),
 
     // Data-quality EXPECTATIONS gate — the validation contract every
@@ -586,14 +600,15 @@ object StorageQueries {
          |    CAST(SUM(CASE WHEN n_chars = length(text) THEN 0 ELSE 1 END) AS BIGINT) AS n_violations
          |  FROM staged GROUP BY 1),
          |pub AS (
-         |  SELECT COUNT(*) AS pr,
+         |  SELECT batch, COUNT(*) AS pr,
          |    bit_xor(CAST(('0x' || substr(md5(text), 1, 15))::UBIGINT AS BIGINT)) AS px
-         |  FROM read_parquet('$WapPublishPath/*.parquet'))
-         |SELECT batch, n_rows, n_violations,
-         |  CASE WHEN n_violations = 0 THEN 1 ELSE 0 END AS published,
-         |  CASE WHEN n_violations = 0 THEN pr ELSE CAST(0 AS BIGINT) END AS pub_rows,
-         |  CASE WHEN n_violations = 0 THEN px ELSE CAST(0 AS BIGINT) END AS pub_xor
-         |FROM audit, pub""".stripMargin,
+         |  FROM read_parquet('$WapPublishPath/*.parquet')
+         |  GROUP BY 1)
+         |SELECT a.batch, a.n_rows, a.n_violations,
+         |  CASE WHEN p.batch IS NULL THEN 0 ELSE 1 END AS published,
+         |  COALESCE(p.pr, CAST(0 AS BIGINT)) AS pub_rows,
+         |  COALESCE(p.px, CAST(0 AS BIGINT)) AS pub_xor
+         |FROM audit a LEFT JOIN pub p ON a.batch = p.batch""".stripMargin,
     // DuckDB plans the same predicate against the same files' stats —
     // its lineage surface (filename=true) mirrors `_metadata` exactly
     "docs_manifest_prune" ->

@@ -323,7 +323,12 @@ class LakehouseRetrievalOpsSpec extends AnyFunSuite {
   test("docs_manifest_prune: no false skips, effective pruning, disjoint file ranges") {
     import queries.StorageQueries
     val rows = SparkEntry.queries("docs_manifest_prune")(spark, sf).collect()
-    assert(rows.length == StorageQueries.ManifestFiles)
+    // ≤, not ==: repartitionByRange samples its boundaries, so a small
+    // or skewed fixture may leave a range empty (no part file written).
+    // The HARD invariants are below — no false skips, additive hit
+    // counts, disjoint ranges (ADVICE r13).
+    assert(rows.length >= 1 && rows.length <= StorageQueries.ManifestFiles,
+      s"expected 1..${StorageQueries.ManifestFiles} manifest files, got ${rows.length}")
     // the predicate recomputed independently over the raw corpus
     val maxId = Tables.documents(spark, sf).agg(max(col("doc_id")))
       .head().getLong(0)
@@ -346,6 +351,27 @@ class LakehouseRetrievalOpsSpec extends AnyFunSuite {
       .sortBy(_._1)
     spans.sliding(2).foreach { case Array((_, aMax), (bMin, _)) =>
       assert(aMax < bMin, "range-clustered files must carry disjoint key ranges")
+    }
+  }
+
+  test("an all-rejected WAP publish still writes a globbable schema-only parquet") {
+    // docs_wap_publish's empty-publish guard (ADVICE r13) relies on
+    // coalesce(1) producing at least one part file for a zero-row
+    // write — pin that Spark behavior directly so a writer-path change
+    // fails here, not as a DuckDB glob error inside the oracle run.
+    val dir = java.nio.file.Files.createTempDirectory("graft-wap-empty-").toString
+    try {
+      Tables.documents(spark, sf).filter(lit(false)).coalesce(1)
+        .write.mode("overwrite").parquet(dir)
+      val files = new java.io.File(dir).listFiles()
+        .filter(_.getName.endsWith(".parquet"))
+      assert(files.nonEmpty,
+        "zero-row coalesce(1) write produced no .parquet file — the oracle glob would error")
+      val back = spark.read.parquet(dir)
+      assert(back.count() == 0 && back.columns.contains("doc_id"),
+        "schema-only read-back lost the schema")
+    } finally {
+      graft.streaming.TempDir.deleteRecursively(dir)
     }
   }
 
