@@ -65,8 +65,42 @@ object Bench {
       f"""{"busy_pct":${100.0 * (tot - idle - steal) / tot}%.1f,"steal_pct":${100.0 * steal / tot}%.1f}"""
     }
 
+  /** Fixed calibration reference (ms) for the normalized total: the
+    * r13 final calm-pair stamp (BASELINE.md, calib 93 ms at the
+    * 227-entry re-baseline). `value_calib_norm` = raw total × 93 /
+    * mean(calib_before, calib_after) states every capture on that
+    * window's machine speed, so a hot official window reads ~equal to
+    * the calm local pairs instead of 1.3–2× slow (the r13 official
+    * artifact ran pass 1 at 594 s in an unrecorded-hot window; the
+    * normalization makes era drift self-correcting in the artifact).
+    */
+  private val CalibRefMs = 93.0
+
+  /** Bounded settle gate (capture.py's loadavg discipline, judge
+    * VERDICT r13 item 4, moved INSIDE the bench so the official
+    * driver invocation gets it too): before any timing, wait until
+    * the 1-min loadavg drops under SPARK_GRAFT_LOAD_GATE (default
+    * 2.0), polling every 5 s up to SPARK_GRAFT_SETTLE_MAX seconds
+    * (default 180). Returns (waited_sec, gave_up) — both stamped into
+    * the artifact, so a refused window is evidence, not silence.
+    */
+  private def settle(): (Double, Boolean) = {
+    val gate = sys.env.getOrElse("SPARK_GRAFT_LOAD_GATE", "2.0").toDouble
+    val maxSec = sys.env.getOrElse("SPARK_GRAFT_SETTLE_MAX", "180").toDouble
+    val t0 = System.nanoTime()
+    def oneMin: Double =
+      try loadAvg().split(' ')(0).toDouble catch { case _: Throwable => 0.0 }
+    var waited = 0.0
+    while (oneMin >= gate && waited < maxSec) {
+      Thread.sleep(5000)
+      waited = (System.nanoTime() - t0) / 1e9
+    }
+    (waited, oneMin >= gate)
+  }
+
   def main(args: Array[String]): Unit = {
     val tJvm = System.nanoTime()
+    val (settleSec, settleGaveUp) = settle()
     val loadBefore = loadAvg()
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -213,13 +247,21 @@ object Bench {
     // and wall≈sum(per-query); a contended one is self-evident — the
     // claim-blocking gate is tools/bench_diff.py vs the local series
     // (round-close checklist in SCALE.md).
+    // Calibration-normalized headline: raw total restated onto the
+    // CalibRefMs machine speed. The divisor is the MEAN of the two
+    // calibration stamps (best-of-2 mixes both passes, so neither
+    // endpoint alone is the right scalar); a calm-reference window
+    // normalizes to ~itself (ratio ≈ 1).
+    val calibMean = (calibBefore + calibAfter) / 2.0
+    val totalNorm = if (calibMean > 0) total * CalibRefMs / calibMean else total
+    val normStamp = f""","value_calib_norm":$totalNorm%.2f,"calib_ref_ms":$CalibRefMs,"settle_sec":$settleSec%.1f,"settle_gave_up":$settleGaveUp"""
     val loadStamp = s""","load_before":"$loadBefore","load_mid":"$loadMid","load_after":"$loadAfter","cpu_pass1":${cpuPct(j0, j1)},"cpu_pass2":${cpuPct(j1, j2)},"calib_before_ms":$calibBefore,"calib_after_ms":$calibAfter,"wall_pass1":$wall1,"wall_pass2":$wall2,"setup_sec":$setupSec,"n_cpus":${Runtime.getRuntime.availableProcessors()}"""
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":${fmt(best)},"raw_pass1":${fmt(pass1)},"raw_pass2":${fmt(pass2)},"policy":"best-of-2 per query, single JVM"$filterStamp$loadStamp,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":${fmt(best)},"raw_pass1":${fmt(pass1)},"raw_pass2":${fmt(pass2)},"policy":"best-of-2 per query, single JVM"$filterStamp$normStamp$loadStamp,"sf":"$sfDir"}""")
     // Compact trailing line: the full line above grew past the driver's
     // 2000-char tail capture (r8's artifact lost its own total), so the
     // headline number must also land in a line short enough to always
     // survive the tail window. Printed LAST on purpose.
-    println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${best.size},"policy":"best-of-2 per query, single JVM"$filterStamp$loadStamp,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${best.size},"policy":"best-of-2 per query, single JVM"$filterStamp$normStamp$loadStamp,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
