@@ -24,10 +24,22 @@ import duckdb, pandas as pd
 # flags may appear anywhere; strip them before reading positionals
 args = [a for a in sys.argv[1:] if not a.startswith("--")]
 lint_only = "--lint-only" in sys.argv[1:]
+# --only=a,b,c scopes BOTH lint and compare to the named entries — for
+# incremental sf10 batches, where recomparing every standing 10M-row
+# output costs more than the new entries being checked.
+only = None
+for a in sys.argv[1:]:
+    if a.startswith("--only="):
+        only = {n.strip() for n in a[len("--only="):].split(",") if n.strip()}
 sf_dir = args[0] if len(args) > 0 else "/root/testdata/sf0.01"
 out_dir = args[1] if len(args) > 1 else "/tmp/verify_out"
 
 oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+if only is not None:
+    missing = only - set(oracle)
+    if missing:
+        print(f"WARN --only names not in oracle map: {sorted(missing)}")
+    oracle = {k: v for k, v in oracle.items() if k in only}
 con = duckdb.connect()
 for t in ["region","nation","customer","supplier","part","orders","lineitem","events","documents","embeddings"]:
     con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
@@ -198,6 +210,8 @@ for name in sorted(oracle):
 
 # queries without oracle: rows-only check
 all_out = {os.path.basename(d) for d in glob.glob(f"{out_dir}/*") if os.path.isdir(d)}
+if only is not None:
+    all_out &= only
 for name in sorted(all_out - set(oracle)):
     n = con.execute(f"SELECT count(*) FROM read_parquet('{out_dir}/{name}/*.parquet')").fetchone()[0]
     status = "PASS" if n > 0 else "FAIL"
