@@ -231,7 +231,7 @@ object StreamingQueries {
       q.stop()
       TempDir.deleteRecursively(ckpt.toString)
       ownedDir.foreach(TempDir.deleteRecursively)
-      StateStoreBridge.unloadAll()
+      StateStoreBridge.unloadQuery(q.runId)
     }
     ss.table(name)
   }
@@ -306,7 +306,7 @@ object StreamingQueries {
       q.stop()
       TempDir.deleteRecursively(ckpt.toString)
       TempDir.deleteRecursively(chunkDir)
-      StateStoreBridge.unloadAll()
+      StateStoreBridge.unloadQuery(q.runId)
     }
     ss.table(name)
   }
@@ -377,7 +377,7 @@ object StreamingQueries {
       q.stop()
       TempDir.deleteRecursively(ckpt.toString)
       sink.close()
-      StateStoreBridge.unloadAll()
+      StateStoreBridge.unloadQuery(q.runId)
     }
   }
 
@@ -446,7 +446,7 @@ object StreamingQueries {
       q.stop()
       TempDir.deleteRecursively(ckpt.toString)
       servers.foreach(_.close())
-      StateStoreBridge.unloadAll()
+      StateStoreBridge.unloadQuery(q.runId)
     }
   }
 
@@ -479,7 +479,7 @@ object StreamingQueries {
       q.stop()
       TempDir.deleteRecursively(ckpt.toString)
       sink.close()
-      StateStoreBridge.unloadAll()
+      StateStoreBridge.unloadQuery(q.runId)
     }
   }
 
@@ -582,7 +582,7 @@ object StreamingQueries {
       q.stop()
       TempDir.deleteRecursively(ckpt.toString)
       sink.close()
-      StateStoreBridge.unloadAll()
+      StateStoreBridge.unloadQuery(q.runId)
     }
   }
 
@@ -628,7 +628,7 @@ object StreamingQueries {
       TempDir.deleteRecursively(ckpt.toString)
       TempDir.deleteRecursively(chunkDir)
       sink.close()
-      StateStoreBridge.unloadAll()
+      StateStoreBridge.unloadQuery(q.runId)
     }
   }
 
@@ -675,7 +675,7 @@ object StreamingQueries {
       if (q.isActive) q.stop()
       TempDir.deleteRecursively(ckpt.toString)
       TempDir.deleteRecursively(chunkDir)
-      StateStoreBridge.unloadAll()
+      StateStoreBridge.unloadQuery(q.runId)
     }
   }
 
@@ -715,7 +715,7 @@ object StreamingQueries {
       TempDir.deleteRecursively(ckpt.toString)
       TempDir.deleteRecursively(chunkDir)
       sink.close()
-      StateStoreBridge.unloadAll()
+      StateStoreBridge.unloadQuery(q.runId)
     }
   }
 
@@ -746,7 +746,7 @@ object StreamingQueries {
     } finally {
       q.stop()
       TempDir.deleteRecursively(ckpt.toString)
-      StateStoreBridge.unloadAll()
+      StateStoreBridge.unloadQuery(q.runId)
     }
   }
 
@@ -784,7 +784,7 @@ object StreamingQueries {
       TempDir.deleteRecursively(ckpt.toString)
       TempDir.deleteRecursively(chunkDir)
       sink.close()
-      StateStoreBridge.unloadAll()
+      StateStoreBridge.unloadQuery(q.runId)
     }
   }
 
@@ -823,7 +823,7 @@ object StreamingQueries {
       TempDir.deleteRecursively(ckpt.toString)
       TempDir.deleteRecursively(chunkDir)
       sink.close()
-      StateStoreBridge.unloadAll()
+      StateStoreBridge.unloadQuery(q.runId)
     }
   }
 
@@ -893,7 +893,7 @@ object StreamingQueries {
       q.stop()
       TempDir.deleteRecursively(ckpt.toString)
       TempDir.deleteRecursively(chunkDir)
-      StateStoreBridge.unloadAll()
+      StateStoreBridge.unloadQuery(q.runId)
     }
     ss.table(name).filter(col("cnt") > 0)
   }
@@ -1307,7 +1307,7 @@ object StreamingQueries {
     } finally {
       q.stop()
       TempDir.deleteRecursively(ckpt.toString)
-      StateStoreBridge.unloadAll()
+      StateStoreBridge.unloadQuery(q.runId)
     }
     ss.table(name)
   }
@@ -1338,7 +1338,7 @@ object StreamingQueries {
       q.stop()
       TempDir.deleteRecursively(ckpt.toString)
       TempDir.deleteRecursively(chunkDir)
-      StateStoreBridge.unloadAll()
+      StateStoreBridge.unloadQuery(q.runId)
     }
     ss.table(name)
   }
@@ -1372,7 +1372,7 @@ object StreamingQueries {
       if (q.isActive) q.stop()
       TempDir.deleteRecursively(ckpt.toString)
       TempDir.deleteRecursively(chunkDir)
-      StateStoreBridge.unloadAll()
+      StateStoreBridge.unloadQuery(q.runId)
     }
     ss.table(name)
   }
@@ -1459,7 +1459,7 @@ object StreamingQueries {
       TempDir.deleteRecursively(ckpt.toString)
       TempDir.deleteRecursively(chunkDir)
       TempDir.deleteRecursively(outDir.toString)
-      StateStoreBridge.unloadAll()
+      StateStoreBridge.unloadQuery(q.runId)
     }
   }
 
@@ -1497,7 +1497,7 @@ object StreamingQueries {
         TempDir.deleteRecursively(ckpt.toString)
         TempDir.deleteRecursively(chunkDir)
         sink.close()
-        StateStoreBridge.unloadAll()
+        StateStoreBridge.unloadQuery(q.runId)
       }
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(col("w_start_ms"))
@@ -1571,7 +1571,7 @@ object StreamingQueries {
       TempDir.deleteRecursively(ckpt.toString)
       TempDir.deleteRecursively(dirA)
       TempDir.deleteRecursively(dirB)
-      StateStoreBridge.unloadAll()
+      StateStoreBridge.unloadQuery(q.runId)
     }
   }
 
@@ -1674,7 +1674,7 @@ object StreamingQueries {
     } finally {
       q.stop()
       TempDir.deleteRecursively(ckpt.toString)
-      StateStoreBridge.unloadAll()
+      StateStoreBridge.unloadQuery(q.runId)
     }
   }
 
@@ -1737,7 +1737,7 @@ object StreamingQueries {
       TempDir.deleteRecursively(ckpt.toString)
       TempDir.deleteRecursively(chunkDir)
       TempDir.deleteRecursively(outDir.toString)
-      StateStoreBridge.unloadAll()
+      StateStoreBridge.unloadQuery(q.runId)
     }
   }
 
@@ -1844,7 +1844,7 @@ object StreamingQueries {
       TempDir.deleteRecursively(ckpt.toString)
       TempDir.deleteRecursively(chunkDir)
       TempDir.deleteRecursively(labelBase.toString)
-      StateStoreBridge.unloadAll()
+      StateStoreBridge.unloadQuery(q.runId)
     }
   }
 
@@ -1908,7 +1908,7 @@ object StreamingQueries {
       q.stop()
       TempDir.deleteRecursively(ckpt.toString)
       TempDir.deleteRecursively(dir.toString)
-      StateStoreBridge.unloadAll()
+      StateStoreBridge.unloadQuery(q.runId)
     }
     ss.table(name)
   }

@@ -1,6 +1,6 @@
 package org.apache.spark.sql.graftbridge
 
-import org.apache.spark.sql.execution.streaming.state.StateStore
+import org.apache.spark.sql.execution.streaming.state.{StateStore, StateStoreProvider, StateStoreProviderId}
 
 /** Post-replay hygiene for the JVM-global state-store registry
   * (`StateStore.unloadAll()` is `private[sql]`, hence this bridge —
@@ -28,4 +28,46 @@ import org.apache.spark.sql.execution.streaming.state.StateStore
   */
 object StateStoreBridge {
   def unloadAll(): Unit = StateStore.unloadAll()
+
+  /** Targeted teardown for CONCURRENT sessions: unload only the
+    * providers belonging to one query run (by `StreamingQuery.runId`),
+    * leaving other live queries' loaded providers — and so their warm
+    * RocksDB/HDFS state — untouched.
+    *
+    * Why this exists: `unloadAll()` is correct for the sequential
+    * bench (each replay owns the JVM), but under a mixed concurrent
+    * workload (ProbeConcurrency, SCALE.md round 14) a short query's
+    * teardown would evict every OTHER live query's providers too;
+    * each victim then reloads its stores from the checkpoint on its
+    * next micro-batch — correct (that reload path is exactly crash
+    * recovery) but repeated-eviction slow. On a real cluster the
+    * eviction is per-executor and just as global: `unloadAll` there
+    * would be a cluster-wide state flush.
+    *
+    * `loadedProviders` is object-private in bytecode (not just
+    * `private[sql]`), so enumeration goes through one reflective
+    * field read; the removal itself uses the public-in-package
+    * `removeFromLoadedProvidersAndClose`, which closes the provider
+    * and cancels its maintenance work under StateStore's own lock.
+    * Returns the number of providers unloaded.
+    */
+  def unloadQuery(runId: java.util.UUID): Int = {
+    val map = loadedProviders()
+    val ids = map.synchronized { map.keys.filter(_.queryRunId == runId).toList }
+    ids.foreach(id => StateStore.removeFromLoadedProvidersAndClose(id))
+    ids.size
+  }
+
+  /** Loaded-provider count for one query run (test observability). */
+  def loadedCountForQuery(runId: java.util.UUID): Int = {
+    val map = loadedProviders()
+    map.synchronized { map.keys.count(_.queryRunId == runId) }
+  }
+
+  private def loadedProviders() = {
+    val field = StateStore.getClass.getDeclaredField("loadedProviders")
+    field.setAccessible(true)
+    field.get(StateStore)
+      .asInstanceOf[scala.collection.mutable.HashMap[StateStoreProviderId, StateStoreProvider]]
+  }
 }
