@@ -29,6 +29,15 @@ object StreamingDemo {
     spark.sparkContext.setLogLevel("WARN")
     import spark.implicits._
 
+    // Live monitoring — the reference's demo environment enables the
+    // Flink web dashboard (`utils/DemoStreamEnvironment.scala:28-30`);
+    // the counterpart here is the LiveOps listener + embedded HTTP
+    // endpoint: open the printed URL while the replay runs.
+    val liveOps = LiveOps.attach(spark)
+    val liveServer = liveOps.serve(
+      sys.env.get("GRAFT_LIVEOPS_PORT").map(_.toInt).getOrElse(0))
+    println(s"[demo] live ops: http://127.0.0.1:${liveServer.getAddress.getPort}/")
+
     val rides = TaxiReplay.ridesFromEvents(spark, "/root/testdata/sf0.001").collect().toSeq
     val serving = TaxiReplay.servingOrder(rides, maxDelayMs = 60000L)
 
@@ -49,6 +58,7 @@ object StreamingDemo {
         TempDir.deleteRecursively(ckpt.toString)
         TempDir.deleteRecursively(chunkDir)
       }
+      liveServer.stop(0)
       spark.stop()
       return
     }
@@ -86,6 +96,7 @@ object StreamingDemo {
     } finally {
       q.stop()
       TempDir.deleteRecursively(ckpt.toString)
+      liveServer.stop(0)
     }
     spark.stop()
   }
