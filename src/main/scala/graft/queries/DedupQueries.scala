@@ -45,6 +45,18 @@ object DedupQueries {
   }
   val LpRounds = 2 // synchronous label-propagation rounds (see labelPropagation)
 
+  /** k-core peel threshold and FIXED round count (see [[kCorePeel]]).
+    * K = 2: the 2-core keeps triangle-bearing duplicate cliques and
+    * sheds pair/chain fringe — the cohesion cut between a true
+    * duplicate cluster and a string of borderline matches. The fixed
+    * round count is the LPA discipline: cascading peel has a
+    * data-dependent round-to-fixpoint, so the ROUND COUNT is the
+    * cross-engine contract (KCoreSpec asserts the fixture reaches
+    * the fixpoint within it — a 5th round changes nothing).
+    */
+  val KCoreK = 2
+  val KCoreRounds = 4
+
   /** dedup_ngram_jaccard's similarity threshold t. The prefix length
     * (sz − ⌈t·sz⌉ + 1) and the size-ratio conjunct
     * (min·(1 + 1/t) ≥ |A| + |B|) are both DERIVED from it — changing
@@ -553,6 +565,58 @@ object DedupQueries {
     labels.select(col("v").as("doc_id"), col("lbl").as("community"))
   }
 
+  /** Fixed-round k-core peel (Seidman 1983's core decomposition,
+    * bounded to [[KCoreRounds]] synchronous rounds) — the THIRD graph
+    * policy over the verified pair graph, beside CC's transitive
+    * closure and LPA's plurality communities: each round drops every
+    * node whose degree AMONG SURVIVORS is < [[KCoreK]], so removals
+    * cascade down chains while cliques are self-supporting. Curation
+    * reading: in-core docs sit in densely-duplicated clusters (safe
+    * to collapse aggressively); peeled docs matched only through
+    * fringe pairs (review before dropping). Superstep dataflow: per
+    * round TWO semi-joins confine the edge table to survivors (each a
+    * shuffle on one endpoint; the alive set is node-sized, far below
+    * the edge table) + one degree partial-agg — no window, no global
+    * sort; the alive generation is localCheckpointed and freed like
+    * CC's labels, so lineage stays flat across rounds. Output covers
+    * EVERY document (in_core flag + within-core degree, 0 when
+    * peeled), so both verdicts are non-vacuous at every SF.
+    */
+  def kCorePeel(s: SparkSession, pairs: DataFrame, nodes: DataFrame): DataFrame = {
+    val p = pairs.localCheckpoint()
+    val a = p.columns(0)
+    val b = p.columns(1)
+    val edges = p.select(col(a).as("v"), col(b).as("nbr"))
+      .unionAll(p.select(col(b).as("v"), col(a).as("nbr")))
+      .repartition(col("v"))
+      .localCheckpoint()
+    unpersistCheckpoint(p)
+    def survivorDegrees(alive: DataFrame): DataFrame = edges
+      .join(alive, Seq("v"), "leftsemi")
+      .join(alive.select(col("v").as("nbr")), Seq("nbr"), "leftsemi")
+      .groupBy(col("v")).agg(count(lit(1)).as("deg"))
+    var alive = edges.select(col("v")).distinct().localCheckpoint()
+    for (_ <- 1 to KCoreRounds) {
+      val next = survivorDegrees(alive)
+        .filter(col("deg") >= KCoreK).select(col("v"))
+        .localCheckpoint()
+      unpersistCheckpoint(alive)
+      alive = next
+    }
+    // materialize the survivors' within-core degrees BEFORE freeing
+    // the edge/alive blocks the lazy plan still references
+    val coreDeg = survivorDegrees(alive)
+      .select(col("v").as("doc_id"), col("deg").as("core_deg"))
+      .localCheckpoint()
+    unpersistCheckpoint(edges)
+    unpersistCheckpoint(alive)
+    nodes.select(col(nodes.columns(0)).as("doc_id"))
+      .join(coreDeg, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        col("core_deg").isNotNull.cast("int").as("in_core"),
+        coalesce(col("core_deg"), lit(0L)).as("core_deg"))
+  }
+
   /** Free the executor blocks behind a superseded localCheckpoint.
     * `Dataset.unpersist` can't reach them — the blocks hang off the
     * materialized RDD inside the plan's LogicalRDD leaf, not off a
@@ -805,6 +869,18 @@ object DedupQueries {
       val pairs = minhashVerifiedPairs(s, dir)
       val nodes = Tables.documents(s, dir).select(col("doc_id"))
       labelPropagation(s, pairs.select(col("doc_a"), col("doc_b")), nodes)
+    }),
+
+    // Core decomposition over the same pair graph — the cohesion CUT
+    // beside CC (merge everything reachable) and LPA (plurality
+    // communities): the [[KCoreK]]-core keeps only docs held by ≥ K
+    // surviving near-dup partners, the dense clusters safe to
+    // collapse wholesale; the peel cascades chain fringe out. See
+    // [[kCorePeel]] for semantics + scale anatomy.
+    "dedup_kcore" -> ((s, dir) => {
+      val pairs = minhashVerifiedPairs(s, dir)
+      val nodes = Tables.documents(s, dir).select(col("doc_id"))
+      kCorePeel(s, pairs.select(col("doc_a"), col("doc_b")), nodes)
     }),
 
     // The CC-vs-LPA POLICY DIFFERENCE, measured on the real pair
@@ -1301,6 +1377,27 @@ object DedupQueries {
          |pairs AS ($minhashPairsSelect),
          |$lpaCtes
          |SELECT v AS doc_id, lbl AS community FROM l$LpRounds""".stripMargin,
+    "dedup_kcore" -> {
+      // CTE-per-round peel, lockstepped to KCoreRounds/KCoreK — the
+      // lpaCtes discipline: the fixed round count IS the contract
+      def round(i: Int): String =
+        s"""d$i AS (SELECT e.v, COUNT(*) AS c FROM kedges e
+           |  JOIN a${i - 1} x ON e.v = x.v
+           |  JOIN a${i - 1} y ON e.nbr = y.v GROUP BY e.v),
+           |a$i AS (SELECT v FROM d$i WHERE c >= $KCoreK)""".stripMargin
+      s"""WITH ${minhashPairsCtes("documents")},
+         |pairs AS ($minhashPairsSelect),
+         |kedges AS (SELECT doc_a AS v, doc_b AS nbr FROM pairs
+         |  UNION ALL SELECT doc_b, doc_a FROM pairs),
+         |a0 AS (SELECT DISTINCT v FROM kedges),
+         |${(1 to KCoreRounds).map(round).mkString(",\n")},
+         |fin AS (SELECT e.v, COUNT(*) AS core_deg FROM kedges e
+         |  JOIN a$KCoreRounds x ON e.v = x.v
+         |  JOIN a$KCoreRounds y ON e.nbr = y.v GROUP BY e.v)
+         |SELECT d.doc_id, CAST(f.v IS NOT NULL AS INT) AS in_core,
+         |  CAST(COALESCE(f.core_deg, 0) AS BIGINT) AS core_deg
+         |FROM documents d LEFT JOIN fin f ON d.doc_id = f.v""".stripMargin
+    },
     "dedup_community_compare" ->
       // both clusterings' shared CTE chains over ONE pairs CTE,
       // joined into the per-component community-count histogram

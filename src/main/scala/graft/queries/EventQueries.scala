@@ -1208,6 +1208,68 @@ object EventQueries {
         .withColumn("level", lit("suppressed"))
       l0.unionByName(l1).unionByName(sup)
         .select(col("event_type"), col("level"), col("groups"), col("rows_pub"))
+    }),
+
+    // EXACT distinct counting through bitmap blocks — the roaring-
+    // bitmap/deletion-vector pattern, and the exact counterpoint to
+    // the HLL/KMV estimators: when the key domain is dense integers
+    // (user ids, row ids), a bitmap of domain/63 words per group IS
+    // the distinct set. Each word merges by bitwise OR — commutative
+    // AND idempotent, the strongest mergeable-sketch algebra here
+    // (add-merge CMS double-counts on replay, max-merge HLL only
+    // estimates; OR-merge is replay-proof and exact). The groupBy
+    // partial-aggregates map-side, so the shuffle carries
+    // O(groups × blocks × partitions) words, never the event stream;
+    // popcount over the block table then yields the exact distinct.
+    // 63 usable bits per word, not 64: bit 63 would make the mask
+    // negative, which DuckDB's left-shift refuses outright — one
+    // word of capacity traded for a sign-free cross-engine contract.
+    // The oracle is the SEMANTIC truth (COUNT(DISTINCT ...)), not a
+    // mirror of the arithmetic — the strongest oracle form: the
+    // bitmap path must reproduce the true distinct count exactly.
+    // Counts the HIGH-VALUE user slice ([[KmvValueMin]], the KMV
+    // convention): the fixture's full population hits every type, so
+    // without the slice every bitmap saturates identically and a
+    // type-blind bug would slip the oracle.
+    "events_bitmap_distinct" -> ((s, dir) => {
+      Tables.events(s, dir)
+        .filter(col("value") >= KmvValueMin)
+        .select(col("event_type"),
+          expr(s"user_id div $BmBits").as("block"),
+          expr(s"shiftleft(CAST(1 AS BIGINT), CAST(user_id % $BmBits AS INT))")
+            .as("m"))
+        .groupBy(col("event_type"), col("block"))
+        .agg(bit_or(col("m")).as("bm"))
+        .groupBy(col("event_type"))
+        .agg(sum(bit_count(col("bm"))).cast("long").as("n_users"),
+          count(lit(1)).as("n_blocks"))
+    }),
+
+    // OHLC downsampling bars (the time-series resample primitive a
+    // tick/metric store runs to turn a 100 TB event stream into
+    // per-hour bars): per (type, hour) the OPEN/CLOSE are the values
+    // at the window's first/last event and HIGH/LOW its extremes.
+    // open/close via min/max over struct(t_ms, event_id, value) —
+    // (t_ms, event_id) is unique, so the struct order never reaches
+    // the value field and the aggregate is a pure SELECTION (exact
+    // on doubles, no float arithmetic to drift cross-engine), and as
+    // a commutative agg it partial-aggregates map-side: one exchange
+    // carries O(windows) rows where the oracle's row_number mirror
+    // would sort the stream. high/low/count ride the same partials.
+    "events_ohlc" -> ((s, dir) => {
+      Tables.events(s, dir)
+        .select(col("event_type"), unix_millis(col("ts")).as("t_ms"),
+          col("event_id"), col("value"))
+        .withColumn("hour_ms", expr(s"(t_ms div $HourMs) * $HourMs"))
+        .groupBy(col("event_type"), col("hour_ms"))
+        .agg(
+          min(struct(col("t_ms"), col("event_id"), col("value"))).as("o"),
+          max(struct(col("t_ms"), col("event_id"), col("value"))).as("c"),
+          max(col("value")).as("high"),
+          min(col("value")).as("low"),
+          count(lit(1)).as("n"))
+        .select(col("event_type"), col("hour_ms"), col("o.value").as("open"),
+          col("high"), col("low"), col("c.value").as("close"), col("n"))
     })
   )
 
@@ -1284,6 +1346,17 @@ object EventQueries {
     * every user and all overlaps are 1.0).
     */
   val KmvValueMin = 180.0
+
+  /** Bitmap-block width for `events_bitmap_distinct`: 63 usable bits
+    * per 64-bit word keeps every mask positive — bit 63 would need
+    * negative-long handling that DuckDB's left-shift refuses. State
+    * is O(domain/63) words per group: exact where HLL estimates,
+    * bounded by the DOMAIN (dense ids) rather than the stream.
+    */
+  val BmBits = 63
+
+  /** OHLC bar width (1 hour) in epoch millis. */
+  val HourMs = 3600000L
 
   /** Irregular tier bounds for the range join: [lo, hi), disjoint,
     * covering the fixture's full value range.
@@ -1922,6 +1995,33 @@ object EventQueries {
          |  CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS value_sum
          |FROM events JOIN tiers ON value >= lo AND value < hi
          |GROUP BY tier""".stripMargin
-    }
+    },
+    // the SEMANTIC oracle, not an arithmetic mirror: the bitmap-block
+    // path must reproduce the true COUNT(DISTINCT) exactly
+    "events_bitmap_distinct" ->
+      s"""SELECT event_type,
+         |  CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+         |  CAST(COUNT(DISTINCT user_id // $BmBits) AS BIGINT) AS n_blocks
+         |FROM events WHERE value >= $KmvValueMin
+         |GROUP BY event_type""".stripMargin,
+    // first/last mirrored as row_number selections — pure value
+    // selection, so doubles carry their input bits on both engines
+    "events_ohlc" ->
+      s"""WITH b AS (
+         |  SELECT event_type, epoch_ms(date_trunc('millisecond', ts)) AS t_ms,
+         |    event_id, value FROM events),
+         |r AS (
+         |  SELECT event_type, (t_ms // $HourMs) * $HourMs AS hour_ms, value,
+         |    ROW_NUMBER() OVER (PARTITION BY event_type, t_ms // $HourMs
+         |      ORDER BY t_ms, event_id) AS ra,
+         |    ROW_NUMBER() OVER (PARTITION BY event_type, t_ms // $HourMs
+         |      ORDER BY t_ms DESC, event_id DESC) AS rd
+         |  FROM b)
+         |SELECT event_type, hour_ms,
+         |  MAX(CASE WHEN ra = 1 THEN value END) AS open,
+         |  MAX(value) AS high, MIN(value) AS low,
+         |  MAX(CASE WHEN rd = 1 THEN value END) AS close,
+         |  COUNT(*) AS n
+         |FROM r GROUP BY event_type, hour_ms""".stripMargin
   )
 }

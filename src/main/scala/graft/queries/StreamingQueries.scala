@@ -827,6 +827,52 @@ object StreamingQueries {
     }
   }
 
+  /** Bitmap blocks as streaming state — the THIRD mergeable state
+    * algebra after max-merge (`events_hll_stream`) and add-merge
+    * (`events_cms_stream`): per micro-batch, Update-mode bitwise OR
+    * per (type, block) word through the keyed upsert sink. OR is
+    * commutative AND idempotent — the only algebra of the three that
+    * is replay-proof on its own (re-delivering an event re-sets a
+    * bit that is already set; add-merge needs keyed idempotency to
+    * absorb the same fault) — so the converged store equals the
+    * batch `events_bitmap_distinct` block table no matter how the
+    * replay chunks or repeats the feed. State is bounded by the KEY
+    * DOMAIN (users/63 words per type), not the stream: an exact
+    * distinct-set over an unbounded stream, no watermark, no
+    * retraction.
+    */
+  def bitmapStream(spark: SparkSession, sfDir: String): DataFrame = {
+    val ss = streamSession(spark)
+    val evs = eventRows(ss, sfDir)
+    val (stream, chunkDir) = EventsReplay.fileStream(ss, evs, nChunks = 3)
+    val sink = new KeyedUpsertSink(Seq("event_type", "block"))
+    val ckpt = TempDir.create("graft-ckpt-")
+    val bits = EventQueries.BmBits
+    // high-value slice (the KMV/bitmap convention): per-type sets
+    // genuinely differ, so the converged bitmaps are type-dependent
+    val q = stream
+      .filter(col("value") >= EventQueries.KmvValueMin)
+      .select(col("etype").as("event_type"),
+        expr(s"userId div $bits").as("block"),
+        expr(s"shiftleft(CAST(1 AS BIGINT), CAST(userId % $bits AS INT))").as("m"))
+      .groupBy(col("event_type"), col("block"))
+      .agg(expr("bit_or(m)").as("bm"))
+      .writeStream.outputMode("update")
+      .option("checkpointLocation", ckpt.toString)
+      .foreachBatch(sink.upsert _)
+      .start()
+    try {
+      q.processAllAvailable()
+      sink.toDF(ss).localCheckpoint()
+    } finally {
+      q.stop()
+      TempDir.deleteRecursively(ckpt.toString)
+      TempDir.deleteRecursively(chunkDir)
+      sink.close()
+      StateStoreBridge.unloadQuery(q.runId)
+    }
+  }
+
   /** CHAINED windowed aggregations in ONE streaming query (Spark 3.4+
     * time-window-on-window): 5-minute tumbling pre-aggregation rolled
     * up to 15-minute totals — the hierarchical-rollup pattern a
@@ -1932,6 +1978,7 @@ object StreamingQueries {
     "events_type_counts_stream" -> (typeCountsStream _),
     "events_hll_stream" -> (hllRegisterStream _),
     "events_cms_stream" -> (cmsStream _),
+    "events_bitmap_stream" -> (bitmapStream _),
     "events_state_reader" -> (stateReaderStream _),
     "events_debounce_stream" -> (debounceStream _),
     "taxi_sliding_stream" -> (slidingStream _),
@@ -2063,6 +2110,12 @@ object StreamingQueries {
          |       count(*) AS c
          |FROM (SELECT CAST(user_id AS VARCHAR) AS k FROM events),
          |     (SELECT unnest([${(0 until EventQueries.CmsD).map(d => s"'$d'").mkString(", ")}]) AS d)
+         |GROUP BY 1, 2""".stripMargin,
+    // converged OR-merge state must equal the batch bitmap blocks
+    "events_bitmap_stream" ->
+      s"""SELECT event_type, user_id // ${EventQueries.BmBits} AS block,
+         |  bit_or(CAST(1 AS BIGINT) << CAST(user_id % ${EventQueries.BmBits} AS INT)) AS bm
+         |FROM events WHERE value >= ${EventQueries.KmvValueMin}
          |GROUP BY 1, 2""".stripMargin,
     // the checkpoint's state rows must BE the batch aggregate
     "events_state_reader" ->

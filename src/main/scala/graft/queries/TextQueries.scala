@@ -565,6 +565,32 @@ object TextQueries {
         .select(col("doc_id"), col("source"), col("rate_pct"))
     }),
 
+    // EXACT-k weighted sample — priority sampling (Duffield, Lund &
+    // Thorup 2007), completing the sampling triad: rate-proportional
+    // Bernoulli (text_weighted_sample — sample SIZE varies),
+    // exact-quota-per-stratum (text_stratified_sample — weights
+    // can't bias within a stratum), and here exactly K docs globally
+    // with inclusion probability rising in the weight. Priority
+    // q = w / u with u the (0, 2^32]-uniform ':prio'-salted stable
+    // hash; take the top K by q. ONE double division per row —
+    // IEEE-754 division is correctly rounded, so both engines
+    // produce bit-identical priorities from identical (w, u) (the
+    // events_anomaly mirroring argument); (q, doc_id) is a total
+    // order, so the selected set is deterministic. Scale shape:
+    // orderBy(...).limit(K) plans as TakeOrderedAndProject — a
+    // bounded per-partition top-K heap + driver merge of K×partitions
+    // rows, NEVER a global sort-shuffle (plan-pinned in
+    // PlanShapeSpec; the same bounded-selection discipline as
+    // TopKByScore and the KMV k-min aggregate).
+    "text_priority_sample" -> ((s, dir) => {
+      val u = tokenHash(concat(col("doc_id").cast("string"), lit(":prio"))) + lit(1L)
+      Tables.documents(s, dir)
+        .select(col("doc_id"), col("source"), col("n_chars"),
+          (col("n_chars").cast("double") / u.cast("double")).as("priority"))
+        .orderBy(col("priority").desc, col("doc_id"))
+        .limit(PrioK)
+    }),
+
     // Stratified sampling with EXACT per-source quotas: the balanced-
     // subset op ("exactly K docs per source") that rate-based sampling
     // ([[MixtureRates]]) can't express. Selection is the first
@@ -1245,6 +1271,12 @@ object TextQueries {
   /** Exact per-source quota for `text_stratified_sample`. */
   val StratQuota = 10
 
+  /** Exact-k priority-sample size: 25 keeps the entry non-trivial at
+    * sf0.001's 50 docs (half the corpus selected) while staying a
+    * genuine selection at every larger SF.
+    */
+  val PrioK = 25
+
   /** Range-partition count for `text_global_shuffle`'s two-level
     * global order — at cluster scale this is the shuffle parallelism
     * (thousands); small here so sf0.01's 500 docs still put ~16 rows
@@ -1670,6 +1702,14 @@ object TextQueries {
          |    ${Sql.tokenHash("CAST(doc_id AS VARCHAR) || ':wsamp'")} % 100 AS mh
          |  FROM documents)
          |WHERE mh < rate_pct""".stripMargin,
+    "text_priority_sample" ->
+      s"""SELECT doc_id, source, n_chars,
+         |  CAST(n_chars AS DOUBLE) /
+         |    CAST(${Sql.tokenHash("CAST(doc_id AS VARCHAR) || ':prio'")} + 1 AS DOUBLE)
+         |    AS priority
+         |FROM documents
+         |ORDER BY priority DESC, doc_id
+         |LIMIT $PrioK""".stripMargin,
     "text_stratified_sample" ->
       s"""SELECT doc_id, source, CAST(rk AS INT) AS rk FROM (
          |  SELECT doc_id, source, ROW_NUMBER() OVER (
