@@ -1256,6 +1256,11 @@ object EventQueries {
     // a commutative agg it partial-aggregates map-side: one exchange
     // carries O(windows) rows where the oracle's row_number mirror
     // would sort the stream. high/low/count ride the same partials.
+    // Plan note: struct-typed agg buffers are HashAggregate-
+    // ineligible, so this plans as SortAggregate — the sort is
+    // per-partition on the grouping key (n log n local, no extra
+    // exchange), the partial/final split and the O(windows) shuffle
+    // payload are unchanged; that trade IS Spark's min(struct) cost.
     "events_ohlc" -> ((s, dir) => {
       Tables.events(s, dir)
         .select(col("event_type"), unix_millis(col("ts")).as("t_ms"),
