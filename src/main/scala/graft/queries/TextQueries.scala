@@ -1271,9 +1271,9 @@ object TextQueries {
   /** Exact per-source quota for `text_stratified_sample`. */
   val StratQuota = 10
 
-  /** Exact-k priority-sample size: 25 keeps the entry non-trivial at
-    * sf0.001's 50 docs (half the corpus selected) while staying a
-    * genuine selection at every larger SF.
+  /** Exact-k priority-sample size: 25 of the 500-doc floor corpus
+    * (sf0.001/sf0.01 both carry 500 docs) — a genuine 5% selection
+    * there, sharper at every larger SF.
     */
   val PrioK = 25
 
