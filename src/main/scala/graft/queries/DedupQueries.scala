@@ -581,6 +581,18 @@ object DedupQueries {
     * CC's labels, so lineage stays flat across rounds. Output covers
     * EVERY document (in_core flag + within-core degree, 0 when
     * peeled), so both verdicts are non-vacuous at every SF.
+    *
+    * SEMANTICS OF THE BOUND (ADVICE r14): `in_core = 1` means
+    * "survived [[KCoreRounds]] peel rounds with ≥ [[KCoreK]]
+    * surviving neighbors" — which equals true k-core membership
+    * exactly when the peel converged within the bound. The fixture's
+    * convergence is asserted (KCoreSpec: round KCoreRounds+1 changes
+    * nothing at sf0.01); at SFs the spec doesn't cover, a cascade
+    * deeper than KCoreRounds would leave in_core=1 rows with
+    * core_deg < K. Cross-engine hashes stay exact regardless (the
+    * oracle mirrors the round count), so the contract IS the round
+    * count — a deployment needing the true core at unknown depth
+    * raises KCoreRounds or iterates to fixpoint with the same body.
     */
   def kCorePeel(s: SparkSession, pairs: DataFrame, nodes: DataFrame): DataFrame = {
     val p = pairs.localCheckpoint()
@@ -622,7 +634,7 @@ object DedupQueries {
     * materialized RDD inside the plan's LogicalRDD leaf, not off a
     * cache-manager entry keyed by the plan.
     */
-  private def unpersistCheckpoint(df: DataFrame): Unit =
+  private[graft] def unpersistCheckpoint(df: DataFrame): Unit =
     org.apache.spark.sql.graftbridge.ColumnBridge.analyzedPlan(df).collectFirst {
       case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd
     }.foreach(_.unpersist(blocking = false))

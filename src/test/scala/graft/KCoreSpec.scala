@@ -53,9 +53,15 @@ class KCoreSpec extends AnyFunSuite {
     val nodes = Tables.documents(spark, sf).select(col("doc_id"))
     def coreSet(rounds: Int): Set[Long] = {
       // re-run the peel with a different bound by calling the helper's
-      // round body inline: alive after `rounds` rounds
+      // round body inline: alive after `rounds` rounds. Mirror the
+      // production checkpoint hygiene (ADVICE r14): each generation
+      // frees its predecessor's blocks, and the final generation is
+      // freed after collect — two coreSet calls must not leave ~10
+      // materialized RDDs in executor storage for the rest of the
+      // suite.
       var alive = pairs.select(col("doc_a").as("v"))
         .unionAll(pairs.select(col("doc_b").as("v"))).distinct()
+        .localCheckpoint()
       val edges = pairs.select(col("doc_a").as("v"), col("doc_b").as("nbr"))
         .unionAll(pairs.select(col("doc_b").as("v"), col("doc_a").as("nbr")))
       for (_ <- 1 to rounds) {
@@ -63,10 +69,14 @@ class KCoreSpec extends AnyFunSuite {
           .join(alive, Seq("v"), "leftsemi")
           .join(alive.select(col("v").as("nbr")), Seq("nbr"), "leftsemi")
           .groupBy(col("v")).agg(count(lit(1)).as("deg"))
-        alive = deg.filter(col("deg") >= DedupQueries.KCoreK).select(col("v"))
+        val next = deg.filter(col("deg") >= DedupQueries.KCoreK).select(col("v"))
           .localCheckpoint()
+        DedupQueries.unpersistCheckpoint(alive)
+        alive = next
       }
-      alive.as[Long].collect().toSet
+      val out = alive.as[Long].collect().toSet
+      DedupQueries.unpersistCheckpoint(alive)
+      out
     }
     val atContract = coreSet(DedupQueries.KCoreRounds)
     val onePast = coreSet(DedupQueries.KCoreRounds + 1)
@@ -80,5 +90,6 @@ class KCoreSpec extends AnyFunSuite {
       .map(r => r.getInt(0) -> r.getLong(1)).toMap
     assert(out.getOrElse(1, 0L) > 0, "fixture 2-core is empty — vacuous entry")
     assert(out.getOrElse(0, 0L) > 0, "nothing peeled — vacuous entry")
+    DedupQueries.unpersistCheckpoint(pairs)
   }
 }

@@ -68,14 +68,22 @@ class TwsSchemaEvolutionSpec extends AnyFunSuite {
     }
     // v1 left: key 1 -> sum 17, key 2 -> sum 5 (no mx anywhere)
     val before = emitted.synchronized(emitted.map(_._1).max)
-    val q2 = start(v2 = true)
+    // The start() call itself lives inside the try: the UnsafeRow
+    // state-schema refusal is allowed to surface at query start, not
+    // only inside processAllAvailable, and either way it must land in
+    // `failure` (for the negative control's assert) rather than escape
+    // run() — and the checkpoint dir must be deleted on that path too.
+    var q2: org.apache.spark.sql.streaming.StreamingQuery = null
     try {
+      q2 = start(v2 = true)
       ms.addData(Seq((1, 100L), (3, 2L)))
       q2.processAllAvailable()
     } catch { case t: Throwable => failure = Some(t) }
     finally {
-      q2.stop()
-      StateStoreBridge.unloadQuery(q2.runId)
+      if (q2 != null) {
+        q2.stop()
+        StateStoreBridge.unloadQuery(q2.runId)
+      }
       TempDir.deleteRecursively(ckpt.toString)
     }
     val resumed = emitted.synchronized(

@@ -3,20 +3,27 @@ package graft
 import graft.streaming.{EvoKV, TempDir, TtlCountProcessor, TtlOut}
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.graftbridge.StateStoreBridge
-import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+import org.apache.spark.sql.streaming.{OutputMode, StreamingQuery, TimeMode}
 import org.scalatest.funsuite.AnyFunSuite
 
 /** State TTL on the new stateful API — the bounded-state contract no
   * oracle entry can express (eviction is a function of processing
   * time): a key re-fed INSIDE its TTL resumes its fold; a key that
   * stayed quiet past the TTL restarts from zero because the store
-  * itself evicted the value. Margins are deliberately wide (TTL 15 s —
-  * far above any inter-batch latency — quiet gap 20 s) — the spec pins semantics, not timing precision.
+  * itself evicted the value. The two halves run at DIFFERENT TTLs so
+  * each gets its margin from the direction load can push it: the
+  * resume half uses a 60 s TTL with batches fed back-to-back (a
+  * loaded machine would need a full minute between micro-batches to
+  * flake it), the eviction half a 3 s TTL with a 5 s quiet gap
+  * (extra elapsed time only makes eviction MORE certain). ADVICE r14:
+  * the old single-query form (15 s TTL, 20 s sleep) had the resume
+  * assertion racing wall clock AND charged every suite run 20 s.
   */
 class TwsTtlSpec extends AnyFunSuite {
   lazy val spark = SparkTestSession.spark
 
-  test("quiet keys age out past the TTL; active keys resume within it") {
+  private def withTtlStream(ttlMs: Long)(
+      body: (MemoryStream[(Int, Long)], StreamingQuery, () => List[TtlOut]) => Unit): Unit = {
     val ss = spark.newSession()
     ss.conf.set("spark.sql.shuffle.partitions", "2")
     ss.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
@@ -26,44 +33,77 @@ class TwsTtlSpec extends AnyFunSuite {
     implicit val ctx: org.apache.spark.sql.SQLContext = ss.sqlContext
     val ms = MemoryStream[(Int, Long)]
     val ckpt = TempDir.create("graft-twsttl-")
-    val emitted = new scala.collection.mutable.ArrayBuffer[(Long, TtlOut)]
+    val emitted = new scala.collection.mutable.ArrayBuffer[TtlOut]
     val q = ms.toDF().toDF("k", "v").as[EvoKV]
       .groupByKey(_.k)
-      .transformWithState(new TtlCountProcessor(ttlMs = 15000L),
+      .transformWithState(new TtlCountProcessor(ttlMs = ttlMs),
         TimeMode.ProcessingTime(), OutputMode.Update())
       .toDF()
       .writeStream.outputMode("update")
       .option("checkpointLocation", ckpt.toString)
       .foreachBatch { (batch: org.apache.spark.sql.DataFrame, id: Long) =>
-        val rows = batch.as[TtlOut].collect().map(id -> _)
+        val rows = batch.as[TtlOut].collect()
         emitted.synchronized { emitted ++= rows }
         ()
       }
       .start()
-    try {
+    try body(ms, q, () => emitted.synchronized(emitted.toList))
+    finally {
+      q.stop()
+      StateStoreBridge.unloadQuery(q.runId)
+      TempDir.deleteRecursively(ckpt.toString)
+    }
+  }
+
+  test("active keys resume their fold inside the TTL") {
+    withTtlStream(ttlMs = 60000L) { (ms, q, drain) =>
       ms.addData(Seq((1, 10L), (2, 5L)))
       q.processAllAvailable()
-      // key 1 re-fed well INSIDE the TTL: the fold must resume
+      // key 1 re-fed back-to-back, 60 s inside the TTL: must resume
       ms.addData(Seq((1, 7L)))
       q.processAllAvailable()
-      val inTtl = emitted.synchronized(emitted.toList)
-        .collect { case (_, o) if o.k == 1 => o }.last
+      val inTtl = drain().collect { case o if o.k == 1 => o }.last
       assert(inTtl == TtlOut(1, 17L, resumed = true),
         s"key 1 inside TTL must resume the fold: $inTtl")
+    }
+  }
 
-      Thread.sleep(20000L) // both keys quiet well past the 15 s TTL
+  test("virtual-clock TTL replay: the eviction seam is real, not first-sight") {
+    // The oracle pins events_ttl_stream's exact output; this pins its
+    // NON-VACUITY — the fixture must actually exercise both verdicts
+    // (a key re-seen after >= TtlQuietBatches quiet day-batches gets
+    // resumed=0 at a non-first batch, i.e. the store really evicted;
+    // and some key resumes, i.e. TTL isn't evicting everything).
+    import org.apache.spark.sql.functions._
+    val out = graft.queries.StreamingQueries
+      .ttlFoldStream(spark, "/root/testdata/sf0.001")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("vbatch"))
+    val seams = out
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") > 1)
+      .groupBy()
+      .agg(sum(when(col("resumed") === 0, 1).otherwise(0)).as("evicted"),
+        sum(when(col("resumed") === 1, 1).otherwise(0)).as("survived"))
+      .head()
+    assert(seams.getLong(0) > 0L,
+      "no re-seen key was ever evicted — the TTL lever is vacuous on this fixture")
+    assert(seams.getLong(1) > 0L,
+      "no key ever resumed — the TTL evicted everything, fold semantics untested")
+  }
+
+  test("quiet keys age out past the TTL") {
+    withTtlStream(ttlMs = 3000L) { (ms, q, drain) =>
+      ms.addData(Seq((1, 10L), (2, 5L)))
+      q.processAllAvailable()
+      Thread.sleep(5000L) // both keys quiet well past the 3 s TTL
       ms.addData(Seq((1, 100L), (2, 1L)))
       q.processAllAvailable()
-      val after = emitted.synchronized(emitted.toList)
-        .collect { case (_, o) => o.k -> o }.toMap
+      val after = drain().map(o => o.k -> o).toMap
       assert(after(1) == TtlOut(1, 100L, resumed = false),
         s"key 1 past TTL must restart from zero: ${after(1)}")
       assert(after(2) == TtlOut(2, 1L, resumed = false),
         s"key 2 past TTL must restart from zero: ${after(2)}")
-    } finally {
-      q.stop()
-      StateStoreBridge.unloadQuery(q.runId)
-      TempDir.deleteRecursively(ckpt.toString)
     }
   }
 }
