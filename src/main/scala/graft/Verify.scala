@@ -54,6 +54,21 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // Staged-oracle artifacts (driver-side sf10 measurement plumbing;
+    // the round driver ignores these — see DedupQueries.stageSql):
+    // stage_sql.json = the materialization templates, and
+    // oracle_sql_staged.json = each chain oracle rewritten onto the
+    // staged views by exact-string substitution (only entries whose
+    // SQL actually changed are included).
+    def dumpJson(path: String, m: Map[String, String]): Unit =
+      Files.writeString(Paths.get(path),
+        m.map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}"))
+    dumpJson(s"$outDir/stage_sql.json", _root_.graft.queries.DedupQueries.stageSql)
+    val staged = SparkEntry.oracleSql.flatMap { case (k, sql) =>
+      val rewritten = _root_.graft.queries.DedupQueries.stagedRewrite(sql)
+      if (rewritten != sql) Some(k -> rewritten) else None
+    }
+    dumpJson(s"$outDir/oracle_sql_staged.json", staged)
     spark.stop()
   }
 }

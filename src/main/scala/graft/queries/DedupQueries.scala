@@ -194,14 +194,22 @@ object DedupQueries {
       .select(col("new_id"), col("idx_id")).distinct()
   }
 
-  private[queries] def minhashBandsSql(src: String): String = {
+  /** Band relation from an existing sigs relation — split out of
+    * [[minhashBandsSql]] so the oracle-staging tool can derive bands
+    * from MATERIALIZED signatures with the same spelling (one md5
+    * per band, never a re-derivation of the shingle hashes).
+    */
+  private[queries] def bandsFromSigsSql(sigsRel: String): String = {
     def bandExpr(b: Int): String = {
       val cols = (b * MinHash.BandSize until (b + 1) * MinHash.BandSize).map(i => s"sig$i")
-      s"SELECT doc_id, $b AS band, md5(concat_ws(',', ${cols.mkString(", ")})) AS bhash FROM sigs"
+      s"SELECT doc_id, $b AS band, md5(concat_ws(',', ${cols.mkString(", ")})) AS bhash FROM $sigsRel"
     }
-    s"""WITH sigs AS (${minhashSigsSql(src)})
-       |${(0 until MinHash.NumBands).map(bandExpr).mkString("\n", "\nUNION ALL\n", "")}""".stripMargin
+    (0 until MinHash.NumBands).map(bandExpr).mkString("\nUNION ALL\n")
   }
+
+  private[queries] def minhashBandsSql(src: String): String =
+    s"""WITH sigs AS (${minhashSigsSql(src)})
+       |${bandsFromSigsSql("sigs")}""".stripMargin
 
   /** Distinct, SORTED 3-char shingles *packed into ints*
     * (c1·2¹⁶ + c2·2⁸ + c3 — injective on the ASCII corpus), built by
@@ -226,13 +234,24 @@ object DedupQueries {
   // CTE whose body is a top-level UNION [ALL] is parsed as
   // anchor-plus-recursive-term, which breaks the nested `WITH sigs`
   // scoping ("Table with name sigs does not exist").
+  /** Candidate pairs from a `bands` relation — one spelling, shared
+    * by the inline CTE chain and the staging tool (which runs it over
+    * bhash-bucketed band batches: the join requires equal bhash, so
+    * bucketing by bhash partitions the pair space exactly).
+    */
+  private[queries] val candFromBandsSql: String =
+    """SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      |  FROM bands a JOIN bands b
+      |    ON a.band = b.band AND a.bhash = b.bhash AND a.doc_id < b.doc_id""".stripMargin
+
+  private[queries] def tgCte(src: String): String =
+    s"tg AS (SELECT doc_id, ${trigramsSql("text")} AS tg FROM $src)"
+
   private[queries] def minhashPairsCtes(src: String): String =
     s"""bands AS (SELECT * FROM (${minhashBandsSql(src)})),
        |cand AS (
-       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-       |  FROM bands a JOIN bands b
-       |    ON a.band = b.band AND a.bhash = b.bhash AND a.doc_id < b.doc_id),
-       |tg AS (SELECT doc_id, ${trigramsSql("text")} AS tg FROM $src)""".stripMargin
+       |  $candFromBandsSql),
+       |${tgCte(src)}""".stripMargin
 
   private[queries] def minhashPairsSelect: String =
     """SELECT doc_a, doc_b,
@@ -241,6 +260,63 @@ object DedupQueries {
       |FROM cand JOIN tg da ON doc_a = da.doc_id JOIN tg db ON doc_b = db.doc_id
       |WHERE len(list_intersect(da.tg, db.tg))::DOUBLE /
       |      len(list_distinct(list_concat(da.tg, db.tg))) >= 0.6""".stripMargin
+
+  /** ORACLE STAGING (driver-side measurement plumbing, not engine
+    * code). The inline chain oracles re-derive every shingle md5
+    * inside one DuckDB query; at sf10 (500 k docs ≈ 400 M md5s) that
+    * blows DuckDB's memory cap before the back half even starts —
+    * the r14 `dedup_kcore` capacity note. The fix is the same staging
+    * the Spark side does naturally: materialize sigs → bands → cand →
+    * tg → pairs to parquet IN BOUNDED BATCHES, then run each family's
+    * back half over the staged relations.
+    *
+    * [[stageSql]] is the template each stage runs (the staging tool
+    * binds the input relation names as batched views — `documents`
+    * restricted by doc_id for sigs/tg, `bands` restricted by bhash
+    * hash-bucket for cand, `cand` restricted by doc_a for pairs), and
+    * [[stagedOracleSubstitutions]] rewrites a full oracle onto the
+    * staged views by EXACT-STRING replacement of the same Scala
+    * fragments the full oracle embeds — one spelling, so the staged
+    * oracle can never drift from the inline one. Both are dumped by
+    * [[graft.Verify]] (stage_sql.json / oracle_sql_staged.json) and
+    * consumed by tools/stage_oracle.py + tools/check.py --staged.
+    */
+  private[graft] def stageSql: Map[String, String] = Map(
+    // per-doc stages: tool batches by restricting the documents view
+    "sigs" -> minhashSigsSql("documents"),
+    "tg" -> s"SELECT doc_id, ${trigramsSql("text")} AS tg FROM documents",
+    // bands from materialized sigs (4 md5s/doc, no shingle re-derive)
+    "bands" -> bandsFromSigsSql("staged_sigs"),
+    // cand over a `bands` view the tool binds per bhash-bucket
+    "cand" -> candFromBandsSql,
+    // pairs over `cand` (batched by doc_a) and full staged `tg`
+    "pairs" -> minhashPairsSelect)
+
+  /** Exact-string rewrite of one oracle onto the staged views. The
+    * composite fragment (pairsCtes, which embeds bandsSql) is replaced
+    * before the standalone bands/sigs spellings, and [[minhashPairsSelect]]
+    * — which is SOURCE-BLIND (it reads whatever cand/tg are in scope) —
+    * is rewritten only when the oracle's chain is over full
+    * `documents`: an oracle running the chain over a gated subset
+    * (e.g. text_curation_neardup's docs_g) must keep its own pairs
+    * derivation, not inherit the full corpus's.
+    */
+  private[graft] def stagedRewrite(sql: String): String = {
+    val overDocuments = sql.contains(minhashPairsCtes("documents"))
+    val subs: Seq[(String, String)] =
+      Seq(minhashPairsCtes("documents") ->
+        """bands AS (SELECT * FROM staged_bands),
+          |cand AS (SELECT * FROM staged_cand),
+          |tg AS (SELECT * FROM staged_tg)""".stripMargin) ++
+        (if (overDocuments)
+          Seq(minhashPairsSelect -> "SELECT doc_a, doc_b, jac FROM staged_pairs")
+        else Nil) ++
+        Seq(
+          minhashBandsSql("documents") -> "SELECT * FROM staged_bands",
+          minhashSigsSql("documents") -> "SELECT * FROM staged_sigs",
+          tgCte("documents") -> "tg AS (SELECT * FROM staged_tg)")
+    subs.foldLeft(sql) { case (s, (from, to)) => s.replace(from, to) }
+  }
 
   /** Shared oracle CTE fragments over a `pairs(doc_a, doc_b)` CTE —
     * one spelling each, so the closure form, the LPA round count

@@ -28,13 +28,28 @@ lint_only = "--lint-only" in sys.argv[1:]
 # incremental sf10 batches, where recomparing every standing 10M-row
 # output costs more than the new entries being checked.
 only = None
+staged_dir = None
+batch_docs = 0
 for a in sys.argv[1:]:
     if a.startswith("--only="):
         only = {n.strip() for n in a[len("--only="):].split(",") if n.strip()}
+    if a.startswith("--staged="):
+        staged_dir = a[len("--staged="):]
+    if a.startswith("--batch-docs="):
+        batch_docs = int(a[len("--batch-docs="):])
 sf_dir = args[0] if len(args) > 0 else "/root/testdata/sf0.01"
 out_dir = args[1] if len(args) > 1 else "/tmp/verify_out"
 
 oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+# --staged=<dir>: verify the minhash-chain families against relations
+# MATERIALIZED by tools/stage_oracle.py instead of re-deriving 400M
+# shingle md5s inside one query (sf10 capacity; see
+# DedupQueries.stageSql). The staged SQL comes from
+# oracle_sql_staged.json — the same Scala fragments, exact-string
+# rewritten onto staged_* views by Verify, so it cannot drift.
+if staged_dir is not None:
+    staged_sql = json.load(open(f"{out_dir}/oracle_sql_staged.json"))
+    oracle.update({k: v for k, v in staged_sql.items() if k in oracle})
 if only is not None:
     missing = only - set(oracle)
     if missing:
@@ -43,6 +58,11 @@ if only is not None:
 con = duckdb.connect()
 for t in ["region","nation","customer","supplier","part","orders","lineitem","events","documents","embeddings"]:
     con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
+if staged_dir is not None:
+    for rel in ["sigs", "tg", "bands", "cand", "pairs"]:
+        con.execute(f"CREATE VIEW staged_{rel} AS SELECT * FROM "
+                    f"read_parquet('{staged_dir}/{rel}/*.parquet')")
+    con.execute("SET memory_limit='24GB'")
 
 BAD_TYPES = ("HUGEINT", "UHUGEINT", "INT128", "UINT128")
 
@@ -190,7 +210,28 @@ for name in sorted(oracle):
         print(f"FAIL {name}: no spark output"); n_fail += 1; continue
     try:
         got_raw = con.execute(f"SELECT * FROM read_parquet('{pq_dir}/*.parquet')").df()
-        want_raw = con.execute(oracle[name]).df()
+        if batch_docs > 0:
+            # --batch-docs=N: evaluate the oracle once per documents
+            # batch (doc_id % N) and concatenate. EXACT only for
+            # per-doc oracles (each output row a function of one doc —
+            # the multimodal codec family); callers scope it with
+            # --only to such entries. Bounds DuckDB's peak memory on
+            # the per-byte list-comprehension rebuilds at sf10.
+            parts = []
+            for k in range(batch_docs):
+                con.execute(
+                    "CREATE OR REPLACE VIEW documents AS SELECT * FROM "
+                    f"read_parquet('{sf_dir}/documents.parquet') WHERE doc_id % {batch_docs} = {k}")
+                parts.append(con.execute(oracle[name]).df())
+            con.execute(
+                "CREATE OR REPLACE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{sf_dir}/documents.parquet')")
+            # empty frames degrade concat dtypes to object; keep one
+            # only when every batch is empty (schema carrier)
+            nonempty = [p for p in parts if len(p)]
+            want_raw = pd.concat(nonempty or parts[:1], ignore_index=True)
+        else:
+            want_raw = con.execute(oracle[name]).df()
     except Exception as e:
         print(f"FAIL {name}: {e}"); n_fail += 1; continue
     gt, wt = raw_dtypes(got_raw), raw_dtypes(want_raw)
