@@ -528,15 +528,25 @@ object DedupQueries {
       .repartition(col("src"))
       .localCheckpoint()
     unpersistCheckpoint(p) // `edges` was its only consumer
-    def labelSum(l: DataFrame) = l
-      .agg(coalesce(sum(col("component").cast(DecimalType(38, 0))),
-        lit(java.math.BigDecimal.ZERO)))
-      .head.getDecimal(0)
-    var labels = nodes
+    // The monotone label-sum convergence metric rides the checkpoint
+    // materialization itself (`observe` → CollectMetrics accumulators,
+    // read after `localCheckpoint`'s action completes): the sum
+    // previously cost a SECOND full pass over the freshly-materialized
+    // label table per superstep — guide §1.2 step 1, remove whole
+    // passes before tuning anything inside one. One superstep = one
+    // job. (ObserveCheckpointSpec pins that the metric equals the
+    // separate-aggregate spelling.)
+    def checkpointWithSum(l: DataFrame): (DataFrame, java.math.BigDecimal) = {
+      val obs = org.apache.spark.sql.Observation()
+      val ck = l.observe(obs,
+        coalesce(sum(col("component").cast(DecimalType(38, 0))),
+          lit(java.math.BigDecimal.ZERO)).as("lsum"))
+        .localCheckpoint()
+      (ck, obs.get("lsum").asInstanceOf[java.math.BigDecimal])
+    }
+    var (labels, prevSum) = checkpointWithSum(nodes
       .select(col(nodes.columns(0)).as("doc_id"))
-      .withColumn("component", col("doc_id"))
-      .localCheckpoint()
-    var prevSum = labelSum(labels)
+      .withColumn("component", col("doc_id")))
     var iters = 0
     var converged = false
     while (!converged) {
@@ -545,9 +555,11 @@ object DedupQueries {
         s"connectedComponents did not converge in $CcMaxIters supersteps")
       val prop = edges.join(labels, col("src") === col("doc_id"))
         .select(col("dst").as("doc_id"), col("component"))
-      var next = labels.union(prop)
+      val propagated = labels.union(prop)
         .groupBy("doc_id").agg(min("component").as("component"))
-        .localCheckpoint()
+      var (next, newSum) =
+        if (iters < CcJumpAfter) checkpointWithSum(propagated)
+        else (propagated.localCheckpoint(), java.math.BigDecimal.ZERO)
       if (iters >= CcJumpAfter) {
         // pointer-jump: component := component's component. Left join:
         // a label value is a same-component node id, but callers may
@@ -560,15 +572,16 @@ object DedupQueries {
         // resolution fails on the deduplicated self-join
         val parent = next.select(
           col("doc_id").as("p_id"), col("component").as("p_comp"))
-        val jumped = next
+        // the convergence sum must read the POST-jump labels, so the
+        // observe rides the jump's checkpoint in jump supersteps
+        val (jumped, jumpedSum) = checkpointWithSum(next
           .join(parent, col("component") === col("p_id"), "left")
           .select(col("doc_id"),
-            coalesce(col("p_comp"), col("component")).as("component"))
-          .localCheckpoint()
+            coalesce(col("p_comp"), col("component")).as("component")))
         unpersistCheckpoint(next)
         next = jumped
+        newSum = jumpedSum
       }
-      val newSum = labelSum(next)
       converged = newSum.compareTo(prevSum) == 0
       prevSum = newSum
       // the superseded generation is dead the moment `next` is
@@ -1067,13 +1080,19 @@ object DedupQueries {
         .repartition(col("src"))
         .localCheckpoint()
       val Inf = 1000000L
+      // Frontier sizes ride the checkpoint materializations via
+      // `observe` (same §1.2 move as connectedComponents' label sum):
+      // each BFS round previously paid a second pass over the merged
+      // dist table just to count the surviving frontier.
+      val obs0 = org.apache.spark.sql.Observation()
       var dist = comp.select(col("doc_id"),
         when(col("doc_id") === col("component"), lit(0L)).otherwise(lit(Inf))
           .as("hops"))
+        .observe(obs0, count(when(col("hops") === 0L, 1)).as("nf"))
         .localCheckpoint()
       // round-0 frontier: the canonicals themselves
       var frontier = dist.filter(col("hops") === 0L)
-      var frontierSize = frontier.count()
+      var frontierSize = obs0.get("nf").asInstanceOf[Long]
       var mergedCk: DataFrame = null
       var iters = 0
       while (frontierSize > 0) {
@@ -1084,13 +1103,16 @@ object DedupQueries {
           .select(col("dst"), (col("hops") + 1).as("cand"))
           .groupBy(col("dst")).agg(min(col("cand")).as("cand"))
           .withColumnRenamed("dst", "doc_id")
-        // one checkpointed merge feeds BOTH next-dist and next-frontier
+        // one checkpointed merge feeds next-dist, next-frontier AND
+        // (via the observed metric) the next frontier size
+        val obs = org.apache.spark.sql.Observation()
         val merged = dist.join(prop, Seq("doc_id"), "left")
           .select(col("doc_id"), col("hops"), col("cand"))
+          .observe(obs, count(when(col("cand") < col("hops"), 1)).as("nf"))
           .localCheckpoint()
         val nextFrontier = merged.filter(col("cand") < col("hops"))
           .select(col("doc_id"), col("cand").as("hops"))
-        frontierSize = nextFrontier.count()
+        frontierSize = obs.get("nf").asInstanceOf[Long]
         // round i−1's blocks: the initial dist checkpoint (round 1)
         // or the previous merged (dist/frontier are projections of it)
         if (mergedCk != null) unpersistCheckpoint(mergedCk)
