@@ -87,23 +87,32 @@ object StreamingQueries {
   }
 
   /** Forced-RocksDB sessions (transformWithState entries — Spark
-    * rejects the HDFS-backed provider at query start). Changelog
-    * checkpointing is an env A/B knob: ON writes a per-batch delta
-    * instead of uploading a full RocksDB snapshot per batch; the r9
-    * probe measured full snapshots FASTER at replay state scale
-    * (SCALE.md "State-store provider"), re-measured per round.
+    * rejects the HDFS-backed provider at query start). Both lifecycle
+    * knobs stay env-parameterized but their DEFAULTS flipped in r15
+    * after a bracketed A/B over the six RocksDB entries at sf0.1
+    * (OPTIMIZATION_r15.md §2): changelog checkpointing ON (per-batch
+    * delta instead of a full RocksDB snapshot upload per commit —
+    * 0.74× alone; the r9 probe's contrary verdict predated the
+    * 30-micro-batch TTL replay, whose per-commit snapshot cost
+    * dominates) and trackTotalNumberOfRows OFF (skips the
+    * read-before-write RocksDB get per state put that only feeds the
+    * numRowsTotal progress metric — 0.77× alone; combined 0.82×
+    * bracketed). Changelog checkpointing is also the documented
+    * production choice at GB-scale state, where a full snapshot per
+    * commit is prohibitive; recovery replays snapshot + changelog
+    * (exercised by ProbeRecovery and the state-reader entry).
+    * Env overrides: SPARK_GRAFT_ROCKSDB_CHANGELOG=false /
+    * SPARK_GRAFT_ROCKSDB_NOTRACK=false restore the r14 behavior.
     */
   private def forceRocksdb(ss: SparkSession): Unit = {
     ss.conf.set("spark.sql.streaming.stateStore.providerClass",
       "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
-    if (sys.env.get("SPARK_GRAFT_ROCKSDB_CHANGELOG").contains("true"))
-      ss.conf.set(
-        "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled",
-        "true")
-    if (sys.env.get("SPARK_GRAFT_ROCKSDB_NOTRACK").contains("true"))
-      ss.conf.set(
-        "spark.sql.streaming.stateStore.rocksdb.trackTotalNumberOfRows",
-        "false")
+    ss.conf.set(
+      "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled",
+      (!sys.env.get("SPARK_GRAFT_ROCKSDB_CHANGELOG").contains("false")).toString)
+    ss.conf.set(
+      "spark.sql.streaming.stateStore.rocksdb.trackTotalNumberOfRows",
+      sys.env.get("SPARK_GRAFT_ROCKSDB_NOTRACK").contains("false").toString)
   }
 
   /** Serving-ordered ride feed (± sentinel), with the zero-weight
