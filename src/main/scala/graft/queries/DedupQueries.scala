@@ -772,9 +772,15 @@ object DedupQueries {
         .localCheckpoint()
       val deg = und.select(explode(array(col("a"), col("b"))).as("v"))
         .groupBy(col("v")).agg(count(lit(1)).as("deg"))
+      // All joins below are hinted SHUFFLE_HASH: the checkpoint erased
+      // `und`'s stats so every join planned as sort-merge — five Sort
+      // operators over edge/wedge relations whose equality semantics a
+      // per-partition hash table serves identically (guide §3.1). The
+      // build sides (degree table, oriented out-edges, closing edge
+      // list) are all O(|E|)-bounded and partition-local at scale.
       val oriented = und
-        .join(deg.select(col("v").as("a"), col("deg").as("da")), "a")
-        .join(deg.select(col("v").as("b"), col("deg").as("db")), "b")
+        .join(deg.select(col("v").as("a"), col("deg").as("da")).hint("shuffle_hash"), "a")
+        .join(deg.select(col("v").as("b"), col("deg").as("db")).hint("shuffle_hash"), "b")
         .select(
           when(col("da") < col("db") ||
               (col("da") === col("db") && col("a") < col("b")),
@@ -782,10 +788,10 @@ object DedupQueries {
             .otherwise(struct(col("b").as("u"), col("a").as("w"))).as("e"))
         .select(col("e.u").as("u"), col("e.w").as("w"))
       val wedges = oriented.as("o1")
-        .join(oriented.as("o2"),
+        .join(oriented.as("o2").hint("shuffle_hash"),
           col("o1.u") === col("o2.u") && col("o1.w") < col("o2.w"))
         .select(col("o1.u").as("u"), col("o1.w").as("x"), col("o2.w").as("y"))
-      wedges.join(und.as("e3"),
+      wedges.join(und.as("e3").hint("shuffle_hash"),
           least(col("x"), col("y")) === col("e3.a") &&
             greatest(col("x"), col("y")) === col("e3.b"))
         .select(array_sort(array(col("u"), col("x"), col("y"))).as("t"))
@@ -1024,7 +1030,7 @@ object DedupQueries {
       val docs = Tables.documents(s, dir)
       val sigs = minhashSigsOf(docs)
       val sh = docs.select(col("doc_id"),
-          array_sort(MinHash.shingleHashes("text")).as("sh"))
+          graft.functions.expressions.SortedShingleHashes(col("text"), 5).as("sh"))
         .withColumn("sz", size(col("sh")))
       val side = sigs.join(sh, "doc_id").localCheckpoint()
       def renamed(p: String) = side.select(
@@ -1036,10 +1042,19 @@ object DedupQueries {
         .reduce(_ + _)
       // bands derive from the CHECKPOINTED sig columns — the text is
       // scanned (and MinHashSignature computed) exactly once; the
-      // candidate path and both pair-side joins all ride `side`
+      // candidate path and both pair-side joins all ride `side`.
+      // Both pair-side joins are hinted SHUFFLE_HASH: the checkpoint
+      // erased `side`'s stats, so the planner fell back to sort-merge
+      // — and SMJ SORTS both inputs, which here means sorting rows
+      // that carry the full per-doc shingle-hash array (~8 KB/row)
+      // three times (a-side, the a-joined intermediate, b-side).
+      // Shuffled-hash keeps the identical partitioned join semantics
+      // with zero sorts of array-carrying rows (guide §3.1); the
+      // build side is bounded per partition by docs/partitions, which
+      // scales out with the cluster, unlike a broadcast of the corpus.
       lshCandidatesFromBands(bandsOfSigs(side))
-        .join(renamed("a"), col("doc_a") === col("aid"))
-        .join(renamed("b"), col("doc_b") === col("bid"))
+        .join(renamed("a").hint("shuffle_hash"), col("doc_a") === col("aid"))
+        .join(renamed("b").hint("shuffle_hash"), col("doc_b") === col("bid"))
         .withColumn("inter",
           graft.functions.expressions.SortedIntersectSize(col("ash"), col("bsh")))
         .withColumn("sj",
@@ -1290,7 +1305,7 @@ object DedupQueries {
             concat(col("doc_id").cast("string"), lit(":scvcap"))), col("doc_id"))))
         .filter(col("rn") <= ScurveGroupCap)
         .select(col("doc_id"), col("source"),
-          array_sort(MinHash.shingleHashes("text")).as("sh"))
+          graft.functions.expressions.SortedShingleHashes(col("text"), 5).as("sh"))
         .withColumn("sz", size(col("sh")))
         .localCheckpoint()
       val a = docs.select(col("source"), col("doc_id").as("doc_a"),

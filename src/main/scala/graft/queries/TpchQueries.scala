@@ -312,12 +312,27 @@ object TpchQueries {
     "q18_column_stats" -> ((s, dir) => {
       val cols = Seq("l_orderkey", "l_partkey", "l_suppkey",
         "l_returnflag", "l_linestatus")
+      // Per column: pre-aggregate to the distinct-value dictionary
+      // (hash aggregate — GROUPING on a string is hash-able), then
+      // ndv/min/max/n_rows over the tiny dictionary. The r14 direct
+      // `countDistinct + min + max` form planned the string columns
+      // as SortAggregate over a FULL Sort of the table (min/max of a
+      // string is an immutable agg buffer, so HashAggregate is
+      // ineligible), and countDistinct expanded every row; this shape
+      // replaces both with one map-side-partial hash aggregate per
+      // column — at 100 TB the sort of the corpus disappears and the
+      // shuffle carries one row per distinct value. Equality: ndv
+      // counts non-null distincts (countDistinct semantics), n_rows
+      // sums per-value counts including the null group (count(*)
+      // counts nulls), min/max ignore nulls on both spellings.
       cols.map { c =>
-        Tables.lineitem(s, dir).agg(
-          countDistinct(col(c)).as("ndv"),
-          min(col(c)).cast("string").as("min_s"),
-          max(col(c)).cast("string").as("max_s"),
-          count(lit(1)).as("n_rows"))
+        Tables.lineitem(s, dir)
+          .groupBy(col(c)).agg(count(lit(1)).as("cnt"))
+          .agg(
+            count(when(col(c).isNotNull, 1)).as("ndv"),
+            min(col(c)).cast("string").as("min_s"),
+            max(col(c)).cast("string").as("max_s"),
+            sum(col("cnt")).as("n_rows"))
           .select(lit(c).as("col_name"), col("ndv"),
             col("min_s"), col("max_s"), col("n_rows"))
       }.reduce(_ unionAll _)

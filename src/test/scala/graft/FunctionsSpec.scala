@@ -92,6 +92,22 @@ class FunctionsSpec extends AnyFunSuite {
     assert(mismatch == 0)
   }
 
+  test("SortedShingleHashes equals the interpreted array_sort(shingleHashes) chain") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val alpha = "abcdefgh " // small alphabet forces duplicate shingles
+    val docs = Seq("", "a", "abcd", "abcde", "aaaaaaaaaa") ++
+      Seq.fill(50)(Seq.fill(20 + rnd.nextInt(400))(
+        alpha(rnd.nextInt(alpha.length))).mkString)
+    val df = docs.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    val got = df.select(col("doc_id"),
+      graft.functions.expressions.SortedShingleHashes(col("text"), 5).as("x"))
+    val want = df.select(col("doc_id"),
+      array_sort(graft.functions.MinHash.shingleHashes("text")).as("x"))
+    assert(got.collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap ==
+      want.collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap)
+  }
+
   test("SortedIntersectSize handles empty and identical arrays") {
     import spark.implicits._
     val df = Seq(
