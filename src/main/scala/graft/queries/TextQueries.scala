@@ -1000,23 +1000,18 @@ object TextQueries {
     // stop-fingerprints (bounding per-bucket pair fan-out), pairs
     // need ≥ [[WinnowMinShared]] shared fingerprints.
     "text_winnow" -> ((s, dir) => {
-      // the gram-hash array is PROJECTED to a bound attribute before
-      // the window-min lambda: a lambda capturing the whole
-      // tokenize→gram→md5 pipeline as a free expression re-evaluates
-      // it per window ELEMENT under Generate (O(tokens²) md5 calls —
-      // measured 54.4 s vs 1.2 s at sf0.1, ProbeWinnow), the same
-      // trap TextFunctions.bigrams documents; bound to an attribute
-      // each element reads the already-computed array.
-      val hl = col("hl")
-      val nw = size(hl) - (WinnowW - 1)
-      val fpsExpr = when(nw >= 1,
-          array_distinct(transform(sequence(lit(1), nw),
-            i => array_min(slice(hl, i, lit(WinnowW))))))
-        .otherwise(array().cast("array<string>"))
+      // fingerprints are computed by the fused native expression
+      // (gram → md5 → sliding min → distinct in one pass,
+      // [[graft.functions.expressions.WinnowFingerprints]]): the
+      // r14 interpreted chain — even with the gram-hash array bound
+      // to an attribute to avoid the O(tokens²) re-evaluation trap
+      // ProbeWinnow measured at 54.4 s — still evaluated md5 and the
+      // window-min lambdas per element as interpreted expressions
+      // (guide §4); the spec pins equality against that spelling.
       val fp = Tables.documents(s, dir)
         .select(col("doc_id"),
-          transform(ngrams(tokens(col("text")), WinnowG), g => md5(g)).as("hl"))
-        .select(col("doc_id"), explode(fpsExpr).as("fp"))
+          explode(graft.functions.expressions.WinnowFingerprints(
+            tokens(col("text")), WinnowG, WinnowW)).as("fp"))
         .localCheckpoint() // two consumers: df counts + pair join
       val shared = fp.groupBy(col("fp"))
         .agg(count(lit(1)).as("nd"))
