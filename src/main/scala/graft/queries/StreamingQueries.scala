@@ -564,11 +564,17 @@ object StreamingQueries {
     val histCells = TaxiPipelines.cellProject(
       ss.createDataset(hist).toDF()
         .withColumn("ts", timestamp_millis(col("tMs"))))
+    // materialized ONCE: the backfill snapshot write below and the
+    // stream's initial state are both consumers of this aggregate,
+    // and the un-checkpointed plan re-serialized the driver-held
+    // history rows and re-ran the fold for each (guide §1.2 — the
+    // same double-execution CC's pair relation used to pay)
     val init = histCells
       .groupBy(col("cell"))
       .agg(sum(col("passengers")).as("s"), max(unix_millis(col("ts"))).as("t"))
       .as[(Int, Long, Long)]
       .map { case (c, s, t) => (c, TotalTwsState(s, t)) }
+      .localCheckpoint()
     val sink = new KeyedUpsertSink(Seq("cell"))
     // the backfill writes its own snapshot before the stream takes over
     sink.upsert(init.map { case (c, st) => TotalCount(c, st.lastT, st.sum) }
