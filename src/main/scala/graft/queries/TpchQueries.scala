@@ -332,7 +332,9 @@ object TpchQueries {
             count(when(col(c).isNotNull, 1)).as("ndv"),
             min(col(c)).cast("string").as("min_s"),
             max(col(c)).cast("string").as("max_s"),
-            sum(col("cnt")).as("n_rows"))
+            // coalesce: on an EMPTY table sum() is NULL where the old
+            // count(lit(1)) and the oracle's count(*) return 0
+            coalesce(sum(col("cnt")), lit(0L)).as("n_rows"))
           .select(lit(c).as("col_name"), col("ndv"),
             col("min_s"), col("max_s"), col("n_rows"))
       }.reduce(_ unionAll _)

@@ -60,14 +60,22 @@ class DebounceProcessor(windowMs: Long)
       key: Long,
       timers: TimerValues,
       expired: ExpiredTimerInfo): Iterator[KeptEvent] =
-    flush(key, timers.getCurrentWatermarkInMs())
+    flush(key, timers.getCurrentWatermarkInMs(),
+      expiredTimer = Some(expired.getExpiryTimeInMs()))
 
   /** Flush every buffered event the watermark has passed, in (t, id)
     * order, applying the keep-iff-≥window rule against the last
     * SURVIVOR; re-arm the single per-key timer at the earliest
     * remaining buffered timestamp.
+    *
+    * `expiredTimer`: the timer that fired this call (expired path
+    * only). Spark deletes the fired timer itself AFTER the callback,
+    * so the reconcile below excludes it — deleting it here made
+    * Spark's own delete fail with a per-firing WARN (synchronous log
+    * IO on the timed path) plus a redundant state delete.
     */
-  private def flush(key: Long, wm: Long): Iterator[KeptEvent] = {
+  private def flush(
+      key: Long, wm: Long, expiredTimer: Option[Long] = None): Iterator[KeptEvent] = {
     val buf = if (pending.exists()) pending.get().toSeq else Seq.empty
     val (ripe, rest) = buf.partition(_._1 <= wm)
     val out = scala.collection.mutable.ListBuffer.empty[KeptEvent]
@@ -85,6 +93,7 @@ class DebounceProcessor(windowMs: Long)
     }
     // one live timer per key: drop stale ones, re-arm at the new min
     val live = getHandle.listTimers().toSeq
+      .filterNot(t => expiredTimer.contains(t.asInstanceOf[Long]))
     if (rest.nonEmpty) {
       val next = rest.map(_._1).min
       if (live != Seq(next)) {

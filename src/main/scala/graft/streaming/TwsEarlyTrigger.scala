@@ -102,14 +102,25 @@ class EarlyTriggerProcessor(threshold: Int)
       cell: Int,
       timers: TimerValues,
       expired: ExpiredTimerInfo): Iterator[WindowCount] =
-    purgeAndRearm(cell, timers.getCurrentWatermarkInMs()).iterator
+    purgeAndRearm(cell, timers.getCurrentWatermarkInMs(),
+      expiredTimer = Some(expired.getExpiryTimeInMs())).iterator
 
   /** FIRE_AND_PURGE every pane the watermark has passed (final sum,
     * pane removed) and re-arm the single per-key timer at the
     * LATEST surviving pane end (tail-flush-only timers — see the
     * class scaladoc).
+    *
+    * `expiredTimer`: the timer that FIRED this call, when invoked
+    * from handleExpiredTimer. Spark's handleTimerRows deletes the
+    * fired timer itself AFTER the callback returns, so the reconcile
+    * below must treat it as already-gone: deleting it here made
+    * Spark's own delete fail with a per-firing
+    * "WARN TimerStateImpl: Failed to delete timer" — ~72k such lines
+    * per bench run, synchronous log IO on the timed path, plus a
+    * redundant RocksDB delete per firing.
     */
-  private def purgeAndRearm(cell: Int, wm: Long): Seq[WindowCount] = {
+  private def purgeAndRearm(
+      cell: Int, wm: Long, expiredTimer: Option[Long] = None): Seq[WindowCount] = {
     // ONE key+value scan (iterator), not keys() + getValue per ripe
     // pane — the purge touches every live pane each time it runs, so
     // per-entry point reads double its RocksDB cost for nothing
@@ -127,13 +138,17 @@ class EarlyTriggerProcessor(threshold: Int)
     // the identical value — which is what makes the latest-pane timer
     // sound for keys that stop receiving data (their remaining finals
     // all fire together when the watermark passes the last pane).
-    armTo(live.maxOption)
+    armTo(live.maxOption, expiredTimer)
     fires
   }
 
-  /** Sync the single per-key timer to `next` (None = disarm). */
-  private def armTo(next: Option[Long]): Unit = {
+  /** Sync the single per-key timer to `next` (None = disarm). The
+    * `alreadyDeleted` timer (the one that just fired) is excluded
+    * from the armed set — Spark deletes it after the callback.
+    */
+  private def armTo(next: Option[Long], alreadyDeleted: Option[Long] = None): Unit = {
     val armed = getHandle.listTimers().toSeq
+      .filterNot(t => alreadyDeleted.contains(t.asInstanceOf[Long]))
     if (armed != next.toSeq) {
       armed.foreach(t => getHandle.deleteTimer(t.asInstanceOf[Long]))
       next.foreach(getHandle.registerTimer)
@@ -205,7 +220,10 @@ class EarlyTriggerBlobProcessor(threshold: Int)
       WindowCount(cell, wEnd, c.sum, isFinal = true)
     }
     if (live.isEmpty) panes.clear() else panes.update(live)
+    // the fired timer is deleted by Spark AFTER this callback — treat
+    // it as already-gone (see EarlyTriggerProcessor.purgeAndRearm)
     val armed = getHandle.listTimers().toSeq
+      .filterNot(t => t.asInstanceOf[Long] == expired.getExpiryTimeInMs())
     val next = if (live.isEmpty) None else Some(live.keys.max)
     if (armed != next.toSeq) {
       armed.foreach(t => getHandle.deleteTimer(t.asInstanceOf[Long]))

@@ -41,8 +41,6 @@ object ExplainAll {
         val plan = df.queryExecution.explainString(
           org.apache.spark.sql.execution.FormattedMode)
         Files.writeString(Paths.get(outDir, s"$name.txt"), plan)
-        val ex = "(?m)^\\s*\\+?-? ?Exchange ".r.findAllIn(plan).size +
-          plan.sliding("Exchange (".length).count(_ == "Exchange (")
         def cnt(tok: String) = plan.sliding(tok.length).count(_ == tok)
         val joins = Seq(
           "SortMergeJoin" -> cnt("SortMergeJoin"),

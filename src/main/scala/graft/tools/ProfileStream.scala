@@ -37,6 +37,14 @@ object ProfileStream {
       sys.env.getOrElse("SPARK_GRAFT_STREAM_PARTITIONS", "4"))
     ss.conf.set("spark.sql.streaming.noDataMicroBatches.enabled",
       sys.env.getOrElse("SPARK_GRAFT_NODATA", "false"))
+    // mirror streamSession's checkpoint-checksum default (env-A/B-able)
+    ss.conf.set("spark.sql.streaming.checkpoint.fileChecksum.enabled",
+      sys.env.get("SPARK_GRAFT_CKPT_CHECKSUM").contains("true").toString)
+    // mirror streamSession's nio checkpoint manager (env-A/B-able)
+    if (!sys.env.get("SPARK_GRAFT_CKPT_MANAGER").contains("default")) {
+      ss.conf.set("spark.sql.streaming.checkpointFileManagerClass",
+        "org.apache.spark.sql.graftbridge.NioCheckpointFileManager")
+    }
 
     val rides = t("collect rides") {
       TaxiReplay.ridesFromEvents(ss, sfDir).collect().toSeq
