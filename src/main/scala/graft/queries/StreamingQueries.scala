@@ -102,6 +102,15 @@ object StreamingQueries {
       ss.conf.set("spark.sql.streaming.checkpointFileManagerClass",
         "org.apache.spark.sql.graftbridge.NioCheckpointFileManager")
     }
+    // The trigger thread sleeps pollingDelay (default 10 ms) whenever a
+    // trigger finds no new data, so every driver-fed chunk
+    // (addData → processAllAvailable) waits up to 10 ms to be noticed —
+    // ~0.3 s across the 30-feed TTL replay alone (thread-dump sampled).
+    // 1 ms keeps the no-data loop polite while cutting the pickup
+    // latency; a production job on a real source tunes this to its
+    // ingest cadence (env knob below).
+    ss.conf.set("spark.sql.streaming.pollingDelay",
+      sys.env.getOrElse("SPARK_GRAFT_POLLING_DELAY", "1ms"))
     // Without this, every data micro-batch is followed by a no-data
     // micro-batch that re-runs the whole stateful plan on zero rows to
     // apply the advanced watermark — measured at ~45% of replay cost
@@ -1888,9 +1897,14 @@ object StreamingQueries {
       .foreachBatch { (batch: DataFrame, _: Long) =>
         val gen = currentGen()
         val labels = ss.read.parquet(genDir(gen))
-        val merges = batch
-          .select(col("userId").as("a"), col("eventId").as("b"))
-          .join(labels.select(col("doc_id").as("a"), col("component").as("la")), Seq("a"))
+        // broadcast the MICRO-BATCH side: the label table is
+        // corpus-sized at scale while a batch's pair set is bounded,
+        // so the labels relation must never be the shuffled/built
+        // side of these lookups (hint-only; results unchanged)
+        val merges = org.apache.spark.sql.functions.broadcast(
+            org.apache.spark.sql.functions.broadcast(batch
+              .select(col("userId").as("a"), col("eventId").as("b")))
+            .join(labels.select(col("doc_id").as("a"), col("component").as("la")), Seq("a")))
           .join(labels.select(col("doc_id").as("b"), col("component").as("lb")), Seq("b"))
           .select(col("la"), col("lb"))
           .filter(col("la") =!= col("lb")).distinct()
